@@ -1,0 +1,160 @@
+"""Radar system configuration.
+
+The reference hard-codes every parameter as C ``#define``s duplicated across
+two translation units (reference acceleration.cu:7-15 and
+cudaBenchMarking.cpp:3-22).  Here they live in one frozen dataclass that every
+stage consumes; the defaults reproduce the reference constants exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+LIGHT_SPEED = 3.0e8  # reference acceleration.cu:14 / cudaBenchMarking.cpp:7
+
+
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n (reference acceleration.cu:39-49)."""
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+@dataclasses.dataclass(frozen=True)
+class RadarConfig:
+    """All parameters of the FMCW radar and its processing pipeline.
+
+    Defaults mirror the reference (acceleration.cu:7-15,
+    cudaBenchMarking.cpp:10-22): TI 77 GHz FMCW, 100 samples/chirp,
+    128 chirps/frame, 4 RX, 1 TX, Fs = 2 MHz, slope 5.987e12 Hz/s.
+    """
+
+    # --- waveform / array geometry -------------------------------------
+    carrier_hz: float = 77.0e9          # F0, cudaBenchMarking.cpp:10
+    slope_hz_per_s: float = 5.987e12    # mu,  cudaBenchMarking.cpp:11
+    sample_rate_hz: float = 2.0e6       # Fs,  cudaBenchMarking.cpp:13
+    chirp_interval_s: float = 64e-6     # Tr,  cudaBenchMarking.cpp:16
+    num_samples: int = 100              # SampleSize, acceleration.cu:8
+    num_chirps: int = 128               # ChirpSize,  acceleration.cu:9
+    num_rx: int = 4                     # RxSize,     acceleration.cu:11
+    num_tx: int = 1                     # numTx,      cudaBenchMarking.cpp:21
+    # RX spacing in wavelengths; 0.5 == lambda/2 (cudaBenchMarking.cpp:19)
+    rx_spacing_wavelengths: float = 0.5
+
+    # --- pipeline parameters -------------------------------------------
+    # Fraction of the range FFT scanned for the peak
+    # (floor(0.4 * extendSize) bins, acceleration.cu:522)
+    scan_fraction: float = 0.4
+    # CA-CFAR parameters (extension; the reference has only argmax)
+    cfar_guard: Tuple[int, int] = (2, 2)      # (doppler, range) guard cells
+    cfar_train: Tuple[int, int] = (4, 8)      # (doppler, range) training cells
+    cfar_pfa: float = 1e-4                    # false-alarm rate -> threshold
+    # Angle processing
+    num_angle_bins: int = 64                  # angle-FFT size
+    angle_grid_deg: Tuple[float, float, int] = (-90.0, 90.0, 181)  # Capon scan
+
+    # ---- derived sizes --------------------------------------------------
+    @property
+    def samples_per_frame(self) -> int:
+        """Complex samples per frame = chirps * rx * samples."""
+        return self.num_chirps * self.num_rx * self.num_samples
+
+    @property
+    def shorts_per_frame(self) -> int:
+        """int16 values per frame on disk (I and Q for every sample)."""
+        return self.samples_per_frame * 2
+
+    @property
+    def bytes_per_frame(self) -> int:
+        return self.shorts_per_frame * 2
+
+    @property
+    def rx_samples(self) -> int:
+        """Samples in one RX channel's frame slice (chirps * samples)."""
+        return self.num_chirps * self.num_samples
+
+    @property
+    def fft_size(self) -> int:
+        """Range-FFT size = nextPow2(chirps * samples) (acceleration.cu:465)."""
+        return next_pow2(self.rx_samples)
+
+    @property
+    def scan_bins(self) -> int:
+        """floor(scan_fraction * fft_size) bins scanned for the peak."""
+        return int(math.floor(self.scan_fraction * self.fft_size))
+
+    @property
+    def extended_sample_rate_hz(self) -> float:
+        """Fs_extend = Fs * fft_size / rx_samples (acceleration.cu:521)."""
+        return self.sample_rate_hz * self.fft_size / self.rx_samples
+
+    @property
+    def wavelength_m(self) -> float:
+        return LIGHT_SPEED / self.carrier_hz
+
+    @property
+    def num_virtual_rx(self) -> int:
+        """TDM-MIMO virtual array size = num_tx * num_rx."""
+        return self.num_tx * self.num_rx
+
+    @property
+    def range_fft_size(self) -> int:
+        """Per-chirp range FFT size for the range-Doppler path."""
+        return next_pow2(self.num_samples)
+
+    @property
+    def doppler_fft_size(self) -> int:
+        return next_pow2(self.num_chirps)
+
+    @property
+    def max_range_m(self) -> float:
+        """Max range of the scan window (~20.04 m for the defaults)."""
+        return self.bin_to_physical_distance(self.scan_bins)
+
+    # ---- reference distance math ----------------------------------------
+    def rescale_peak_bin(self, peak_bin: int) -> int:
+        """Quantize an extended-FFT bin to the pre-pad grid.
+
+        INTEGER division, exactly as the reference computes
+        ``maxDisIdx = argmax * (ChirpSize*SampleSize) / extendedSize``
+        (acceleration.cu:522, cudaBenchMarking.cpp:302).
+        """
+        return (peak_bin * self.rx_samples) // self.fft_size
+
+    def bin_to_distance(self, rescaled_bin: int) -> float:
+        """Reference distance formula (acceleration.cu:523).
+
+        dis = c * ((idx / fft_size) * Fs_extend) / (2 * mu).
+
+        Algebraically ``rescale(b)/fft_size * Fs_extend == b * Fs/fft_size``
+        up to the integer-division quantization of the rescale, so this is
+        the physically-correct range with the peak snapped to the pre-pad
+        frequency grid.  Reproduced bit-for-bit for parity.
+        """
+        freq = (rescaled_bin / self.fft_size) * self.extended_sample_rate_hz
+        return LIGHT_SPEED * freq / (2.0 * self.slope_hz_per_s)
+
+    def bin_to_physical_distance(self, peak_bin: int) -> float:
+        """Unquantized range for an extended-FFT peak bin.
+
+        A zero-padded FFT keeps the sample rate: bin width = Fs/fft_size.
+        """
+        freq = peak_bin * self.sample_rate_hz / self.fft_size
+        return LIGHT_SPEED * freq / (2.0 * self.slope_hz_per_s)
+
+    def distance_to_beat_hz(self, range_m: float) -> float:
+        """Beat frequency of a point target at ``range_m``."""
+        return 2.0 * self.slope_hz_per_s * range_m / LIGHT_SPEED
+
+    # Doppler
+    @property
+    def doppler_resolution_hz(self) -> float:
+        return 1.0 / (self.num_chirps * self.chirp_interval_s)
+
+    def velocity_to_doppler_hz(self, v_mps: float) -> float:
+        return 2.0 * v_mps / self.wavelength_m
+
+
+DEFAULT_CONFIG = RadarConfig()

@@ -1,0 +1,295 @@
+"""Float64 NumPy golden model — the verification truth for the TPU pipeline.
+
+This mirrors the reference's CPU path (cudaBenchMarking.cpp:213-332) stage by
+stage in double precision:
+
+  decode+reshape (ReshapeComplex_t, :149-188) -> rx0 slice -> base-frame
+  subtraction + zero-pad (:277-285) -> 16,384-pt FFT (butterfly_fft, :73-105)
+  -> arg-max over floor(0.4*N) bins (FindAbsMax, :191-206) -> distance
+  formula (:301-303).
+
+The GPU path's bugs (uninitialized bin at idx==oldSize, acceleration.cu:156;
+intra-stage butterfly race, acceleration.cu:223/235) are NOT reproduced —
+per BASELINE.json the CPU path is the golden truth.
+
+Also provides float64 golden implementations of the extended stages
+(range-Doppler map, CA-CFAR, angle-FFT, Capon) that the TPU pipeline is
+checked against.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
+from radar_tpu.io.capture import decode_shorts
+
+
+# --------------------------------------------------------------------------
+# Reference-parity FFT (bit-for-bit twin of cudaBenchMarking.cpp:61-105)
+# --------------------------------------------------------------------------
+
+def reverse_bits(num: int, bits: int) -> int:
+    rev = 0
+    for i in range(bits):
+        if num & (1 << i):
+            rev |= 1 << (bits - 1 - i)
+    return rev
+
+
+def bit_reversal_permutation(n: int) -> np.ndarray:
+    bits = int(math.log2(n))
+    return np.array([reverse_bits(i, bits) for i in range(n)], dtype=np.int64)
+
+
+def butterfly_fft(x: np.ndarray) -> np.ndarray:
+    """Iterative radix-2 DIT FFT with the reference's twiddle recurrence.
+
+    Vectorized over butterflies within a stage but numerically identical to
+    the scalar loop at cudaBenchMarking.cpp:89-104 (same accumulation of the
+    recurrent twiddle ``omega *= e^{-2pi i/step}``).
+    """
+    x = np.asarray(x, dtype=np.complex128).copy()
+    n = x.shape[-1]
+    if n & (n - 1):
+        raise ValueError("size must be a power of two")
+    x = x[..., bit_reversal_permutation(n)]
+    step = 2
+    while step <= n:
+        half = step // 2
+        theta = -2.0 * np.pi / step
+        twiddle = complex(math.cos(theta), math.sin(theta))
+        # reproduce the recurrence omega_{j+1} = omega_j * twiddle
+        omega = np.empty(half, dtype=np.complex128)
+        w = 1.0 + 0.0j
+        for j in range(half):
+            omega[j] = w
+            w *= twiddle
+        v = x.reshape(x.shape[:-1] + (n // step, step))
+        lo = v[..., :half]
+        hi = v[..., half:]
+        wn = omega * hi
+        v[..., half:] = lo - wn
+        v[..., :half] = lo + wn
+        step <<= 1
+    return x
+
+
+# --------------------------------------------------------------------------
+# Reference-parity single-target range pipeline
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class RangeDetection:
+    """Per-frame result of the parity pipeline."""
+
+    peak_bin: int        # argmax over the scan window of the extended FFT
+    rescaled_bin: int    # peak_bin * rx_samples // fft_size (int division)
+    distance_m: float    # reference formula (acceleration.cu:523)
+    peak_magnitude: float
+
+
+def base_frame_rx0(
+    frame0_shorts: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG
+) -> np.ndarray:
+    """Frame 0's RX0 slice (chirps*samples complex), the clutter reference
+    (cudaBenchMarking.cpp:242-250)."""
+    cube = decode_shorts(frame0_shorts, cfg)
+    return cube[0].reshape(cfg.rx_samples)
+
+
+def fft_input(
+    frame_shorts: np.ndarray,
+    base_rx0: np.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+) -> np.ndarray:
+    """Decode -> rx0 -> subtract base -> zero-pad to fft_size
+    (cudaBenchMarking.cpp:273-285)."""
+    cube = decode_shorts(frame_shorts, cfg)
+    rx0 = cube[0].reshape(cfg.rx_samples)
+    out = np.zeros(cfg.fft_size, dtype=np.complex128)
+    out[: cfg.rx_samples] = rx0 - base_rx0
+    return out
+
+
+def find_abs_max(x: np.ndarray, size: int) -> int:
+    """First index of the max magnitude over [0, size).
+
+    Mirrors FindAbsMax's strict ``>`` comparison (cudaBenchMarking.cpp:199)
+    — ties resolve to the lowest index.
+    """
+    return int(np.argmax(np.abs(x[:size])))
+
+
+def detect_frame(
+    frame_shorts: np.ndarray,
+    base_rx0: np.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    use_reference_fft: bool = False,
+) -> RangeDetection:
+    """Run the full parity pipeline on one frame of int16 data."""
+    spec_in = fft_input(frame_shorts, base_rx0, cfg)
+    spec = butterfly_fft(spec_in) if use_reference_fft else np.fft.fft(spec_in)
+    peak = find_abs_max(spec, cfg.scan_bins)
+    rescaled = cfg.rescale_peak_bin(peak)
+    return RangeDetection(
+        peak_bin=peak,
+        rescaled_bin=rescaled,
+        distance_m=cfg.bin_to_distance(rescaled),
+        peak_magnitude=float(np.abs(spec[peak])),
+    )
+
+
+def detect_capture(
+    frames_shorts: np.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    use_reference_fft: bool = False,
+) -> list[RangeDetection]:
+    """Frame-0-as-base streaming loop over a whole capture
+    (cudaBenchMarking.cpp:261-310).  Returns detections for frames 1..N-1."""
+    base = base_frame_rx0(frames_shorts[0], cfg)
+    return [
+        detect_frame(f, base, cfg, use_reference_fft) for f in frames_shorts[1:]
+    ]
+
+
+# --------------------------------------------------------------------------
+# Extended golden stages (no reference twin — defined here as the truth)
+# --------------------------------------------------------------------------
+
+def hann_window(n: int) -> np.ndarray:
+    """Periodic Hann window (matches jnp/scipy 'periodic' convention)."""
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+def range_doppler_map(
+    cube: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG, window: bool = True
+) -> np.ndarray:
+    """Range-Doppler map per RX.
+
+    Args:
+      cube: complex (..., rx, chirps, samples), clutter already handled by
+        the caller (subtract base frame or mean over chirps).
+
+    Returns:
+      complex (..., rx, doppler_fft_size, range_fft_size) — Doppler axis
+      fftshifted so zero velocity is centered.
+    """
+    x = np.asarray(cube, dtype=np.complex128)
+    if window:
+        x = x * hann_window(cfg.num_samples)
+        x = x * hann_window(cfg.num_chirps)[:, None]
+    rng = np.fft.fft(x, n=cfg.range_fft_size, axis=-1)
+    dopp = np.fft.fft(rng, n=cfg.doppler_fft_size, axis=-2)
+    return np.fft.fftshift(dopp, axes=-2)
+
+
+def ca_cfar_2d(
+    power: np.ndarray,
+    guard: tuple[int, int],
+    train: tuple[int, int],
+    pfa: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """2D cell-averaging CFAR on a power map.
+
+    Args:
+      power: (..., doppler, range) non-negative power.
+      guard/train: half-window guard and training cell counts per axis.
+      pfa: false alarm probability -> threshold alpha = N*(pfa^{-1/N}-1).
+
+    Returns:
+      (detections bool map, threshold map).  Edges use the same window
+      with wrap-around padding on the Doppler axis (it is circular after
+      fftshift) and edge-clamped ("reflect"-free, sum of available cells)
+      behavior approximated by wrap on range too for simplicity and
+      determinism; the TPU kernel implements the identical convention.
+    """
+    gd, gr = guard
+    td, tr = train
+    wd, wr = gd + td, gr + tr
+    n_train = (2 * wd + 1) * (2 * wr + 1) - (2 * gd + 1) * (2 * gr + 1)
+    alpha = n_train * (pfa ** (-1.0 / n_train) - 1.0)
+
+    def window_sum(p: np.ndarray, hd: int, hr: int) -> np.ndarray:
+        padded = np.pad(
+            p,
+            [(0, 0)] * (p.ndim - 2) + [(hd, hd), (hr, hr)],
+            mode="wrap",
+        )
+        out = np.zeros_like(p)
+        for dd in range(2 * hd + 1):
+            for dr in range(2 * hr + 1):
+                out = out + padded[
+                    ...,
+                    dd : dd + p.shape[-2],
+                    dr : dr + p.shape[-1],
+                ]
+        return out
+
+    total = window_sum(power, wd, wr)
+    inner = window_sum(power, gd, gr)
+    noise = (total - inner) / n_train
+    threshold = alpha * noise
+    return power > threshold, threshold
+
+
+def angle_fft(
+    rx_snapshot: np.ndarray, num_bins: int, cfg: RadarConfig = DEFAULT_CONFIG
+) -> np.ndarray:
+    """Angle spectrum via zero-padded FFT across the (virtual) RX axis.
+
+    Args:
+      rx_snapshot: complex (..., num_virtual_rx) values at a detected
+        (range, doppler) cell.
+
+    Returns:
+      (..., num_bins) magnitude spectrum, fftshifted so bin k maps to
+      sin(theta) = (k - num_bins/2) / (num_bins * rx_spacing_wavelengths).
+    """
+    spec = np.fft.fft(rx_snapshot, n=num_bins, axis=-1)
+    return np.fft.fftshift(spec, axes=-1)
+
+
+def angle_bin_to_deg(bin_idx: np.ndarray, num_bins: int, cfg: RadarConfig) -> np.ndarray:
+    sin_theta = (np.asarray(bin_idx) - num_bins // 2) / (
+        num_bins * cfg.rx_spacing_wavelengths
+    )
+    return np.rad2deg(np.arcsin(np.clip(sin_theta, -1.0, 1.0)))
+
+
+def capon_spectrum(
+    snapshots: np.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    diagonal_loading: float = 1e-3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Capon (MVDR) angle spectrum from multiple snapshots of the RX array.
+
+    Args:
+      snapshots: complex (..., num_snapshots, n_rx) — e.g. the chirp axis
+        at a detected range bin.
+
+    Returns:
+      (angles_deg, spectrum) with spectrum shape (..., n_angles):
+      P(theta) = 1 / (a^H R^{-1} a).
+    """
+    x = np.asarray(snapshots, dtype=np.complex128)
+    n_rx = x.shape[-1]
+    n_snap = x.shape[-2]
+    r = np.einsum("...si,...sj->...ij", x, x.conj()) / n_snap
+    tr = np.trace(r, axis1=-2, axis2=-1).real / n_rx
+    r = r + (diagonal_loading * tr)[..., None, None] * np.eye(n_rx)
+    r_inv = np.linalg.inv(r)
+
+    lo, hi, n = cfg.angle_grid_deg
+    angles = np.linspace(lo, hi, int(n))
+    k = 2.0 * np.pi * cfg.rx_spacing_wavelengths
+    steering = np.exp(
+        1j * k * np.sin(np.deg2rad(angles))[:, None] * np.arange(n_rx)[None, :]
+    )  # (n_angles, n_rx)
+    denom = np.einsum(
+        "ai,...ij,aj->...a", steering.conj(), r_inv, steering
+    ).real
+    return angles, 1.0 / np.maximum(denom, 1e-30)

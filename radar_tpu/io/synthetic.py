@@ -1,0 +1,120 @@
+"""Synthetic FMCW ADC capture generator.
+
+The reference's real captures (``fhy_direct.bin``, ``fhy_s.bin``) are stripped
+from the mount (.MISSING_LARGE_BLOBS), so this generator is the format oracle:
+it simulates point targets with range / velocity / azimuth, adds static
+clutter and noise, quantizes to int16 and emits the exact on-disk layout of
+:mod:`radar_tpu.io.capture`.
+
+Physics (standard FMCW, matches the reference's parameter set
+cudaBenchMarking.cpp:10-22):
+
+* beat frequency of a target at range R:  f_b = 2 mu R / c
+* Doppler phase advance per chirp for radial velocity v:
+  2 pi * (2 v / lambda) * Tr
+* per-RX phase for azimuth theta with d = 0.5 lambda spacing:
+  2 pi * d/lambda * sin(theta) * rx_index
+
+Frame 0 is the empty scene (clutter only) — it is the "base frame" both
+reference paths subtract (cudaBenchMarking.cpp:242-250).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
+from radar_tpu.io.capture import encode_frame
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneTarget:
+    range_m: float
+    velocity_mps: float = 0.0
+    azimuth_deg: float = 0.0
+    amplitude: float = 2000.0  # ADC counts
+
+
+def synthesize_cube(
+    targets: list[SceneTarget],
+    num_frames: int,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    noise_std: float = 10.0,
+    clutter_amplitude: float = 300.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Simulate complex radar cubes.
+
+    Returns complex128 array (num_frames, num_rx, num_chirps, num_samples).
+    Frame 0 contains only clutter + noise (empty scene / base frame).
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(cfg.num_samples) / cfg.sample_rate_hz  # fast time
+    chirps = np.arange(cfg.num_chirps)
+    rxs = np.arange(cfg.num_rx)
+    frames = np.arange(num_frames)
+
+    cube = np.zeros(
+        (num_frames, cfg.num_rx, cfg.num_chirps, cfg.num_samples),
+        dtype=np.complex128,
+    )
+
+    # static clutter: a fixed random phase tone at a low beat frequency,
+    # identical in every frame so base-frame subtraction removes it
+    clutter_fb = cfg.distance_to_beat_hz(0.8)
+    clutter_phase = rng.uniform(0, 2 * np.pi)
+    clutter = clutter_amplitude * np.exp(
+        1j * (2 * np.pi * clutter_fb * t + clutter_phase)
+    )
+    cube += clutter[None, None, None, :]
+
+    frame_interval = cfg.num_chirps * cfg.chirp_interval_s
+    for tgt in targets:
+        fd = cfg.velocity_to_doppler_hz(tgt.velocity_mps)
+        sin_az = np.sin(np.deg2rad(tgt.azimuth_deg))
+        # slow-time index across the whole capture so the target moves
+        # coherently frame to frame
+        slow_t = (
+            frames[:, None] * frame_interval + chirps[None, :] * cfg.chirp_interval_s
+        )  # (frames, chirps)
+        rng_m = tgt.range_m + tgt.velocity_mps * frames * frame_interval
+        fb = cfg.distance_to_beat_hz(rng_m)  # (frames,) beat freq per frame
+        fast = np.exp(1j * 2 * np.pi * fb[:, None] * t[None, :])  # (frames, samples)
+        dopp = np.exp(1j * 2 * np.pi * fd * slow_t)  # (frames, chirps)
+        steer = np.exp(
+            1j * 2 * np.pi * cfg.rx_spacing_wavelengths * sin_az * rxs
+        )  # (rx,)
+        sig = (
+            tgt.amplitude
+            * steer[None, :, None, None]
+            * dopp[:, None, :, None]
+            * fast[:, None, None, :]
+        )
+        cube[1:] += sig[1:]  # frame 0 stays target-free (base frame)
+
+    if noise_std > 0:
+        cube += noise_std * (
+            rng.standard_normal(cube.shape) + 1j * rng.standard_normal(cube.shape)
+        )
+    return cube
+
+
+def synthesize_capture(
+    targets: list[SceneTarget],
+    num_frames: int,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    noise_std: float = 10.0,
+    clutter_amplitude: float = 300.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Simulate and encode to the on-disk int16 stream.
+
+    Returns int16 array (num_frames, shorts_per_frame) ready for
+    :func:`radar_tpu.io.capture.write_capture`.
+    """
+    cube = synthesize_cube(
+        targets, num_frames, cfg, noise_std, clutter_amplitude, seed
+    )
+    return encode_frame(cube, cfg)
