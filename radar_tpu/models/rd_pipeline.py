@@ -1,0 +1,129 @@
+"""Full range-Doppler-CFAR-AoA pipeline (the north-star extension).
+
+One jitted program per frame batch:
+
+    decode -> clutter removal -> windowed 2D FFT per RX (range-Doppler cube)
+    -> non-coherent RX integration -> 2D CA-CFAR -> top-K detections
+    -> per-detection angle-FFT AoA -> physical (range, velocity, azimuth)
+
+Static shapes throughout: CFAR hits are folded into a fixed top-K list
+(masked by validity) so the whole thing stays one compiled XLA program —
+no data-dependent shapes.
+
+The reference stops at a single argmax (acceleration.cu:522); stage
+contracts here are defined by the golden model (radar_tpu/golden.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from radar_tpu.config import RadarConfig, DEFAULT_CONFIG, LIGHT_SPEED
+from radar_tpu.ops.aoa import angle_fft_spectrum
+from radar_tpu.ops.cfar import ca_cfar_2d
+from radar_tpu.ops.decode import decode_to_cube
+from radar_tpu.ops.preproc import mean_clutter_removal
+from radar_tpu.ops.rangefft import range_doppler
+
+
+class RDResult(NamedTuple):
+    """Batched detection results (leading axis = frames)."""
+
+    num_hits: jnp.ndarray        # int32 (B,) CFAR hit count
+    doppler_bin: jnp.ndarray     # int32 (B, K) top-K cell indices
+    range_bin: jnp.ndarray       # int32 (B, K)
+    power: jnp.ndarray           # float32 (B, K) integrated cell power
+    valid: jnp.ndarray           # bool (B, K) detection passed CFAR
+    range_m: jnp.ndarray         # float32 (B, K)
+    velocity_mps: jnp.ndarray    # float32 (B, K)
+    azimuth_deg: jnp.ndarray     # float32 (B, K) via angle-FFT
+    angle_bin: jnp.ndarray       # int32 (B, K) argmax angle-FFT bin
+
+
+class RDPipeline:
+    """Frame-batched range-Doppler-CFAR-AoA detector."""
+
+    def __init__(
+        self,
+        cfg: RadarConfig = DEFAULT_CONFIG,
+        max_detections: int = 16,
+        use_base_frame: bool = True,
+    ):
+        self.cfg = cfg
+        self.max_detections = max_detections
+        self.use_base_frame = use_base_frame
+
+    # -- base frame --------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def prepare_base(self, frame0_shorts: jnp.ndarray) -> jnp.ndarray:
+        """Full-cube base frame (rx, chirps, samples) kept in HBM."""
+        return decode_to_cube(frame0_shorts, self.cfg)
+
+    # -- stages (exposed for stage-level golden verification) --------------
+    def rd_cube(self, shorts: jnp.ndarray, base_cube: jnp.ndarray | None):
+        """(B, rx, doppler, range) complex range-Doppler maps."""
+        cube = decode_to_cube(shorts, self.cfg)
+        if self.use_base_frame and base_cube is not None:
+            cube = cube - base_cube
+        else:
+            cube = mean_clutter_removal(cube)
+        return range_doppler(cube, self.cfg)
+
+    # -- full pipeline ------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def detect(
+        self, shorts: jnp.ndarray, base_cube: jnp.ndarray | None = None
+    ) -> RDResult:
+        cfg = self.cfg
+        k = self.max_detections
+        rd = self.rd_cube(shorts, base_cube)  # (B, rx, D, R)
+        power = jnp.sum(rd.real * rd.real + rd.imag * rd.imag, axis=-3)  # (B,D,R)
+        hits, _ = ca_cfar_2d(power, cfg)
+        num_hits = jnp.sum(hits, axis=(-2, -1)).astype(jnp.int32)
+
+        d_size, r_size = power.shape[-2], power.shape[-1]
+        masked = jnp.where(hits, power, -jnp.inf)
+        flat = masked.reshape(masked.shape[:-2] + (d_size * r_size,))
+        top_power, top_idx = jax.lax.top_k(flat, k)
+        valid = jnp.isfinite(top_power)
+        top_power = jnp.where(valid, top_power, 0.0)
+        d_bin = (top_idx // r_size).astype(jnp.int32)
+        r_bin = (top_idx % r_size).astype(jnp.int32)
+
+        # physical coordinates
+        rng_hz = r_bin.astype(jnp.float32) * (cfg.sample_rate_hz / cfg.range_fft_size)
+        range_m = rng_hz * jnp.float32(LIGHT_SPEED / (2.0 * cfg.slope_hz_per_s))
+        dopp_hz = (d_bin - cfg.doppler_fft_size // 2).astype(jnp.float32) / jnp.float32(
+            cfg.doppler_fft_size * cfg.chirp_interval_s
+        )
+        velocity = dopp_hz * jnp.float32(cfg.wavelength_m / 2.0)
+
+        # AoA: gather the RX snapshot at each detected cell, angle-FFT it
+        # rd: (B, rx, D, R) -> snapshot (B, K, rx)
+        rd_t = jnp.moveaxis(rd, -3, -1)  # (B, D, R, rx)
+        flat_cells = rd_t.reshape(rd_t.shape[:-3] + (d_size * r_size, rd_t.shape[-1]))
+        snaps = jnp.take_along_axis(flat_cells, top_idx[..., None], axis=-2)
+        spec = angle_fft_spectrum(snaps, cfg)  # (B, K, num_angle_bins)
+        aspec = spec.real * spec.real + spec.imag * spec.imag
+        angle_bin = jnp.argmax(aspec, axis=-1).astype(jnp.int32)
+        n = cfg.num_angle_bins
+        sin_theta = (angle_bin - n // 2).astype(jnp.float32) / jnp.float32(
+            n * cfg.rx_spacing_wavelengths
+        )
+        azimuth = jnp.rad2deg(jnp.arcsin(jnp.clip(sin_theta, -1.0, 1.0)))
+
+        return RDResult(
+            num_hits=num_hits,
+            doppler_bin=d_bin,
+            range_bin=r_bin,
+            power=top_power,
+            valid=valid,
+            range_m=range_m,
+            velocity_mps=velocity,
+            azimuth_deg=azimuth,
+            angle_bin=angle_bin,
+        )

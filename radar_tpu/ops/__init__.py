@@ -1,0 +1,25 @@
+from radar_tpu.ops.decode import decode_to_cube, rx0_slice
+from radar_tpu.ops.preproc import clutter_subtract_pad
+from radar_tpu.ops.rangefft import range_fft, range_doppler
+from radar_tpu.ops.detect import (
+    peak_detect,
+    distance_from_bin,
+    scan_window_argmax,
+)
+from radar_tpu.ops.cfar import ca_cfar_2d
+from radar_tpu.ops.aoa import angle_fft_spectrum, capon_spectrum, angle_bins_deg
+
+__all__ = [
+    "decode_to_cube",
+    "rx0_slice",
+    "clutter_subtract_pad",
+    "range_fft",
+    "range_doppler",
+    "peak_detect",
+    "distance_from_bin",
+    "scan_window_argmax",
+    "ca_cfar_2d",
+    "angle_fft_spectrum",
+    "capon_spectrum",
+    "angle_bins_deg",
+]

@@ -1,0 +1,81 @@
+"""Angle-of-arrival estimation (TPU path).
+
+Two estimators over the (virtual) RX array, matching the golden model:
+
+* ``angle_fft_spectrum`` — zero-padded FFT across the RX axis; cheap, used
+  per detected cell.
+* ``capon_spectrum`` — MVDR beamformer: P(theta) = 1 / (a^H R^{-1} a) with
+  diagonal loading.  The spatial covariance and the steering-vector
+  quadratic form are small dense matmuls — MXU food — and batch over
+  detections/range bins.
+
+The reference has no angle stage (its ``d = lambda/2`` array constant at
+cudaBenchMarking.cpp:19 is declared but unused); contracts are defined by
+``radar_tpu.golden``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
+
+
+def angle_fft_spectrum(
+    rx_snapshot: jnp.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """Angle spectrum via zero-padded FFT across the RX axis.
+
+    Args:
+      rx_snapshot: complex64 (..., n_rx) cell values.
+
+    Returns:
+      complex64 (..., num_angle_bins), fftshifted.
+    """
+    spec = jnp.fft.fft(rx_snapshot, n=cfg.num_angle_bins, axis=-1)
+    return jnp.fft.fftshift(spec, axes=-1)
+
+
+def angle_bins_deg(cfg: RadarConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """Degrees for each (fftshifted) angle-FFT bin."""
+    n = cfg.num_angle_bins
+    sin_theta = (np.arange(n) - n // 2) / (n * cfg.rx_spacing_wavelengths)
+    return np.rad2deg(np.arcsin(np.clip(sin_theta, -1.0, 1.0)))
+
+
+def _steering_matrix(n_rx: int, cfg: RadarConfig) -> np.ndarray:
+    lo, hi, n = cfg.angle_grid_deg
+    angles = np.linspace(lo, hi, int(n))
+    k = 2.0 * np.pi * cfg.rx_spacing_wavelengths
+    return angles, np.exp(
+        1j * k * np.sin(np.deg2rad(angles))[:, None] * np.arange(n_rx)[None, :]
+    ).astype(np.complex64)
+
+
+def capon_spectrum(
+    snapshots: jnp.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    diagonal_loading: float = 1e-3,
+) -> tuple[np.ndarray, jnp.ndarray]:
+    """Capon/MVDR angle spectrum.
+
+    Args:
+      snapshots: complex64 (..., n_snapshots, n_rx).
+
+    Returns:
+      (angles_deg np.ndarray (n_angles,), power jnp (..., n_angles)).
+    """
+    x = snapshots
+    n_rx = x.shape[-1]
+    n_snap = x.shape[-2]
+    r = jnp.einsum("...si,...sj->...ij", x, x.conj()) / n_snap
+    tr = jnp.trace(r, axis1=-2, axis2=-1).real / n_rx
+    eye = jnp.eye(n_rx, dtype=r.dtype)
+    r = r + (diagonal_loading * tr)[..., None, None] * eye
+    r_inv = jnp.linalg.inv(r)
+    angles, steering = _steering_matrix(n_rx, cfg)
+    a = jnp.asarray(steering)  # (n_angles, n_rx)
+    denom = jnp.einsum("ai,...ij,aj->...a", a.conj(), r_inv, a).real
+    return angles, 1.0 / jnp.maximum(denom, 1e-30)

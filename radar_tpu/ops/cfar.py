@@ -1,0 +1,64 @@
+"""2D cell-averaging CFAR (TPU path, XLA formulation).
+
+The reference detects with a bare argmax (single-target assumption,
+acceleration.cu:522); CA-CFAR is the multi-target extension called for by
+the north star.  Convention matches ``radar_tpu.golden.ca_cfar_2d``:
+wrap-around padding on both axes (Doppler is circular after fftshift),
+threshold alpha = N * (pfa^{-1/N} - 1).
+
+This XLA version expresses the guard/training window as two box sums via
+``lax.reduce_window`` — fully fused and batched.  A Pallas sliding-window
+kernel for the same contract lives in ``radar_tpu.ops.pallas.cfar_kernel``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
+
+
+def _box_sum_wrap(power: jnp.ndarray, half_d: int, half_r: int) -> jnp.ndarray:
+    """Sum over a (2*half_d+1, 2*half_r+1) window with wrap padding."""
+    pad = [(0, 0)] * (power.ndim - 2) + [(half_d, half_d), (half_r, half_r)]
+    padded = jnp.pad(power, pad, mode="wrap")
+    window = (1,) * (power.ndim - 2) + (2 * half_d + 1, 2 * half_r + 1)
+    return jax.lax.reduce_window(
+        padded,
+        jnp.zeros((), power.dtype),
+        jax.lax.add,
+        window_dimensions=window,
+        window_strides=(1,) * power.ndim,
+        padding="VALID",
+    )
+
+
+def cfar_alpha(guard: tuple[int, int], train: tuple[int, int], pfa: float) -> tuple[float, int]:
+    gd, gr = guard
+    td, tr = train
+    wd, wr = gd + td, gr + tr
+    n_train = (2 * wd + 1) * (2 * wr + 1) - (2 * gd + 1) * (2 * gr + 1)
+    return n_train * (pfa ** (-1.0 / n_train) - 1.0), n_train
+
+
+def ca_cfar_2d(
+    power: jnp.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """CA-CFAR detection map.
+
+    Args:
+      power: float32 (..., doppler, range) non-negative power map.
+
+    Returns:
+      (hits bool (..., d, r), threshold float32 (..., d, r)).
+    """
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa)
+    total = _box_sum_wrap(power, gd + td, gr + tr)
+    inner = _box_sum_wrap(power, gd, gr)
+    noise = (total - inner) * jnp.asarray(1.0 / n_train, power.dtype)
+    threshold = jnp.asarray(alpha, power.dtype) * noise
+    return power > threshold, threshold

@@ -1,0 +1,124 @@
+"""JAX ops vs the float64 golden model, stage by stage."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from radar_tpu import golden
+from radar_tpu.io.capture import decode_shorts
+from radar_tpu.ops.aoa import angle_fft_spectrum, capon_spectrum
+from radar_tpu.ops.cfar import ca_cfar_2d
+from radar_tpu.ops.decode import decode_to_cube, rx0_slice
+from radar_tpu.ops.preproc import clutter_subtract_pad
+from radar_tpu.ops.rangefft import range_doppler, range_fft
+
+
+def test_decode_matches_golden_exactly(cfg, capture):
+    got = np.asarray(decode_to_cube(jnp.asarray(capture), cfg))
+    want = decode_shorts(capture, cfg)
+    # int16 values are exactly representable in float32
+    np.testing.assert_array_equal(got.real, want.real.astype(np.float32))
+    np.testing.assert_array_equal(got.imag, want.imag.astype(np.float32))
+
+
+def test_rx0_slice_layout(cfg, capture):
+    cube = decode_to_cube(jnp.asarray(capture[0]), cfg)
+    rx0 = np.asarray(rx0_slice(cube, cfg))
+    want = decode_shorts(capture[0], cfg)[0].reshape(cfg.rx_samples)
+    np.testing.assert_array_equal(rx0, want.astype(np.complex64))
+
+
+def test_clutter_subtract_pad_matches_golden(cfg, capture):
+    base64 = golden.base_frame_rx0(capture[0], cfg)
+    want = golden.fft_input(capture[1], base64, cfg)
+
+    cube = decode_to_cube(jnp.asarray(capture[1]), cfg)
+    base = rx0_slice(decode_to_cube(jnp.asarray(capture[0]), cfg), cfg)
+    got = np.asarray(clutter_subtract_pad(rx0_slice(cube, cfg), base, cfg))
+    assert got.shape == (cfg.fft_size,)
+    # int16 - int16 differences are exact in float32
+    np.testing.assert_array_equal(got, want.astype(np.complex64))
+
+
+def test_range_fft_matches_golden_1e3(cfg, capture):
+    base64 = golden.base_frame_rx0(capture[0], cfg)
+    want = np.fft.fft(golden.fft_input(capture[1], base64, cfg))
+
+    base = rx0_slice(decode_to_cube(jnp.asarray(capture[0]), cfg), cfg)
+    cube = decode_to_cube(jnp.asarray(capture[1]), cfg)
+    got = np.asarray(
+        range_fft(clutter_subtract_pad(rx0_slice(cube, cfg), base, cfg), cfg)
+    )
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 1e-3
+
+
+def test_range_doppler_matches_golden_1e3(cfg, capture):
+    cube64 = decode_shorts(capture[1], cfg) - decode_shorts(capture[0], cfg)
+    want = golden.range_doppler_map(cube64, cfg)
+    got = np.asarray(range_doppler(jnp.asarray(cube64.astype(np.complex64)), cfg))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 1e-3
+
+
+def test_cfar_matches_golden(cfg):
+    rng = np.random.default_rng(23)
+    power = rng.exponential(1.0, (cfg.doppler_fft_size, cfg.range_fft_size)).astype(
+        np.float32
+    )
+    power[50, 100] = 800.0
+    power[10, 30] = 600.0
+    want_hits, want_thresh = golden.ca_cfar_2d(
+        power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa
+    )
+    got_hits, got_thresh = ca_cfar_2d(jnp.asarray(power), cfg)
+    got_hits, got_thresh = np.asarray(got_hits), np.asarray(got_thresh)
+    np.testing.assert_allclose(got_thresh, want_thresh, rtol=1e-4)
+    # f32 vs f64 may flip cells sitting exactly on the threshold
+    marginal = np.abs(power - want_thresh) < 1e-3 * want_thresh
+    disagree = got_hits != want_hits
+    assert not np.any(disagree & ~marginal)
+    assert got_hits[50, 100] and got_hits[10, 30]
+
+
+def test_cfar_batched(cfg):
+    rng = np.random.default_rng(29)
+    power = rng.exponential(
+        1.0, (3, cfg.doppler_fft_size, cfg.range_fft_size)
+    ).astype(np.float32)
+    hits, thresh = ca_cfar_2d(jnp.asarray(power), cfg)
+    for i in range(3):
+        h_i, t_i = ca_cfar_2d(jnp.asarray(power[i]), cfg)
+        np.testing.assert_array_equal(np.asarray(hits[i]), np.asarray(h_i))
+        np.testing.assert_allclose(np.asarray(thresh[i]), np.asarray(t_i), rtol=1e-6)
+
+
+def test_angle_fft_matches_golden(cfg):
+    rng = np.random.default_rng(31)
+    snap = (
+        rng.standard_normal((5, cfg.num_rx)) + 1j * rng.standard_normal((5, cfg.num_rx))
+    )
+    want = golden.angle_fft(snap, cfg.num_angle_bins, cfg)
+    got = np.asarray(angle_fft_spectrum(jnp.asarray(snap.astype(np.complex64)), cfg))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4 * np.abs(want).max())
+
+
+def test_capon_matches_golden(cfg):
+    rng = np.random.default_rng(37)
+    az = 15.0
+    steer = np.exp(
+        1j * 2 * np.pi * cfg.rx_spacing_wavelengths
+        * np.sin(np.deg2rad(az)) * np.arange(cfg.num_rx)
+    )
+    sig = rng.standard_normal((64, 1)) + 1j * rng.standard_normal((64, 1))
+    snaps = sig * steer + 0.1 * (
+        rng.standard_normal((64, cfg.num_rx)) + 1j * rng.standard_normal((64, cfg.num_rx))
+    )
+    want_angles, want_p = golden.capon_spectrum(snaps, cfg)
+    got_angles, got_p = capon_spectrum(jnp.asarray(snaps.astype(np.complex64)), cfg)
+    np.testing.assert_allclose(got_angles, want_angles)
+    got_p, want_p = np.asarray(got_p), want_p
+    # spectra agree in shape; peak location must match
+    assert np.argmax(got_p) == np.argmax(want_p)
+    np.testing.assert_allclose(
+        got_p / got_p.max(), want_p / want_p.max(), rtol=0, atol=1e-2
+    )

@@ -1,0 +1,116 @@
+"""End-to-end pipeline integration tests vs the golden model.
+
+This is the promoted version of the reference's disabled CPU<->CUDA
+verification loop (cudaBenchMarking.cpp:410-419): golden float64 trace vs
+TPU pipeline per frame — detection indices exact, magnitudes/distances
+within 1e-3 relative (BASELINE.json gates).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from radar_tpu import golden
+from radar_tpu.config import RadarConfig
+from radar_tpu.io.capture import encode_frame
+from radar_tpu.io.synthetic import SceneTarget, synthesize_capture, synthesize_cube
+from radar_tpu.models.range_detector import RangeDetector
+from radar_tpu.models.rd_pipeline import RDPipeline
+
+
+class TestRangeDetector:
+    def test_matches_golden_on_capture(self, cfg, capture):
+        det = RangeDetector(cfg)
+        out = det.detect_capture(capture)
+        want = golden.detect_capture(capture, cfg)
+        assert out.peak_bin.shape == (len(want),)
+        for i, w in enumerate(want):
+            assert int(out.peak_bin[i]) == w.peak_bin, f"frame {i}"
+            assert int(out.rescaled_bin[i]) == w.rescaled_bin
+            assert abs(float(out.distance_m[i]) - w.distance_m) <= 1e-3 * max(
+                w.distance_m, 1e-9
+            )
+            assert (
+                abs(float(out.peak_magnitude[i]) - w.peak_magnitude)
+                <= 1e-3 * w.peak_magnitude
+            )
+
+    def test_single_frame_unbatched(self, cfg, capture):
+        det = RangeDetector(cfg)
+        base = det.prepare_base(jnp.asarray(capture[0]))
+        out = det.detect(jnp.asarray(capture[1]), base)
+        w = golden.detect_capture(capture[:2], cfg)[0]
+        assert int(out.peak_bin) == w.peak_bin
+        assert out.peak_bin.shape == ()
+
+    def test_deterministic(self, cfg, capture):
+        det = RangeDetector(cfg)
+        a = det.detect_capture(capture)
+        b = det.detect_capture(capture)
+        np.testing.assert_array_equal(np.asarray(a.peak_bin), np.asarray(b.peak_bin))
+        np.testing.assert_array_equal(
+            np.asarray(a.peak_magnitude), np.asarray(b.peak_magnitude)
+        )
+
+    def test_multi_range_sweep(self, cfg):
+        """Targets across the unambiguous range land on the right bins."""
+        det = RangeDetector(cfg)
+        for r_true in [1.5, 4.0, 9.0, 15.0]:
+            shorts = synthesize_capture(
+                [SceneTarget(range_m=r_true, amplitude=3000.0)],
+                3, cfg, noise_std=5.0, seed=int(r_true * 10),
+            )
+            out = det.detect_capture(shorts)
+            for i in range(2):
+                phys = cfg.bin_to_physical_distance(int(out.peak_bin[i]))
+                assert abs(phys - r_true) < 0.6, (r_true, phys)
+
+
+class TestRDPipeline:
+    def test_detects_targets_with_kinematics(self, cfg, targets):
+        shorts = synthesize_capture(targets, 4, cfg, noise_std=2.0, seed=42)
+        pipe = RDPipeline(cfg, max_detections=8)
+        base = pipe.prepare_base(jnp.asarray(shorts[0]))
+        out = pipe.detect(jnp.asarray(shorts[1:]), base)
+
+        assert out.range_bin.shape == (3, 8)
+        for f in range(3):
+            vals = [
+                (float(out.range_m[f, k]), float(out.velocity_mps[f, k]),
+                 float(out.azimuth_deg[f, k]))
+                for k in range(8) if bool(out.valid[f, k])
+            ]
+            assert len(vals) >= 2, f"frame {f} found {len(vals)} detections"
+            for tgt in targets:
+                # target moves between frames; allow generous gates
+                best = min(vals, key=lambda v: abs(v[0] - tgt.range_m))
+                assert abs(best[0] - tgt.range_m) < 1.0
+                assert abs(best[1] - tgt.velocity_mps) < 1.0
+                assert abs(best[2] - tgt.azimuth_deg) < 12.0
+
+    def test_rd_map_matches_golden(self, cfg, targets):
+        cube = synthesize_cube(targets, 3, cfg, noise_std=1.0, seed=42)
+        from radar_tpu.io.capture import decode_shorts
+
+        x64 = decode_shorts(encode_frame(cube[1], cfg), cfg) - cube[0]
+        want = golden.range_doppler_map(x64, cfg)
+        pipe = RDPipeline(cfg)
+        got = np.asarray(
+            pipe.rd_cube(
+                jnp.asarray(encode_frame(cube[1], cfg)),
+                jnp.asarray(cube[0].astype(np.complex64)),
+            )
+        )
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-3
+
+    def test_mean_clutter_mode(self, cfg, targets):
+        """Without a base frame the pipeline falls back to mean removal and
+        still finds moving targets."""
+        shorts = synthesize_capture(targets, 3, cfg, noise_std=2.0, seed=1)
+        pipe = RDPipeline(cfg, max_detections=8, use_base_frame=False)
+        out = pipe.detect(jnp.asarray(shorts[1:]))
+        ranges = [
+            float(out.range_m[0, k]) for k in range(8) if bool(out.valid[0, k])
+        ]
+        assert any(abs(r - 3.0) < 1.0 for r in ranges)
+        assert any(abs(r - 8.0) < 1.0 for r in ranges)
