@@ -12,6 +12,10 @@ no data-dependent shapes.
 
 The reference stops at a single argmax (acceleration.cu:522); stage
 contracts here are defined by the golden model (radar_tpu/golden.py).
+
+The stage helpers (`topk_cells`, `cell_physics`, `gather_snapshots`,
+`aoa_from_snapshots`) are shared with the multi-chip version in
+``radar_tpu.parallel.distributed``.
 """
 
 from __future__ import annotations
@@ -43,6 +47,104 @@ class RDResult(NamedTuple):
     azimuth_deg: jnp.ndarray     # float32 (B, K) via angle-FFT
     angle_bin: jnp.ndarray       # int32 (B, K) argmax angle-FFT bin
 
+
+# --------------------------------------------------------------------------
+# shared stage helpers
+# --------------------------------------------------------------------------
+
+def topk_cells(power: jnp.ndarray, hits: jnp.ndarray, k: int):
+    """Fold a CFAR hit map into a static top-K detection list.
+
+    Args:
+      power: float32 (..., D, R); hits: bool (..., D, R).
+
+    Returns:
+      (num_hits (...,), top_idx (..., K) flat cell index, top_power,
+      valid, d_bin, r_bin).
+    """
+    d_size, r_size = power.shape[-2], power.shape[-1]
+    num_hits = jnp.sum(hits, axis=(-2, -1)).astype(jnp.int32)
+    masked = jnp.where(hits, power, -jnp.inf)
+    flat = masked.reshape(masked.shape[:-2] + (d_size * r_size,))
+    top_power, top_idx = jax.lax.top_k(flat, k)
+    valid = jnp.isfinite(top_power)
+    top_power = jnp.where(valid, top_power, 0.0)
+    d_bin = (top_idx // r_size).astype(jnp.int32)
+    r_bin = (top_idx % r_size).astype(jnp.int32)
+    return num_hits, top_idx, top_power, valid, d_bin, r_bin
+
+
+def cell_physics(d_bin: jnp.ndarray, r_bin: jnp.ndarray, cfg: RadarConfig):
+    """Map (doppler, range) bins to (velocity m/s, range m)."""
+    rng_hz = r_bin.astype(jnp.float32) * (cfg.sample_rate_hz / cfg.range_fft_size)
+    range_m = rng_hz * jnp.float32(LIGHT_SPEED / (2.0 * cfg.slope_hz_per_s))
+    dopp_hz = (d_bin - cfg.doppler_fft_size // 2).astype(jnp.float32) / jnp.float32(
+        cfg.doppler_fft_size * cfg.chirp_interval_s
+    )
+    velocity = dopp_hz * jnp.float32(cfg.wavelength_m / 2.0)
+    return range_m, velocity
+
+
+def gather_snapshots(rd: jnp.ndarray, top_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-detection RX snapshots from the RD cube.
+
+    Args:
+      rd: complex64 (..., rx, D, R); top_idx: int32 (..., K) flat D*R index.
+
+    Returns:
+      complex64 (..., K, rx).
+    """
+    d_size, r_size = rd.shape[-2], rd.shape[-1]
+    rd_t = jnp.moveaxis(rd, -3, -1)  # (..., D, R, rx)
+    flat = rd_t.reshape(rd_t.shape[:-3] + (d_size * r_size, rd_t.shape[-1]))
+    return jnp.take_along_axis(flat, top_idx[..., None], axis=-2)
+
+
+def aoa_from_snapshots(snaps: jnp.ndarray, cfg: RadarConfig):
+    """Angle-FFT AoA per detection.  snaps: complex64 (..., K, rx)."""
+    spec = angle_fft_spectrum(snaps, cfg)
+    aspec = spec.real * spec.real + spec.imag * spec.imag
+    angle_bin = jnp.argmax(aspec, axis=-1).astype(jnp.int32)
+    n = cfg.num_angle_bins
+    sin_theta = (angle_bin - n // 2).astype(jnp.float32) / jnp.float32(
+        n * cfg.rx_spacing_wavelengths
+    )
+    azimuth = jnp.rad2deg(jnp.arcsin(jnp.clip(sin_theta, -1.0, 1.0)))
+    return azimuth, angle_bin
+
+
+def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig) -> RDResult:
+    """Tail shared by local and distributed pipelines: top-K + physics + AoA.
+
+    Args:
+      power: (..., D, R) integrated power (full map).
+      rd_snaps: callable top_idx -> (..., K, rx) snapshot gatherer.
+    """
+    num_hits, top_idx, top_power, valid, d_bin, r_bin = topk_cells(power, hits, k)
+    range_m, velocity = cell_physics(d_bin, r_bin, cfg)
+    snaps = rd_snaps(top_idx)
+    azimuth, angle_bin = aoa_from_snapshots(snaps, cfg)
+    return RDResult(
+        num_hits=num_hits,
+        doppler_bin=d_bin,
+        range_bin=r_bin,
+        power=top_power,
+        valid=valid,
+        range_m=range_m,
+        velocity_mps=velocity,
+        azimuth_deg=azimuth,
+        angle_bin=angle_bin,
+    )
+
+
+def integrate_power(rd: jnp.ndarray) -> jnp.ndarray:
+    """Non-coherent integration over the RX axis: (..., rx, D, R) -> (..., D, R)."""
+    return jnp.sum(rd.real * rd.real + rd.imag * rd.imag, axis=-3)
+
+
+# --------------------------------------------------------------------------
+# single-device (or auto-sharded) pipeline
+# --------------------------------------------------------------------------
 
 class RDPipeline:
     """Frame-batched range-Doppler-CFAR-AoA detector."""
@@ -79,51 +181,13 @@ class RDPipeline:
         self, shorts: jnp.ndarray, base_cube: jnp.ndarray | None = None
     ) -> RDResult:
         cfg = self.cfg
-        k = self.max_detections
         rd = self.rd_cube(shorts, base_cube)  # (B, rx, D, R)
-        power = jnp.sum(rd.real * rd.real + rd.imag * rd.imag, axis=-3)  # (B,D,R)
+        power = integrate_power(rd)
         hits, _ = ca_cfar_2d(power, cfg)
-        num_hits = jnp.sum(hits, axis=(-2, -1)).astype(jnp.int32)
-
-        d_size, r_size = power.shape[-2], power.shape[-1]
-        masked = jnp.where(hits, power, -jnp.inf)
-        flat = masked.reshape(masked.shape[:-2] + (d_size * r_size,))
-        top_power, top_idx = jax.lax.top_k(flat, k)
-        valid = jnp.isfinite(top_power)
-        top_power = jnp.where(valid, top_power, 0.0)
-        d_bin = (top_idx // r_size).astype(jnp.int32)
-        r_bin = (top_idx % r_size).astype(jnp.int32)
-
-        # physical coordinates
-        rng_hz = r_bin.astype(jnp.float32) * (cfg.sample_rate_hz / cfg.range_fft_size)
-        range_m = rng_hz * jnp.float32(LIGHT_SPEED / (2.0 * cfg.slope_hz_per_s))
-        dopp_hz = (d_bin - cfg.doppler_fft_size // 2).astype(jnp.float32) / jnp.float32(
-            cfg.doppler_fft_size * cfg.chirp_interval_s
-        )
-        velocity = dopp_hz * jnp.float32(cfg.wavelength_m / 2.0)
-
-        # AoA: gather the RX snapshot at each detected cell, angle-FFT it
-        # rd: (B, rx, D, R) -> snapshot (B, K, rx)
-        rd_t = jnp.moveaxis(rd, -3, -1)  # (B, D, R, rx)
-        flat_cells = rd_t.reshape(rd_t.shape[:-3] + (d_size * r_size, rd_t.shape[-1]))
-        snaps = jnp.take_along_axis(flat_cells, top_idx[..., None], axis=-2)
-        spec = angle_fft_spectrum(snaps, cfg)  # (B, K, num_angle_bins)
-        aspec = spec.real * spec.real + spec.imag * spec.imag
-        angle_bin = jnp.argmax(aspec, axis=-1).astype(jnp.int32)
-        n = cfg.num_angle_bins
-        sin_theta = (angle_bin - n // 2).astype(jnp.float32) / jnp.float32(
-            n * cfg.rx_spacing_wavelengths
-        )
-        azimuth = jnp.rad2deg(jnp.arcsin(jnp.clip(sin_theta, -1.0, 1.0)))
-
-        return RDResult(
-            num_hits=num_hits,
-            doppler_bin=d_bin,
-            range_bin=r_bin,
-            power=top_power,
-            valid=valid,
-            range_m=range_m,
-            velocity_mps=velocity,
-            azimuth_deg=azimuth,
-            angle_bin=angle_bin,
+        return assemble_result(
+            power,
+            lambda top_idx: gather_snapshots(rd, top_idx),
+            hits,
+            self.max_detections,
+            cfg,
         )

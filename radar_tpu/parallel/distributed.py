@@ -1,0 +1,137 @@
+"""Multi-chip range-Doppler-CFAR-AoA pipeline via shard_map.
+
+Sharding layout over the (data, chan) mesh of :mod:`radar_tpu.parallel.mesh`:
+
+* raw frames:  P('data', None)         — frames split across 'data'
+* base cube:   P('chan', None, None)   — RX channels split across 'chan'
+* results:     P('data', ...)          — replicated across 'chan'
+
+Per-shard dataflow (all collectives ride ICI):
+
+  decode local frames -> slice my RX group -> subtract my base slice ->
+  per-RX range-Doppler -> partial power -> **psum over 'chan'** ->
+  CFAR + top-K (replicated compute on the summed map) ->
+  gather my RX snapshot slice -> **all_gather over 'chan'** -> angle-FFT.
+
+This is the TPU-native replacement for what the reference cannot do at all
+(single GPU, serial frames — SURVEY.md §2.2/§2.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
+from radar_tpu.models.rd_pipeline import (
+    RDResult,
+    assemble_result,
+    gather_snapshots,
+    integrate_power,
+)
+from radar_tpu.ops.cfar import ca_cfar_2d
+from radar_tpu.ops.decode import decode_to_cube
+from radar_tpu.ops.rangefft import range_doppler
+from radar_tpu.parallel.mesh import CHAN_AXIS, DATA_AXIS, build_mesh
+
+
+class DistributedRDPipeline:
+    """shard_map-based multi-chip detector.
+
+    Usage::
+
+        pipe = DistributedRDPipeline(mesh=build_mesh(), cfg=cfg)
+        base = pipe.prepare_base(frame0)        # sharded over 'chan'
+        out = pipe.detect(frames, base)          # frames sharded over 'data'
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh | None = None,
+        cfg: RadarConfig = DEFAULT_CONFIG,
+        max_detections: int = 16,
+    ):
+        self.mesh = mesh if mesh is not None else build_mesh(num_rx=cfg.num_rx)
+        self.cfg = cfg
+        self.max_detections = max_detections
+        self.chan_size = self.mesh.shape[CHAN_AXIS]
+        if cfg.num_rx % self.chan_size:
+            raise ValueError(
+                f"chan mesh axis ({self.chan_size}) must divide num_rx "
+                f"({cfg.num_rx})"
+            )
+        self.rx_per_shard = cfg.num_rx // self.chan_size
+        self._detect = self._build_detect()
+
+    # -- shardings ----------------------------------------------------------
+    @property
+    def frame_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(DATA_AXIS, None))
+
+    @property
+    def base_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(CHAN_AXIS, None, None))
+
+    def shard_frames(self, shorts) -> jax.Array:
+        return jax.device_put(jnp.asarray(shorts), self.frame_sharding)
+
+    def prepare_base(self, frame0_shorts) -> jax.Array:
+        """Decode frame 0 to a full cube, shard RX over 'chan'."""
+        cube = decode_to_cube(jnp.asarray(frame0_shorts), self.cfg)
+        return jax.device_put(cube, self.base_sharding)
+
+    # -- the sharded program --------------------------------------------------
+    def _build_detect(self):
+        cfg = self.cfg
+        k = self.max_detections
+        rx_per = self.rx_per_shard
+
+        def local_step(shorts_local: jnp.ndarray, base_local: jnp.ndarray):
+            # shorts_local: (B_local, S) int16; base_local: (rx_per, C, Smp)
+            cube = decode_to_cube(shorts_local, cfg)  # (B_local, rx, C, Smp)
+            chan_idx = jax.lax.axis_index(CHAN_AXIS)
+            cube_l = jax.lax.dynamic_slice_in_dim(
+                cube, chan_idx * rx_per, rx_per, axis=1
+            )
+            cube_l = cube_l - base_local
+            rd_l = range_doppler(cube_l, cfg)  # (B_local, rx_per, D, R)
+            power = jax.lax.psum(integrate_power(rd_l), CHAN_AXIS)
+            hits, _ = ca_cfar_2d(power, cfg)
+
+            def snaps(top_idx):
+                local = gather_snapshots(rd_l, top_idx)  # (B_local, K, rx_per)
+                return jax.lax.all_gather(
+                    local, CHAN_AXIS, axis=local.ndim - 1, tiled=True
+                )  # (B_local, K, rx)
+
+            return assemble_result(power, snaps, hits, k, cfg)
+
+        out_specs = RDResult(
+            num_hits=P(DATA_AXIS),
+            doppler_bin=P(DATA_AXIS, None),
+            range_bin=P(DATA_AXIS, None),
+            power=P(DATA_AXIS, None),
+            valid=P(DATA_AXIS, None),
+            range_m=P(DATA_AXIS, None),
+            velocity_mps=P(DATA_AXIS, None),
+            azimuth_deg=P(DATA_AXIS, None),
+            angle_bin=P(DATA_AXIS, None),
+        )
+        # check_vma=False: the AoA outputs derive from an all_gather over
+        # 'chan' (identical on every chan member), but the VMA checker can't
+        # infer replication through the gather + argmax chain.
+        sharded = jax.shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(P(DATA_AXIS, None), P(CHAN_AXIS, None, None)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def detect(self, shorts, base_cube) -> RDResult:
+        """Run the sharded pipeline.  Batch must divide the 'data' axis."""
+        return self._detect(shorts, base_cube)

@@ -1,0 +1,79 @@
+"""Wall-clock timing with device fencing.
+
+The reference's ``Timer`` (acceleration.h:10-24) brackets four buckets —
+total / FFT / preprocess / findMax — but its GPU windows overlap (the
+"fftTime" window contains the D2H copy and host scan, acceleration.cu:496-528)
+and its CPU accumulators are read before initialization
+(cudaBenchMarking.cpp:215-218).  This module reports the same four-bucket
+breakdown with non-overlapping windows and explicit
+``jax.block_until_ready`` fencing so device async dispatch can't leak one
+stage's time into another.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+
+
+class Timer:
+    """Monotonic stopwatch (the reference Timer's contract)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self._t0
+
+
+@dataclasses.dataclass
+class StageTimings:
+    """Reference-format 4-bucket accumulator (seconds)."""
+
+    preprocess: float = 0.0   # decode + reshape + clutter + pad
+    fft: float = 0.0          # range (+Doppler) transforms
+    detect: float = 0.0       # peak scan / CFAR / AoA
+    total: float = 0.0
+    frames: int = 0
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.total if self.total else 0.0
+
+    def per_frame_ms(self, bucket: str) -> float:
+        if not self.frames:
+            return 0.0
+        return 1000.0 * getattr(self, bucket) / self.frames
+
+    def report(self) -> str:
+        """Human-readable summary mirroring the reference's printfs
+        (cudaBenchMarking.cpp:328-331)."""
+        return (
+            f"Total Time for {self.frames} frames "
+            f"{1000.0 * self.total:.5f} ms averaged {self.fps:.5f} FPS\n"
+            f"Total FFT time {1000.0 * self.fft:.5f} ms averaged "
+            f"{self.per_frame_ms('fft'):.5f} ms/frame\n"
+            f"Total Reshape + Extension time {1000.0 * self.preprocess:.5f} ms "
+            f"averaged {self.per_frame_ms('preprocess'):.5f} ms/frame\n"
+            f"Total findMax time {1000.0 * self.detect:.5f} ms averaged "
+            f"{self.per_frame_ms('detect'):.5f} ms/frame"
+        )
+
+
+def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Median-of-iters wall time of ``fn(*args)`` with device fencing."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]

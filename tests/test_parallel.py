@@ -1,0 +1,110 @@
+"""Multi-chip sharding (8 virtual CPU devices) and streaming tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radar_tpu.models.rd_pipeline import RDPipeline
+from radar_tpu.models.range_detector import RangeDetector
+from radar_tpu.parallel.distributed import DistributedRDPipeline
+from radar_tpu.parallel.mesh import build_mesh, mesh_factorization
+from radar_tpu.parallel.stream import FrameStreamer, stream_detect
+
+
+def test_mesh_factorization():
+    assert mesh_factorization(8, 4) == (2, 4)
+    assert mesh_factorization(4, 4) == (1, 4)
+    assert mesh_factorization(2, 4) == (1, 2)
+    assert mesh_factorization(1, 4) == (1, 1)
+    assert mesh_factorization(3, 4) == (3, 1)
+    assert mesh_factorization(6, 4) == (3, 2)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_distributed_matches_single_device(cfg, capture):
+    mesh = build_mesh(n_devices=8, num_rx=cfg.num_rx)
+    dist = DistributedRDPipeline(mesh=mesh, cfg=cfg, max_detections=8)
+    single = RDPipeline(cfg, max_detections=8)
+
+    # 8 frames -> 4 per data shard (data=2, chan=4)
+    frames = capture[1:9]
+    base_single = single.prepare_base(jnp.asarray(capture[0]))
+    want = single.detect(jnp.asarray(frames), base_single)
+
+    base = dist.prepare_base(capture[0])
+    got = dist.detect(dist.shard_frames(frames), base)
+
+    np.testing.assert_array_equal(np.asarray(got.num_hits), np.asarray(want.num_hits))
+    np.testing.assert_array_equal(
+        np.asarray(got.range_bin), np.asarray(want.range_bin)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.doppler_bin), np.asarray(want.doppler_bin)
+    )
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_array_equal(
+        np.asarray(got.angle_bin), np.asarray(want.angle_bin)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.power), np.asarray(want.power), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.range_m), np.asarray(want.range_m), rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 4, 8])
+def test_distributed_runs_on_any_mesh(cfg, capture, n_devices):
+    mesh = build_mesh(n_devices=n_devices, num_rx=cfg.num_rx)
+    dist = DistributedRDPipeline(mesh=mesh, cfg=cfg, max_detections=4)
+    data_size = mesh.shape["data"]
+    frames = np.tile(capture[1:2], (data_size, 1))
+    out = dist.detect(dist.shard_frames(frames), dist.prepare_base(capture[0]))
+    out = jax.block_until_ready(out)
+    assert out.range_bin.shape == (data_size, 4)
+    # every data shard got the same frame -> identical results
+    for f in range(1, data_size):
+        np.testing.assert_array_equal(
+            np.asarray(out.range_bin[f]), np.asarray(out.range_bin[0])
+        )
+
+
+def test_streamer_covers_all_frames(cfg, capture):
+    streamer = FrameStreamer(capture, batch=4, cfg=cfg)
+    assert streamer.num_batches == 3  # 9 frames after base, batch 4
+    assert streamer.valid_frames(0) == 4
+    assert streamer.valid_frames(2) == 1
+    batches = list(streamer)
+    assert len(batches) == 3
+    assert batches[0].shape == (4, cfg.shorts_per_frame)
+    # padded tail is zeros
+    np.testing.assert_array_equal(np.asarray(batches[2][1:]), 0)
+    np.testing.assert_array_equal(np.asarray(batches[2][0]), capture[9])
+
+
+def test_stream_detect_matches_batch_detect(cfg, capture):
+    det = RangeDetector(cfg)
+    base = det.prepare_base(jnp.asarray(capture[0]))
+    want = det.detect(jnp.asarray(capture[1:]), base)
+
+    streamer = FrameStreamer(capture, batch=3, cfg=cfg)
+    results = stream_detect(streamer, lambda b: det.detect(b, base))
+    got_bins = np.concatenate(
+        [np.asarray(r.peak_bin)[: streamer.valid_frames(i)]
+         for i, r in enumerate(results)]
+    )
+    np.testing.assert_array_equal(got_bins, np.asarray(want.peak_bin))
+
+
+def test_streamer_from_file(tmp_path, cfg, capture):
+    from radar_tpu.io.capture import write_capture
+
+    path = tmp_path / "cap.bin"
+    write_capture(path, capture, cfg)
+    streamer = FrameStreamer(str(path), batch=4, cfg=cfg)
+    np.testing.assert_array_equal(streamer.base_frame, capture[0])
+    assert streamer.num_batches == 3
