@@ -1,0 +1,238 @@
+"""radar_tpu command-line interface.
+
+The reference's binary runs both timing loops with a hardcoded input path
+and no argv parsing (cudaBenchMarking.cpp:397-449); here:
+
+  python -m radar_tpu.cli generate out.bin --frames 90 --target 5.0,2.0,15
+  python -m radar_tpu.cli detect   cap.bin --out detections.jsonl
+  python -m radar_tpu.cli bench    cap.bin [--native] [--batch 64]
+  python -m radar_tpu.cli verify   cap.bin          # TPU vs float64 golden
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from radar_tpu.config import RadarConfig
+
+
+def _parse_target(spec: str):
+    from radar_tpu.io.synthetic import SceneTarget
+
+    parts = [float(x) for x in spec.split(",")]
+    while len(parts) < 3:
+        parts.append(0.0)
+    amp = parts[3] if len(parts) > 3 else 2000.0
+    return SceneTarget(
+        range_m=parts[0], velocity_mps=parts[1], azimuth_deg=parts[2],
+        amplitude=amp,
+    )
+
+
+def cmd_generate(args) -> int:
+    from radar_tpu.io.capture import write_capture
+    from radar_tpu.io.synthetic import synthesize_capture
+
+    cfg = RadarConfig()
+    targets = [_parse_target(t) for t in args.target] or [
+        _parse_target("5.0,2.0,15")
+    ]
+    frames = synthesize_capture(
+        targets, args.frames, cfg, noise_std=args.noise, seed=args.seed
+    )
+    write_capture(args.path, frames, cfg)
+    print(f"wrote {args.frames} frames ({frames.nbytes} bytes) to {args.path}")
+    return 0
+
+
+def cmd_detect(args) -> int:
+    import jax
+
+    from radar_tpu.io.capture import read_capture
+    from radar_tpu.models.range_detector import RangeDetector
+    from radar_tpu.models.rd_pipeline import RDPipeline
+    from radar_tpu.utils.records import DetectionRecord, JsonlWriter
+
+    cfg = RadarConfig()
+    capture = read_capture(args.path, cfg)
+    det = RangeDetector(cfg)
+    out = jax.block_until_ready(det.detect_capture(capture))
+
+    records = []
+    if args.full:
+        pipe = RDPipeline(cfg, max_detections=args.max_detections)
+        base = pipe.prepare_base(capture[0])
+        rd = jax.block_until_ready(pipe.detect(capture[1:], base))
+    for i in range(len(capture) - 1):
+        dets = None
+        if args.full:
+            dets = [
+                {
+                    "range_m": round(float(rd.range_m[i, k]), 4),
+                    "velocity_mps": round(float(rd.velocity_mps[i, k]), 4),
+                    "azimuth_deg": round(float(rd.azimuth_deg[i, k]), 2),
+                    "power": float(rd.power[i, k]),
+                }
+                for k in range(rd.valid.shape[1])
+                if bool(rd.valid[i, k])
+            ]
+        records.append(
+            DetectionRecord(
+                frame=i + 1,
+                peak_bin=int(out.peak_bin[i]),
+                distance_m=float(out.distance_m[i]),
+                magnitude=float(out.peak_magnitude[i]),
+                detections=dets,
+            )
+        )
+    sink = open(args.out, "w") if args.out else sys.stdout
+    JsonlWriter(sink).write_all(records)
+    if args.out:
+        sink.close()
+        print(f"wrote {len(records)} records to {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    cfg = RadarConfig()
+    if args.native:
+        from radar_tpu import native
+
+        dists, t = native.process_capture(args.path, cfg)
+        n = t["frames"]
+        print("CPU Timing (native golden model)")
+        print(
+            f"Total Time for {n} frames {1000*t['total']:.5f} ms "
+            f"averaged {n/t['total']:.5f} FPS"
+        )
+        print(f"Total FFT time {1000*t['fft']:.5f} ms averaged "
+              f"{1000*t['fft']/n:.5f} ms/frame")
+        print(f"Total Reshape + Extension time {1000*t['preprocess']:.5f} ms "
+              f"averaged {1000*t['preprocess']/n:.5f} ms/frame")
+        print(f"Total findMax time {1000*t['findmax']:.5f} ms averaged "
+              f"{1000*t['findmax']/n:.5f} ms/frame")
+        return 0
+
+    import jax
+
+    from radar_tpu.models.range_detector import RangeDetector
+    from radar_tpu.models.rd_pipeline import RDPipeline
+    from radar_tpu.parallel.stream import FrameStreamer, stream_detect
+    from radar_tpu.utils.timing import StageTimings
+
+    det = RangeDetector(cfg)
+    pipe = RDPipeline(cfg, max_detections=args.max_detections)
+    streamer = FrameStreamer(args.path, batch=args.batch, cfg=cfg)
+    base_rx0 = det.prepare_base(streamer.base_frame)
+    base_cube = pipe.prepare_base(streamer.base_frame)
+
+    fn = (
+        (lambda b: pipe.detect(b, base_cube))
+        if args.full
+        else (lambda b: det.detect(b, base_rx0))
+    )
+    # warmup/compile on the first batch
+    first = next(iter(streamer))
+    jax.block_until_ready(fn(first))
+
+    t0 = time.perf_counter()
+    results = stream_detect(streamer, fn)
+    jax.block_until_ready(results)
+    total = time.perf_counter() - t0
+    n = len(streamer.frames)
+    timings = StageTimings(total=total, frames=n)
+    mode = "range-Doppler-CFAR-AoA" if args.full else "range-parity"
+    print(f"TPU Timing ({mode}, batch={args.batch})")
+    print(
+        f"Total Time for {n} frames {1000*total:.5f} ms "
+        f"averaged {timings.fps:.5f} FPS"
+    )
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """TPU pipeline vs float64 golden, frame by frame — the promoted
+    version of the reference's disabled verification loop
+    (cudaBenchMarking.cpp:410-419)."""
+    import jax
+
+    from radar_tpu import golden
+    from radar_tpu.io.capture import read_capture
+    from radar_tpu.models.range_detector import RangeDetector
+
+    cfg = RadarConfig()
+    capture = read_capture(args.path, cfg)
+    det = RangeDetector(cfg)
+    got = jax.block_until_ready(det.detect_capture(capture))
+    want = golden.detect_capture(capture, cfg)
+
+    failures = 0
+    for i, w in enumerate(want):
+        bin_ok = int(got.peak_bin[i]) == w.peak_bin
+        dis_ok = abs(float(got.distance_m[i]) - w.distance_m) <= max(
+            1e-3 * w.distance_m, 1e-9
+        )
+        mag_ok = (
+            abs(float(got.peak_magnitude[i]) - w.peak_magnitude)
+            <= 1e-3 * max(w.peak_magnitude, 1e-30)
+        )
+        if not (bin_ok and dis_ok and mag_ok):
+            failures += 1
+            print(
+                f"FRAME {i+1} MISMATCH: tpu bin {int(got.peak_bin[i])} "
+                f"dis {float(got.distance_m[i]):.6f} mag "
+                f"{float(got.peak_magnitude[i]):.3f} vs golden "
+                f"{w.peak_bin}/{w.distance_m:.6f}/{w.peak_magnitude:.3f}"
+            )
+    n = len(want)
+    print(f"verified {n} frames: {n - failures} ok, {failures} failed")
+    return 1 if failures else 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="radar_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a synthetic ADC capture")
+    g.add_argument("path")
+    g.add_argument("--frames", type=int, default=90)
+    g.add_argument(
+        "--target", action="append", default=[],
+        help="range_m,vel_mps,azimuth_deg[,amplitude] (repeatable)",
+    )
+    g.add_argument("--noise", type=float, default=10.0)
+    g.add_argument("--seed", type=int, default=0)
+    g.set_defaults(fn=cmd_generate)
+
+    d = sub.add_parser("detect", help="run detection, write JSONL records")
+    d.add_argument("path")
+    d.add_argument("--out", default=None)
+    d.add_argument("--full", action="store_true",
+                   help="include range-Doppler-CFAR-AoA detections")
+    d.add_argument("--max-detections", type=int, default=16)
+    d.set_defaults(fn=cmd_detect)
+
+    b = sub.add_parser("bench", help="benchmark over a capture file")
+    b.add_argument("path")
+    b.add_argument("--native", action="store_true",
+                   help="run the native C++ golden model instead of TPU")
+    b.add_argument("--full", action="store_true")
+    b.add_argument("--batch", type=int, default=64)
+    b.add_argument("--max-detections", type=int, default=16)
+    b.set_defaults(fn=cmd_bench)
+
+    v = sub.add_parser("verify", help="TPU vs float64 golden, per frame")
+    v.add_argument("path")
+    v.set_defaults(fn=cmd_verify)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""CLI round-trip tests: generate -> detect -> verify -> bench."""
+
+import json
+
+import pytest
+
+from radar_tpu import cli
+
+
+@pytest.fixture(scope="module")
+def cap_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cli") / "cap.bin"
+    rc = cli.main(
+        ["generate", str(path), "--frames", "6", "--target", "4.0,1.5,10",
+         "--seed", "3"]
+    )
+    assert rc == 0
+    return path
+
+
+def test_generate_creates_valid_capture(cap_path, cfg):
+    from radar_tpu.io.capture import frames_in_file
+
+    assert frames_in_file(cap_path, cfg) == 6
+
+
+def test_detect_writes_jsonl(cap_path, tmp_path):
+    out = tmp_path / "dets.jsonl"
+    rc = cli.main(["detect", str(cap_path), "--out", str(out), "--full"])
+    assert rc == 0
+    lines = [json.loads(x) for x in out.read_text().splitlines()]
+    assert len(lines) == 5
+    assert lines[0]["frame"] == 1
+    assert "distance_m" in lines[0]
+    assert isinstance(lines[0]["detections"], list)
+    # the 4 m target should appear among the CFAR detections
+    assert any(
+        abs(d["range_m"] - 4.0) < 1.0
+        for rec in lines for d in rec["detections"]
+    )
+
+
+def test_verify_passes(cap_path, capsys):
+    rc = cli.main(["verify", str(cap_path)])
+    assert rc == 0
+    assert "5 ok, 0 failed" in capsys.readouterr().out
+
+
+def test_bench_tpu_mode(cap_path, capsys):
+    rc = cli.main(["bench", str(cap_path), "--batch", "4"])
+    assert rc == 0
+    assert "FPS" in capsys.readouterr().out
+
+
+def test_bench_native_mode(cap_path, capsys):
+    rc = cli.main(["bench", str(cap_path), "--native"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "native golden model" in out
+    assert "Total FFT time" in out
