@@ -1,0 +1,72 @@
+"""MXU-native range-Doppler transform: DFT as matrix multiply.
+
+For radar-sized FFTs (range 128, Doppler 128) the TPU's systolic array is
+the fastest transform engine: an N-point DFT is an (N, N) matmul, and both
+the Hann window and the zero-padding fold INTO the DFT matrix:
+
+    RD = F_dopp @ (X * w_r * w_d) @ F_rng^T
+       = (F_dopp * w_d_row) @ X @ (F_rng * w_r_col)^T
+
+where ``F_rng`` is the (range_fft, samples) slice of the DFT matrix times
+``diag(hann)``.  One complex matmul = 3-4 real matmuls; at (128, 100) x
+(100, 128) per (frame, rx) slice and thousands of frames per batch the MXU
+stays saturated, versus the VPU-bound generic FFT butterflies.
+
+This replaces the reference's 14-launch butterfly chain
+(acceleration.cu:506-510) with *zero* launches beyond a fused matmul pair,
+and numerically matches jnp.fft (both are exact DFTs; error ~1e-6 c64).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
+from radar_tpu.golden import hann_window
+
+
+@lru_cache(maxsize=16)
+def _dft_factors(
+    n_in: int, n_fft: int, windowed: bool, shift: bool
+) -> np.ndarray:
+    """(n_fft, n_in) complex64 matrix: windowed, implicitly zero-padding DFT.
+
+    F[k, t] = w[t] * exp(-2pi i k t / n_fft); rows optionally fftshifted.
+    """
+    k = np.arange(n_fft)[:, None]
+    t = np.arange(n_in)[None, :]
+    mat = np.exp(-2j * np.pi * k * t / n_fft)
+    if windowed:
+        mat = mat * hann_window(n_in)[None, :]
+    if shift:
+        mat = np.fft.fftshift(mat, axes=0)
+    return mat.astype(np.complex64)
+
+
+def dft_matrix(
+    n_in: int, n_fft: int, windowed: bool = False, shift: bool = False
+) -> jnp.ndarray:
+    return jnp.asarray(_dft_factors(n_in, n_fft, windowed, shift))
+
+
+def range_doppler_mxu(
+    cube: jnp.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    window: bool = True,
+) -> jnp.ndarray:
+    """MXU range-Doppler map, same contract as ops.rangefft.range_doppler.
+
+    Args:
+      cube: complex64 (..., chirps, samples).
+
+    Returns:
+      complex64 (..., doppler_fft, range_fft), Doppler axis fftshifted.
+    """
+    f_rng = dft_matrix(cfg.num_samples, cfg.range_fft_size, window)
+    f_dop = dft_matrix(cfg.num_chirps, cfg.doppler_fft_size, window, shift=True)
+    # (..., C, S) @ (S, R) -> (..., C, R); then (D, C) @ (..., C, R)
+    rng = jnp.einsum("...cs,rs->...cr", cube, f_rng)
+    return jnp.einsum("dc,...cr->...dr", f_dop, rng)

@@ -1,0 +1,84 @@
+"""Pallas CA-CFAR threshold kernel.
+
+Contract identical to ``radar_tpu.ops.cfar.ca_cfar_2d`` (and the golden
+NumPy version): 2D cell-averaging with wrap-around edges, threshold
+``alpha * (ring mean)``.
+
+Kernel design (one range-Doppler map per grid step, resident in VMEM):
+
+* The (2w+1)^2 training window sum is computed **separably** — a row box
+  sum (2*wr+1 circular shifts along the lane axis) followed by a column box
+  sum (2*wd+1 shifts along sublanes) — ~34 VPU shift+adds on a 128x128 f32
+  block instead of the 273-tap naive window XLA's reduce_window evaluates.
+* Circular ``pltpu.roll`` implements the wrap padding for free: no pad
+  materialization, no HBM round trips between the two box passes.
+
+The XLA version remains as the portable/verification path; this kernel is
+the TPU production path for the CFAR stage (north-star: "CA-CFAR detector
+becomes a Pallas sliding-window kernel").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
+from radar_tpu.ops.cfar import cfar_alpha
+
+
+def _box_sum(x: jnp.ndarray, half: int, axis: int) -> jnp.ndarray:
+    """Circular box sum of width 2*half+1 along ``axis`` (VMEM-resident)."""
+    acc = x
+    for s in range(1, half + 1):
+        acc = acc + pltpu.roll(x, s, axis=axis) + pltpu.roll(x, -s % x.shape[axis], axis=axis)
+    return acc
+
+
+def _cfar_kernel(power_ref, thresh_ref, *, wd, wr, gd, gr, alpha, inv_n):
+    p = power_ref[0]
+    total = _box_sum(_box_sum(p, wr, axis=1), wd, axis=0)
+    inner = _box_sum(_box_sum(p, gr, axis=1), gd, axis=0)
+    thresh_ref[0] = (total - inner) * (alpha * inv_n)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def ca_cfar_2d_pallas(
+    power: jnp.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """CA-CFAR via the Pallas kernel.  power: float32 (..., D, R)."""
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    wd, wr = gd + td, gr + tr
+    alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa)
+
+    lead = power.shape[:-2]
+    d, r = power.shape[-2], power.shape[-1]
+    x = power.reshape((-1, d, r))
+    b = x.shape[0]
+
+    kernel = functools.partial(
+        _cfar_kernel,
+        wd=wd, wr=wr, gd=gd, gr=gr,
+        alpha=float(alpha), inv_n=float(1.0 / n_train),
+    )
+    thresh = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, d, r), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, d, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, d, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.float32))
+    thresh = thresh.reshape(lead + (d, r))
+    return power > thresh, thresh

@@ -1,0 +1,111 @@
+"""Pallas kernels (interpreter mode on CPU) and MXU DFT path vs golden/XLA."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radar_tpu import golden
+from radar_tpu.config import RadarConfig
+from radar_tpu.io.synthetic import SceneTarget, synthesize_cube
+from radar_tpu.ops.cfar import ca_cfar_2d
+from radar_tpu.ops.dftmat import range_doppler_mxu
+from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas
+from radar_tpu.ops.pallas.magargmax import masked_argmax_pallas
+from radar_tpu.ops.rangefft import range_doppler
+
+
+class TestDFTMatmul:
+    def test_matches_fft_path(self, cfg, targets):
+        cube = synthesize_cube(targets, 2, cfg, noise_std=1.0, seed=7)
+        x = jnp.asarray((cube[1] - cube[0]).astype(np.complex64))
+        want = np.asarray(range_doppler(x, cfg))
+        got = np.asarray(range_doppler_mxu(x, cfg))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 2e-4
+
+    def test_matches_golden(self, cfg, targets):
+        cube = synthesize_cube(targets, 2, cfg, noise_std=1.0, seed=7)
+        x64 = cube[1] - cube[0]
+        want = golden.range_doppler_map(x64, cfg)
+        got = np.asarray(range_doppler_mxu(jnp.asarray(x64.astype(np.complex64)), cfg))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-3
+
+    def test_no_window(self, cfg):
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal((cfg.num_chirps, cfg.num_samples))
+             + 1j * rng.standard_normal((cfg.num_chirps, cfg.num_samples)))
+        want = golden.range_doppler_map(x, cfg, window=False)
+        got = np.asarray(
+            range_doppler_mxu(jnp.asarray(x.astype(np.complex64)), cfg, window=False)
+        )
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-3
+
+
+class TestPallasCFAR:
+    def test_matches_xla_cfar(self, cfg):
+        rng = np.random.default_rng(43)
+        power = rng.exponential(
+            1.0, (2, cfg.doppler_fft_size, cfg.range_fft_size)
+        ).astype(np.float32)
+        power[0, 30, 40] = 900.0
+        power[1, 99, 120] = 700.0
+        want_hits, want_thresh = ca_cfar_2d(jnp.asarray(power), cfg)
+        got_hits, got_thresh = ca_cfar_2d_pallas(
+            jnp.asarray(power), cfg, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_thresh), np.asarray(want_thresh), rtol=1e-4
+        )
+        # identical inputs, near-identical thresholds -> hit maps agree except
+        # exactly-at-threshold cells
+        want_t = np.asarray(want_thresh)
+        marginal = np.abs(power - want_t) < 1e-4 * np.abs(want_t)
+        disagree = np.asarray(got_hits) != np.asarray(want_hits)
+        assert not np.any(disagree & ~marginal)
+        assert np.asarray(got_hits)[0, 30, 40]
+        assert np.asarray(got_hits)[1, 99, 120]
+
+    def test_single_map(self, cfg):
+        rng = np.random.default_rng(44)
+        power = rng.exponential(
+            1.0, (cfg.doppler_fft_size, cfg.range_fft_size)
+        ).astype(np.float32)
+        _, want = ca_cfar_2d(jnp.asarray(power), cfg)
+        _, got = ca_cfar_2d_pallas(jnp.asarray(power), cfg, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4)
+
+
+class TestMaskedArgmax:
+    def test_matches_xla_detect(self, cfg, capture):
+        from radar_tpu.models.range_detector import RangeDetector
+
+        det = RangeDetector(cfg)
+        base = det.prepare_base(jnp.asarray(capture[0]))
+        spec = det.spectrum(jnp.asarray(capture[1:]), base)
+        want = det.detect(jnp.asarray(capture[1:]), base)
+        idx, mag = masked_argmax_pallas(spec, cfg, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want.peak_bin))
+        np.testing.assert_allclose(
+            np.asarray(mag), np.asarray(want.peak_magnitude), rtol=1e-6
+        )
+
+    def test_respects_scan_window(self, cfg):
+        # plant the global max OUTSIDE the scan window; kernel must ignore it
+        spec = np.ones((3, cfg.fft_size), np.complex64)
+        spec[:, cfg.scan_bins + 10] = 100.0
+        spec[0, 5] = 7.0
+        spec[1, 100] = 9.0
+        spec[2, cfg.scan_bins - 1] = 3.0
+        idx, mag = masked_argmax_pallas(jnp.asarray(spec), cfg, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(idx), [5, 100, cfg.scan_bins - 1]
+        )
+        np.testing.assert_allclose(np.asarray(mag), [7.0, 9.0, 3.0], rtol=1e-6)
+
+    def test_unbatched(self, cfg):
+        spec = np.ones((cfg.fft_size,), np.complex64)
+        spec[123] = 50.0
+        idx, mag = masked_argmax_pallas(jnp.asarray(spec), cfg, interpret=True)
+        assert idx.shape == ()
+        assert int(idx) == 123
