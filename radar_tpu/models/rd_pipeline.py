@@ -154,10 +154,28 @@ class RDPipeline:
         cfg: RadarConfig = DEFAULT_CONFIG,
         max_detections: int = 16,
         use_base_frame: bool = True,
+        cfar_impl: str = "auto",
     ):
+        """Args:
+          cfar_impl: 'auto' (Pallas kernel on TPU, XLA elsewhere), 'xla',
+            'pallas', or 'pallas-interpret' (for CPU tests of the kernel).
+        """
         self.cfg = cfg
         self.max_detections = max_detections
         self.use_base_frame = use_base_frame
+        self.cfar_impl = cfar_impl
+
+    def _cfar(self, power):
+        impl = self.cfar_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "xla":
+            return ca_cfar_2d(power, self.cfg)
+        from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas
+
+        return ca_cfar_2d_pallas(
+            power, self.cfg, interpret=(impl == "pallas-interpret")
+        )
 
     # -- base frame --------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
@@ -183,7 +201,7 @@ class RDPipeline:
         cfg = self.cfg
         rd = self.rd_cube(shorts, base_cube)  # (B, rx, D, R)
         power = integrate_power(rd)
-        hits, _ = ca_cfar_2d(power, cfg)
+        hits, _ = self._cfar(power)
         return assemble_result(
             power,
             lambda top_idx: gather_snapshots(rd, top_idx),

@@ -114,3 +114,19 @@ class TestRDPipeline:
         ]
         assert any(abs(r - 3.0) < 1.0 for r in ranges)
         assert any(abs(r - 8.0) < 1.0 for r in ranges)
+
+
+class TestCfarImplSwitch:
+    def test_pallas_interpret_matches_xla(self, cfg, targets):
+        shorts = synthesize_capture(targets, 3, cfg, noise_std=2.0, seed=9)
+        a = RDPipeline(cfg, max_detections=8, cfar_impl="xla")
+        b = RDPipeline(cfg, max_detections=8, cfar_impl="pallas-interpret")
+        base_a = a.prepare_base(jnp.asarray(shorts[0]))
+        out_a = a.detect(jnp.asarray(shorts[1:]), base_a)
+        out_b = b.detect(jnp.asarray(shorts[1:]), base_a)
+        np.testing.assert_array_equal(
+            np.asarray(out_a.range_bin), np.asarray(out_b.range_bin)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_a.num_hits), np.asarray(out_b.num_hits)
+        )
