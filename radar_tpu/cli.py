@@ -131,6 +131,8 @@ def cmd_bench(args) -> int:
     base_rx0 = det.prepare_base(streamer.base_frame)
     base_cube = pipe.prepare_base(streamer.base_frame)
 
+    from radar_tpu.utils.timing import fence
+
     fn = (
         (lambda b: pipe.detect(b, base_cube))
         if args.full
@@ -138,11 +140,11 @@ def cmd_bench(args) -> int:
     )
     # warmup/compile on the first batch
     first = next(iter(streamer))
-    jax.block_until_ready(fn(first))
+    fence(fn(first))
 
     t0 = time.perf_counter()
     results = stream_detect(streamer, fn)
-    jax.block_until_ready(results)
+    fence([r[0] for r in results])
     total = time.perf_counter() - t0
     n = len(streamer.frames)
     timings = StageTimings(total=total, frames=n)

@@ -155,15 +155,19 @@ class RDPipeline:
         max_detections: int = 16,
         use_base_frame: bool = True,
         cfar_impl: str = "auto",
+        rd_impl: str = "auto",
     ):
         """Args:
           cfar_impl: 'auto' (Pallas kernel on TPU, XLA elsewhere), 'xla',
             'pallas', or 'pallas-interpret' (for CPU tests of the kernel).
+          rd_impl: 'auto' (MXU DFT matmuls on TPU, FFT elsewhere), 'fft',
+            or 'mxu'.
         """
         self.cfg = cfg
         self.max_detections = max_detections
         self.use_base_frame = use_base_frame
         self.cfar_impl = cfar_impl
+        self.rd_impl = rd_impl
 
     def _cfar(self, power):
         impl = self.cfar_impl
@@ -191,6 +195,13 @@ class RDPipeline:
             cube = cube - base_cube
         else:
             cube = mean_clutter_removal(cube)
+        impl = self.rd_impl
+        if impl == "auto":
+            impl = "mxu" if jax.default_backend() == "tpu" else "fft"
+        if impl == "mxu":
+            from radar_tpu.ops.dftmat import range_doppler_mxu
+
+            return range_doppler_mxu(cube, self.cfg)
         return range_doppler(cube, self.cfg)
 
     # -- full pipeline ------------------------------------------------------

@@ -66,14 +66,35 @@ class StageTimings:
         )
 
 
+def fence(tree) -> None:
+    """Hard device fence: materialize one scalar derived from every leaf.
+
+    ``jax.block_until_ready`` does NOT actually fence on some remote TPU
+    transports (observed on the axon relay: a 100 s computation "blocks"
+    in 3 ms); only a device->host value transfer is a true barrier.  Summing
+    the leaves first keeps it to a single small transfer.
+    """
+    import jax.numpy as jnp
+
+    total = jnp.float32(0)
+    for leaf in jax.tree.leaves(tree):
+        leaf = jnp.asarray(leaf)
+        if jnp.iscomplexobj(leaf):
+            leaf = leaf.real
+        total = total + jnp.sum(leaf.astype(jnp.float32))
+    float(total)
+
+
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Median-of-iters wall time of ``fn(*args)`` with device fencing."""
+    """Mean per-iteration wall time of ``fn(*args)``.
+
+    All ``iters`` calls are dispatched asynchronously and fenced ONCE so a
+    fixed transport round-trip latency amortizes across iterations instead
+    of dominating each one.
+    """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+        fence(fn(*args))
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    fence(outs)
+    return (time.perf_counter() - t0) / iters
