@@ -142,18 +142,48 @@ def cmd_bench(args) -> int:
     first = next(iter(streamer))
     fence(fn(first))
 
-    t0 = time.perf_counter()
-    results = stream_detect(streamer, fn)
-    fence([r[0] for r in results])
-    total = time.perf_counter() - t0
+    import contextlib
+
+    profile_ctx = (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
+    )
+    with profile_ctx:
+        t0 = time.perf_counter()
+        results = stream_detect(streamer, fn)
+        fence([r[0] for r in results])
+        total = time.perf_counter() - t0
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
     n = len(streamer.frames)
-    timings = StageTimings(total=total, frames=n)
     mode = "range-Doppler-CFAR-AoA" if args.full else "range-parity"
     print(f"TPU Timing ({mode}, batch={args.batch})")
-    print(
-        f"Total Time for {n} frames {1000*total:.5f} ms "
-        f"averaged {timings.fps:.5f} FPS"
-    )
+
+    if args.stages and not args.full:
+        # reference-format 4-bucket breakdown (non-overlapping, fenced) on
+        # one resident batch — cudaBenchMarking.cpp:328-331's report
+        from radar_tpu.utils.timing import time_fn
+        import jax as _jax
+
+        b = _jax.device_put(np.asarray(first))
+        padded = det.preprocess(b, base_rx0)
+        spec = det.fft_stage(padded)
+        t_pre = time_fn(det.preprocess, b, base_rx0, iters=5)
+        t_fft = time_fn(det.fft_stage, padded, iters=5)
+        t_det = time_fn(det.detect_stage, spec, iters=5)
+        nb = args.batch
+        st = StageTimings(
+            preprocess=t_pre, fft=t_fft, detect=t_det,
+            total=total * nb / max(n, 1), frames=nb,
+        )
+        print(st.report())
+    else:
+        st = StageTimings(total=total, frames=n)
+        print(
+            f"Total Time for {n} frames {1000*total:.5f} ms "
+            f"averaged {st.fps:.5f} FPS"
+        )
     return 0
 
 
@@ -226,6 +256,10 @@ def main(argv=None) -> int:
     b.add_argument("--full", action="store_true")
     b.add_argument("--batch", type=int, default=64)
     b.add_argument("--max-detections", type=int, default=16)
+    b.add_argument("--stages", action="store_true",
+                   help="print the reference-format 4-bucket stage breakdown")
+    b.add_argument("--profile", default=None, metavar="DIR",
+                   help="export a jax.profiler trace to DIR")
     b.set_defaults(fn=cmd_bench)
 
     v = sub.add_parser("verify", help="TPU vs float64 golden, per frame")

@@ -50,7 +50,22 @@ class RangeDetector:
     def _prepare_base_jit(self, frame0_shorts: jnp.ndarray) -> jnp.ndarray:
         return rx0_slice(decode_to_cube(frame0_shorts, self.cfg), self.cfg)
 
-    # -- spectrum (intermediate, for stage-level verification) -----------
+    # -- individual stages (for stage-level verification and the
+    # reference-format 4-bucket timing report) ----------------------------
+    @partial(jax.jit, static_argnums=0)
+    def preprocess(self, shorts: jnp.ndarray, base_rx0: jnp.ndarray) -> jnp.ndarray:
+        """decode -> rx0 -> clutter subtract -> pad ("Reshape + Extension")."""
+        cube = decode_to_cube(shorts, self.cfg)
+        return clutter_subtract_pad(rx0_slice(cube, self.cfg), base_rx0, self.cfg)
+
+    @partial(jax.jit, static_argnums=0)
+    def fft_stage(self, padded: jnp.ndarray) -> jnp.ndarray:
+        return range_fft(padded, self.cfg)
+
+    @partial(jax.jit, static_argnums=0)
+    def detect_stage(self, spectrum: jnp.ndarray) -> PeakDetection:
+        return peak_detect(spectrum, self.cfg)
+
     @partial(jax.jit, static_argnums=0)
     def spectrum(self, shorts: jnp.ndarray, base_rx0: jnp.ndarray) -> jnp.ndarray:
         """Range spectrum, complex64 (..., fft_size)."""

@@ -58,3 +58,20 @@ def test_bench_native_mode(cap_path, capsys):
     out = capsys.readouterr().out
     assert "native golden model" in out
     assert "Total FFT time" in out
+
+
+def test_bench_stages_mode(cap_path, capsys):
+    rc = cli.main(["bench", str(cap_path), "--batch", "4", "--stages"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Total FFT time" in out
+    assert "Reshape + Extension" in out
+    assert "findMax" in out
+
+
+def test_bench_profile_export(cap_path, tmp_path, capsys):
+    prof = tmp_path / "trace"
+    rc = cli.main(["bench", str(cap_path), "--batch", "4",
+                   "--profile", str(prof)])
+    assert rc == 0
+    assert prof.exists() and any(prof.rglob("*"))
