@@ -100,13 +100,26 @@ class RadarConfig:
         return self.num_tx * self.num_rx
 
     @property
+    def chirps_per_tx(self) -> int:
+        """Chirps each TX fires per frame (TDM: TXs alternate chirps)."""
+        if self.num_chirps % self.num_tx:
+            raise ValueError("num_chirps must be a multiple of num_tx")
+        return self.num_chirps // self.num_tx
+
+    @property
+    def slow_time_interval_s(self) -> float:
+        """Slow-time sample spacing per TX = num_tx * chirp_interval."""
+        return self.num_tx * self.chirp_interval_s
+
+    @property
     def range_fft_size(self) -> int:
         """Per-chirp range FFT size for the range-Doppler path."""
         return next_pow2(self.num_samples)
 
     @property
     def doppler_fft_size(self) -> int:
-        return next_pow2(self.num_chirps)
+        """Doppler FFT size over one TX's chirp sequence."""
+        return next_pow2(self.chirps_per_tx)
 
     @property
     def max_range_m(self) -> float:

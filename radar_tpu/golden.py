@@ -165,14 +165,55 @@ def hann_window(n: int) -> np.ndarray:
     return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
 
 
+def virtual_cube(cube: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """TDM-MIMO de-multiplex: physical cube -> virtual-array cube.
+
+    Args:
+      cube: complex (..., rx, chirps, samples); chirp c fired by
+        tx = c % num_tx.
+
+    Returns:
+      complex (..., num_tx*num_rx, chirps_per_tx, samples) with virtual
+      element v = tx*num_rx + rx.
+    """
+    x = np.asarray(cube)
+    if cfg.num_tx == 1:
+        return x
+    parts = [x[..., :, tx::cfg.num_tx, :] for tx in range(cfg.num_tx)]
+    return np.concatenate(parts, axis=-3)
+
+
+def mimo_doppler_compensate(
+    snaps: np.ndarray, doppler_bin: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG
+) -> np.ndarray:
+    """Remove the TDM time-offset phase from virtual-array snapshots.
+
+    TX ``tx``'s chirps lag TX0's by ``tx * Tr``; a target with Doppler
+    frequency fd therefore adds phase 2*pi*fd*tx*Tr to that TX's virtual
+    elements, which would bias the angle estimate.  ``doppler_bin`` is the
+    fftshifted Doppler index of the detection.
+
+    Args:
+      snaps: complex (..., num_virtual_rx); doppler_bin: int (...).
+    """
+    if cfg.num_tx == 1:
+        return np.asarray(snaps)
+    d = cfg.doppler_fft_size
+    fd = (np.asarray(doppler_bin) - d // 2) / (d * cfg.slow_time_interval_s)
+    tx_idx = np.arange(cfg.num_virtual_rx) // cfg.num_rx
+    phase = -2.0 * np.pi * fd[..., None] * tx_idx * cfg.chirp_interval_s
+    return snaps * np.exp(1j * phase)
+
+
 def range_doppler_map(
     cube: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG, window: bool = True
 ) -> np.ndarray:
-    """Range-Doppler map per RX.
+    """Range-Doppler map per (virtual) RX channel.
 
     Args:
-      cube: complex (..., rx, chirps, samples), clutter already handled by
-        the caller (subtract base frame or mean over chirps).
+      cube: complex (..., rx, chirps, samples) — chirps may be
+        chirps_per_tx for a virtual cube; clutter already handled by the
+        caller (subtract base frame or mean over chirps).
 
     Returns:
       complex (..., rx, doppler_fft_size, range_fft_size) — Doppler axis
@@ -180,8 +221,8 @@ def range_doppler_map(
     """
     x = np.asarray(cube, dtype=np.complex128)
     if window:
-        x = x * hann_window(cfg.num_samples)
-        x = x * hann_window(cfg.num_chirps)[:, None]
+        x = x * hann_window(x.shape[-1])
+        x = x * hann_window(x.shape[-2])[:, None]
     rng = np.fft.fft(x, n=cfg.range_fft_size, axis=-1)
     dopp = np.fft.fft(rng, n=cfg.doppler_fft_size, axis=-2)
     return np.fft.fftshift(dopp, axes=-2)

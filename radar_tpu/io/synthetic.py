@@ -71,6 +71,10 @@ def synthesize_cube(
     cube += clutter[None, None, None, :]
 
     frame_interval = cfg.num_chirps * cfg.chirp_interval_s
+    # TDM-MIMO: TX antennas alternate chirps; chirp c is fired by
+    # tx = c % num_tx, and the virtual element for (tx, rx) sits at
+    # position tx*num_rx + rx in a uniform lambda/2 array.
+    tx_of_chirp = chirps % cfg.num_tx  # (chirps,)
     for tgt in targets:
         fd = cfg.velocity_to_doppler_hz(tgt.velocity_mps)
         sin_az = np.sin(np.deg2rad(tgt.azimuth_deg))
@@ -83,12 +87,13 @@ def synthesize_cube(
         fb = cfg.distance_to_beat_hz(rng_m)  # (frames,) beat freq per frame
         fast = np.exp(1j * 2 * np.pi * fb[:, None] * t[None, :])  # (frames, samples)
         dopp = np.exp(1j * 2 * np.pi * fd * slow_t)  # (frames, chirps)
+        virt_pos = tx_of_chirp[None, :] * cfg.num_rx + rxs[:, None]  # (rx, chirps)
         steer = np.exp(
-            1j * 2 * np.pi * cfg.rx_spacing_wavelengths * sin_az * rxs
-        )  # (rx,)
+            1j * 2 * np.pi * cfg.rx_spacing_wavelengths * sin_az * virt_pos
+        )  # (rx, chirps)
         sig = (
             tgt.amplitude
-            * steer[None, :, None, None]
+            * steer[None, :, :, None]
             * dopp[:, None, :, None]
             * fast[:, None, None, :]
         )

@@ -79,10 +79,39 @@ def cell_physics(d_bin: jnp.ndarray, r_bin: jnp.ndarray, cfg: RadarConfig):
     rng_hz = r_bin.astype(jnp.float32) * (cfg.sample_rate_hz / cfg.range_fft_size)
     range_m = rng_hz * jnp.float32(LIGHT_SPEED / (2.0 * cfg.slope_hz_per_s))
     dopp_hz = (d_bin - cfg.doppler_fft_size // 2).astype(jnp.float32) / jnp.float32(
-        cfg.doppler_fft_size * cfg.chirp_interval_s
+        cfg.doppler_fft_size * cfg.slow_time_interval_s
     )
     velocity = dopp_hz * jnp.float32(cfg.wavelength_m / 2.0)
     return range_m, velocity
+
+
+def virtualize_cube(cube: jnp.ndarray, cfg: RadarConfig) -> jnp.ndarray:
+    """TDM-MIMO de-multiplex (twin of golden.virtual_cube):
+    (..., rx, chirps, samples) -> (..., tx*rx, chirps_per_tx, samples)."""
+    if cfg.num_tx == 1:
+        return cube
+    parts = [cube[..., :, tx::cfg.num_tx, :] for tx in range(cfg.num_tx)]
+    return jnp.concatenate(parts, axis=-3)
+
+
+def mimo_compensate(
+    snaps: jnp.ndarray, d_bin: jnp.ndarray, cfg: RadarConfig
+) -> jnp.ndarray:
+    """Remove the TDM time-offset Doppler phase from virtual snapshots
+    (twin of golden.mimo_doppler_compensate).
+
+    Args:
+      snaps: complex64 (..., K, V); d_bin: int32 (..., K).
+    """
+    if cfg.num_tx == 1:
+        return snaps
+    d = cfg.doppler_fft_size
+    fd = (d_bin - d // 2).astype(jnp.float32) / jnp.float32(
+        d * cfg.slow_time_interval_s
+    )
+    tx_idx = (jnp.arange(cfg.num_virtual_rx) // cfg.num_rx).astype(jnp.float32)
+    phase = (-2.0 * jnp.pi * cfg.chirp_interval_s) * fd[..., None] * tx_idx
+    return snaps * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
 
 def gather_snapshots(rd: jnp.ndarray, top_idx: jnp.ndarray) -> jnp.ndarray:
@@ -122,7 +151,7 @@ def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig) -> RDResult
     """
     num_hits, top_idx, top_power, valid, d_bin, r_bin = topk_cells(power, hits, k)
     range_m, velocity = cell_physics(d_bin, r_bin, cfg)
-    snaps = rd_snaps(top_idx)
+    snaps = mimo_compensate(rd_snaps(top_idx), d_bin, cfg)
     azimuth, angle_bin = aoa_from_snapshots(snaps, cfg)
     return RDResult(
         num_hits=num_hits,
@@ -195,6 +224,7 @@ class RDPipeline:
             cube = cube - base_cube
         else:
             cube = mean_clutter_removal(cube)
+        cube = virtualize_cube(cube, self.cfg)
         impl = self.rd_impl
         if impl == "auto":
             impl = "mxu" if jax.default_backend() == "tpu" else "fft"

@@ -65,8 +65,8 @@ def range_doppler_mxu(
     Returns:
       complex64 (..., doppler_fft, range_fft), Doppler axis fftshifted.
     """
-    f_rng = dft_matrix(cfg.num_samples, cfg.range_fft_size, window)
-    f_dop = dft_matrix(cfg.num_chirps, cfg.doppler_fft_size, window, shift=True)
+    f_rng = dft_matrix(cube.shape[-1], cfg.range_fft_size, window)
+    f_dop = dft_matrix(cube.shape[-2], cfg.doppler_fft_size, window, shift=True)
     # (..., C, S) @ (S, R) -> (..., C, R); then (D, C) @ (..., C, R)
     rng = jnp.einsum("...cs,rs->...cr", cube, f_rng)
     return jnp.einsum("dc,...cr->...dr", f_dop, rng)

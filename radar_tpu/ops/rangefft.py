@@ -44,8 +44,8 @@ def range_doppler(
     """
     x = cube
     if window:
-        x = x * hann(cfg.num_samples, x.real.dtype)
-        x = x * hann(cfg.num_chirps, x.real.dtype)[:, None]
+        x = x * hann(x.shape[-1], x.real.dtype)
+        x = x * hann(x.shape[-2], x.real.dtype)[:, None]
     rng = jnp.fft.fft(x, n=cfg.range_fft_size, axis=-1)
     dopp = jnp.fft.fft(rng, n=cfg.doppler_fft_size, axis=-2)
     return jnp.fft.fftshift(dopp, axes=-2)

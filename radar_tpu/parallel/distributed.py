@@ -31,6 +31,7 @@ from radar_tpu.models.rd_pipeline import (
     assemble_result,
     gather_snapshots,
     integrate_power,
+    virtualize_cube,
 )
 from radar_tpu.ops.cfar import ca_cfar_2d
 from radar_tpu.ops.decode import decode_to_cube
@@ -53,10 +54,14 @@ class DistributedRDPipeline:
         mesh: Mesh | None = None,
         cfg: RadarConfig = DEFAULT_CONFIG,
         max_detections: int = 16,
+        rd_impl: str = "fft",
+        cfar_impl: str = "xla",
     ):
         self.mesh = mesh if mesh is not None else build_mesh(num_rx=cfg.num_rx)
         self.cfg = cfg
         self.max_detections = max_detections
+        self.rd_impl = rd_impl
+        self.cfar_impl = cfar_impl
         self.chan_size = self.mesh.shape[CHAN_AXIS]
         if cfg.num_rx % self.chan_size:
             raise ValueError(
@@ -88,6 +93,21 @@ class DistributedRDPipeline:
         cfg = self.cfg
         k = self.max_detections
         rx_per = self.rx_per_shard
+        chan = self.chan_size
+        rd_impl = self.rd_impl
+        cfar_impl = self.cfar_impl
+
+        # Virtual-element reordering after the all_gather: the gathered axis
+        # is shard-major (shard, tx, local_rx) but the steering model wants
+        # v = tx*num_rx + rx with rx = shard*rx_per + local_rx.
+        perm = None
+        if cfg.num_tx > 1:
+            perm = []
+            for v in range(cfg.num_virtual_rx):
+                tx, r = divmod(v, cfg.num_rx)
+                shard, r_local = divmod(r, rx_per)
+                perm.append(shard * cfg.num_tx * rx_per + tx * rx_per + r_local)
+            perm = jnp.asarray(perm)
 
         def local_step(shorts_local: jnp.ndarray, base_local: jnp.ndarray):
             # shorts_local: (B_local, S) int16; base_local: (rx_per, C, Smp)
@@ -96,16 +116,29 @@ class DistributedRDPipeline:
             cube_l = jax.lax.dynamic_slice_in_dim(
                 cube, chan_idx * rx_per, rx_per, axis=1
             )
-            cube_l = cube_l - base_local
-            rd_l = range_doppler(cube_l, cfg)  # (B_local, rx_per, D, R)
+            cube_l = virtualize_cube(cube_l - base_local, cfg)
+            if rd_impl == "mxu":
+                from radar_tpu.ops.dftmat import range_doppler_mxu
+
+                rd_l = range_doppler_mxu(cube_l, cfg)
+            else:
+                rd_l = range_doppler(cube_l, cfg)  # (B_local, tx*rx_per, D, R)
             power = jax.lax.psum(integrate_power(rd_l), CHAN_AXIS)
-            hits, _ = ca_cfar_2d(power, cfg)
+            if cfar_impl == "pallas":
+                from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas
+
+                hits, _ = ca_cfar_2d_pallas(power, cfg)
+            else:
+                hits, _ = ca_cfar_2d(power, cfg)
 
             def snaps(top_idx):
-                local = gather_snapshots(rd_l, top_idx)  # (B_local, K, rx_per)
-                return jax.lax.all_gather(
+                local = gather_snapshots(rd_l, top_idx)  # (B_l, K, tx*rx_per)
+                full = jax.lax.all_gather(
                     local, CHAN_AXIS, axis=local.ndim - 1, tiled=True
-                )  # (B_local, K, rx)
+                )  # (B_l, K, chan*tx*rx_per) shard-major
+                if perm is not None and chan > 1:
+                    full = full[..., perm]
+                return full
 
             return assemble_result(power, snaps, hits, k, cfg)
 
