@@ -234,6 +234,37 @@ class RDPipeline:
             return range_doppler_mxu(cube, self.cfg)
         return range_doppler(cube, self.cfg)
 
+    # -- Capon high-resolution AoA refinement -------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def capon_refine(
+        self,
+        shorts: jnp.ndarray,
+        base_cube: jnp.ndarray | None,
+        d_bin: jnp.ndarray,
+        r_bin: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """MVDR azimuth (B, K) for already-detected cells.
+
+        Uses chirp-domain snapshots at each detection's range bin (the
+        Doppler axis provides the covariance averaging), with TDM phase
+        compensation.  Sharper than the angle-FFT estimate in RDResult;
+        run it on demand for confirmed detections.
+        """
+        from radar_tpu.ops.aoa import capon_aoa_at_cells
+        from radar_tpu.ops.rangefft import range_fft  # noqa: F401 (doc ref)
+        from radar_tpu.ops.window import hann
+
+        cfg = self.cfg
+        cube = decode_to_cube(shorts, cfg)
+        if self.use_base_frame and base_cube is not None:
+            cube = cube - base_cube
+        else:
+            cube = mean_clutter_removal(cube)
+        cube = virtualize_cube(cube, cfg)  # (B, V, CPT, S)
+        x = cube * hann(cube.shape[-1], jnp.float32)
+        rng = jnp.fft.fft(x, n=cfg.range_fft_size, axis=-1)
+        return capon_aoa_at_cells(rng, d_bin, r_bin, cfg)
+
     # -- full pipeline ------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
     def detect(

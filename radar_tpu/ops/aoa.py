@@ -16,6 +16,7 @@ cudaBenchMarking.cpp:19 is declared but unused); contracts are defined by
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,53 @@ def _steering_matrix(n_rx: int, cfg: RadarConfig) -> np.ndarray:
     return angles, np.exp(
         1j * k * np.sin(np.deg2rad(angles))[:, None] * np.arange(n_rx)[None, :]
     ).astype(np.complex64)
+
+
+def capon_aoa_at_cells(
+    range_cube: jnp.ndarray,
+    d_bin: jnp.ndarray,
+    r_bin: jnp.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    diagonal_loading: float = 1e-3,
+) -> jnp.ndarray:
+    """Capon azimuth per detected cell, from chirp-domain snapshots.
+
+    Args:
+      range_cube: complex64 (B, V, chirps_per_tx, R) — range FFT per
+        virtual channel, BEFORE the Doppler FFT (the chirp axis provides
+        the snapshots for the covariance estimate).
+      d_bin: int32 (B, K) fftshifted Doppler bin (for TDM compensation).
+      r_bin: int32 (B, K) range bin of each detection.
+
+    Returns:
+      float32 (B, K) azimuth in degrees.
+    """
+    v = range_cube.shape[1]
+    # gather snapshots at each detection's range bin: (B, K, CPT, V)
+    snaps = jnp.take_along_axis(
+        range_cube[:, None],  # (B, 1, V, CPT, R)
+        r_bin[:, :, None, None, None],  # (B, K, 1, 1, 1)
+        axis=-1,
+    )[..., 0]  # (B, K, V, CPT)
+    snaps = jnp.swapaxes(snaps, -2, -1)  # (B, K, CPT, V)
+
+    if cfg.num_tx > 1:
+        # constant TDM phase between TX groups: e^{j 2 pi fd tx Tr}
+        d = cfg.doppler_fft_size
+        fd = (d_bin - d // 2).astype(jnp.float32) / jnp.float32(
+            d * cfg.slow_time_interval_s
+        )
+        tx_idx = (jnp.arange(v) // cfg.num_rx).astype(jnp.float32)
+        phase = (-2.0 * jnp.pi * cfg.chirp_interval_s) * fd[..., None] * tx_idx
+        rot = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+        snaps = snaps * rot[..., None, :]
+
+    _, power = capon_spectrum(snaps, cfg, diagonal_loading)
+    angles = jnp.asarray(
+        np.linspace(*cfg.angle_grid_deg[:2], int(cfg.angle_grid_deg[2])),
+        jnp.float32,
+    )
+    return angles[jnp.argmax(power, axis=-1)]
 
 
 def capon_spectrum(
