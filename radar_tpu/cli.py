@@ -58,8 +58,17 @@ def cmd_detect(args) -> int:
     from radar_tpu.models.rd_pipeline import RDPipeline
     from radar_tpu.utils.records import DetectionRecord, JsonlWriter
 
+    from radar_tpu.utils.records import last_frame_index
+
     cfg = RadarConfig()
     capture = read_capture(args.path, cfg)
+    start_frame = 1
+    if args.resume and args.out:
+        # resume = seek: the pipeline is stateless past the base frame
+        start_frame = max(1, last_frame_index(args.out) + 1)
+        if start_frame >= len(capture):
+            print(f"{args.out} already covers all {len(capture)-1} frames")
+            return 0
     det = RangeDetector(cfg)
     out = jax.block_until_ready(det.detect_capture(capture))
 
@@ -68,7 +77,7 @@ def cmd_detect(args) -> int:
         pipe = RDPipeline(cfg, max_detections=args.max_detections)
         base = pipe.prepare_base(capture[0])
         rd = jax.block_until_ready(pipe.detect(capture[1:], base))
-    for i in range(len(capture) - 1):
+    for i in range(start_frame - 1, len(capture) - 1):
         dets = None
         if args.full:
             dets = [
@@ -90,7 +99,8 @@ def cmd_detect(args) -> int:
                 detections=dets,
             )
         )
-    sink = open(args.out, "w") if args.out else sys.stdout
+    mode = "a" if (args.resume and start_frame > 1) else "w"
+    sink = open(args.out, mode) if args.out else sys.stdout
     JsonlWriter(sink).write_all(records)
     if args.out:
         sink.close()
@@ -247,6 +257,8 @@ def main(argv=None) -> int:
     d.add_argument("--full", action="store_true",
                    help="include range-Doppler-CFAR-AoA detections")
     d.add_argument("--max-detections", type=int, default=16)
+    d.add_argument("--resume", action="store_true",
+                   help="append records after the last frame already in --out")
     d.set_defaults(fn=cmd_detect)
 
     b = sub.add_parser("bench", help="benchmark over a capture file")

@@ -90,3 +90,17 @@ class RangeDetector:
         frames = jnp.asarray(frames_shorts)
         base = self.prepare_base(frames[0])
         return self.detect(frames[1:], base)
+
+    # -- multi-chip data parallelism ----------------------------------------
+    def detect_sharded(self, shorts, base_rx0, mesh) -> PeakDetection:
+        """Pure-DP multi-chip detection: frames sharded over the mesh's
+        'data' axis, base replicated.  Frames are independent, so XLA
+        auto-partitions the jitted program with zero collectives — the
+        sharding IS the parallelism (SURVEY.md §2.2 row 1)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = jax.device_put(
+            jnp.asarray(shorts), NamedSharding(mesh, P("data", None))
+        )
+        b = jax.device_put(base_rx0, NamedSharding(mesh, P()))
+        return self.detect(s, b)

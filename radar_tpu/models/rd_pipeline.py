@@ -206,9 +206,10 @@ class RDPipeline:
             return ca_cfar_2d(power, self.cfg)
         from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas
 
-        return ca_cfar_2d_pallas(
-            power, self.cfg, interpret=(impl == "pallas-interpret")
+        interpret = (
+            impl == "pallas-interpret" or jax.default_backend() != "tpu"
         )
+        return ca_cfar_2d_pallas(power, self.cfg, interpret=interpret)
 
     # -- base frame --------------------------------------------------------
     @partial(jax.jit, static_argnums=0)

@@ -127,7 +127,9 @@ class DistributedRDPipeline:
             if cfar_impl == "pallas":
                 from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas
 
-                hits, _ = ca_cfar_2d_pallas(power, cfg)
+                hits, _ = ca_cfar_2d_pallas(
+                    power, cfg, interpret=jax.default_backend() != "tpu"
+                )
             else:
                 hits, _ = ca_cfar_2d(power, cfg)
 

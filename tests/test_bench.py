@@ -1,0 +1,41 @@
+"""bench.py smoke test (CPU backend) — the driver runs this on real TPU."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_bench_main_emits_json_line(monkeypatch, capsys):
+    import bench
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench.py", "--frames", "32", "--batch", "16", "--reps", "1",
+         "--skip-h2d"],
+    )
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["value"] > 0
+    assert rec["vs_baseline"] == pytest.approx(rec["value"] / 1000.0, rel=1e-3)
+
+
+def test_detect_sharded_matches_local(cfg, capture):
+    import jax
+
+    from radar_tpu.models.range_detector import RangeDetector
+    from radar_tpu.parallel.mesh import build_mesh
+
+    det = RangeDetector(cfg)
+    base = det.prepare_base(capture[0])
+    want = det.detect(capture[1:9], base)
+
+    mesh = build_mesh(n_devices=8, num_rx=1)  # pure-DP 8-way mesh
+    got = det.detect_sharded(capture[1:9], base, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(got.peak_bin), np.asarray(want.peak_bin)
+    )
+    assert len(got.peak_bin.sharding.device_set) == 8

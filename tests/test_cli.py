@@ -75,3 +75,23 @@ def test_bench_profile_export(cap_path, tmp_path, capsys):
                    "--profile", str(prof)])
     assert rc == 0
     assert prof.exists() and any(prof.rglob("*"))
+
+
+def test_detect_resume(cap_path, tmp_path):
+    out = tmp_path / "resume.jsonl"
+    # first pass: write everything, then truncate to 2 records
+    rc = cli.main(["detect", str(cap_path), "--out", str(out)])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    full = list(lines)
+    out.write_text("\n".join(lines[:2]) + "\n")
+    # resume appends frames 3..5 only
+    rc = cli.main(["detect", str(cap_path), "--out", str(out), "--resume"])
+    assert rc == 0
+    resumed = out.read_text().splitlines()
+    assert len(resumed) == len(full)
+    assert [json.loads(x)["frame"] for x in resumed] == [1, 2, 3, 4, 5]
+    # resuming again is a no-op
+    rc = cli.main(["detect", str(cap_path), "--out", str(out), "--resume"])
+    assert rc == 0
+    assert out.read_text().splitlines() == resumed

@@ -1,0 +1,62 @@
+"""Cross-configuration robustness: alternate radar geometries through the
+full pipelines with golden parity (BASELINE config 1 mentions 256-sample
+captures; the framework must not be hardwired to the reference's 100x128)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radar_tpu import golden
+from radar_tpu.config import RadarConfig
+from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+from radar_tpu.models.range_detector import RangeDetector
+from radar_tpu.models.rd_pipeline import RDPipeline
+
+CONFIGS = [
+    RadarConfig(num_samples=256, num_chirps=128),           # config-1 shape
+    RadarConfig(num_samples=128, num_chirps=32),            # pow2 fast path
+    RadarConfig(num_samples=64, num_chirps=64, num_rx=2),   # small array
+    RadarConfig(num_samples=100, num_chirps=64, num_tx=2),  # MIMO variant
+]
+
+
+@pytest.mark.parametrize("c", CONFIGS, ids=lambda c: (
+    f"s{c.num_samples}-c{c.num_chirps}-rx{c.num_rx}-tx{c.num_tx}"
+))
+def test_range_parity_across_configs(c):
+    shorts = synthesize_capture(
+        [SceneTarget(range_m=4.0, amplitude=3000.0)], 3, c,
+        noise_std=3.0, seed=len(CONFIGS),
+    )
+    det = RangeDetector(c)
+    out = det.detect_capture(shorts)
+    want = golden.detect_capture(shorts, c)
+    for i, w in enumerate(want):
+        assert int(out.peak_bin[i]) == w.peak_bin
+        assert float(out.distance_m[i]) == pytest.approx(w.distance_m, rel=1e-3)
+
+
+@pytest.mark.parametrize("c", CONFIGS, ids=lambda c: (
+    f"s{c.num_samples}-c{c.num_chirps}-rx{c.num_rx}-tx{c.num_tx}"
+))
+def test_rd_pipeline_across_configs(c):
+    tgt = SceneTarget(range_m=4.0, velocity_mps=1.5, azimuth_deg=12.0,
+                      amplitude=3000.0)
+    shorts = synthesize_capture([tgt], 3, c, noise_std=2.0, seed=7)
+    pipe = RDPipeline(c, max_detections=8)
+    base = pipe.prepare_base(jnp.asarray(shorts[0]))
+    out = pipe.detect(jnp.asarray(shorts[1:]), base)
+    for f in range(2):
+        vals = [
+            (float(out.range_m[f, k]), float(out.velocity_mps[f, k]))
+            for k in range(8) if bool(out.valid[f, k])
+        ]
+        assert vals, f"no detections in frame {f}"
+        best = min(vals, key=lambda v: abs(v[0] - 4.0))
+        assert abs(best[0] - 4.0) < 1.2
+        assert abs(best[1] - 1.5) < 1.2
+
+
+def test_invalid_configs_rejected():
+    with pytest.raises(ValueError):
+        RadarConfig(num_chirps=100, num_tx=3).chirps_per_tx
