@@ -52,11 +52,15 @@ class RDResult(NamedTuple):
 # shared stage helpers
 # --------------------------------------------------------------------------
 
-def topk_cells(power: jnp.ndarray, hits: jnp.ndarray, k: int):
+def topk_cells(power: jnp.ndarray, hits: jnp.ndarray, k: int,
+               topk_impl: str = "xla"):
     """Fold a CFAR hit map into a static top-K detection list.
 
     Args:
       power: float32 (..., D, R); hits: bool (..., D, R).
+      topk_impl: 'xla' (lax.top_k) or 'pallas'/'pallas-interpret' (the
+        iterative VMEM kernel — lax.top_k sorts the whole 16K-cell map and
+        dominates the detection tail).
 
     Returns:
       (num_hits (...,), top_idx (..., K) flat cell index, top_power,
@@ -66,7 +70,15 @@ def topk_cells(power: jnp.ndarray, hits: jnp.ndarray, k: int):
     num_hits = jnp.sum(hits, axis=(-2, -1)).astype(jnp.int32)
     masked = jnp.where(hits, power, -jnp.inf)
     flat = masked.reshape(masked.shape[:-2] + (d_size * r_size,))
-    top_power, top_idx = jax.lax.top_k(flat, k)
+    if topk_impl == "xla":
+        top_power, top_idx = jax.lax.top_k(flat, k)
+    else:
+        from radar_tpu.ops.pallas.topk_kernel import topk_pallas
+
+        interpret = (
+            topk_impl == "pallas-interpret" or jax.default_backend() != "tpu"
+        )
+        top_power, top_idx = topk_pallas(flat, k, interpret=interpret)
     valid = jnp.isfinite(top_power)
     top_power = jnp.where(valid, top_power, 0.0)
     d_bin = (top_idx // r_size).astype(jnp.int32)
@@ -142,14 +154,17 @@ def aoa_from_snapshots(snaps: jnp.ndarray, cfg: RadarConfig):
     return azimuth, angle_bin
 
 
-def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig) -> RDResult:
+def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig,
+                    topk_impl: str = "xla") -> RDResult:
     """Tail shared by local and distributed pipelines: top-K + physics + AoA.
 
     Args:
       power: (..., D, R) integrated power (full map).
       rd_snaps: callable top_idx -> (..., K, rx) snapshot gatherer.
     """
-    num_hits, top_idx, top_power, valid, d_bin, r_bin = topk_cells(power, hits, k)
+    num_hits, top_idx, top_power, valid, d_bin, r_bin = topk_cells(
+        power, hits, k, topk_impl
+    )
     range_m, velocity = cell_physics(d_bin, r_bin, cfg)
     snaps = mimo_compensate(rd_snaps(top_idx), d_bin, cfg)
     azimuth, angle_bin = aoa_from_snapshots(snaps, cfg)
@@ -185,18 +200,28 @@ class RDPipeline:
         use_base_frame: bool = True,
         cfar_impl: str = "auto",
         rd_impl: str = "auto",
+        topk_impl: str = "auto",
     ):
         """Args:
           cfar_impl: 'auto' (Pallas kernel on TPU, XLA elsewhere), 'xla',
             'pallas', or 'pallas-interpret' (for CPU tests of the kernel).
           rd_impl: 'auto' (MXU DFT matmuls on TPU, FFT elsewhere), 'fft',
             or 'mxu'.
+          topk_impl: 'auto' (lax.top_k — measured on-par with the Pallas
+            iterative kernel at K=16, and XLA fuses it into the tail),
+            'xla', 'pallas', or 'pallas-interpret'.
         """
         self.cfg = cfg
         self.max_detections = max_detections
         self.use_base_frame = use_base_frame
         self.cfar_impl = cfar_impl
         self.rd_impl = rd_impl
+        self.topk_impl = topk_impl
+
+    def _topk_impl(self) -> str:
+        if self.topk_impl == "auto":
+            return "xla"
+        return self.topk_impl
 
     def _cfar(self, power):
         impl = self.cfar_impl
@@ -281,4 +306,5 @@ class RDPipeline:
             hits,
             self.max_detections,
             cfg,
+            topk_impl=self._topk_impl(),
         )

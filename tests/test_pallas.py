@@ -109,3 +109,55 @@ class TestMaskedArgmax:
         idx, mag = masked_argmax_pallas(jnp.asarray(spec), cfg, interpret=True)
         assert idx.shape == ()
         assert int(idx) == 123
+
+
+class TestTopKKernel:
+    def test_matches_lax_topk(self, cfg):
+        from radar_tpu.ops.pallas.topk_kernel import topk_pallas
+        import jax
+
+        rng = np.random.default_rng(51)
+        # distinct values so ordering is unambiguous
+        flat = rng.permutation(16384 * 3).reshape(3, 16384).astype(np.float32)
+        masked = np.where(flat > 16384 * 3 - 500, flat, -np.inf).astype(np.float32)
+        want_v, want_i = jax.lax.top_k(jnp.asarray(masked), 16)
+        got_v, got_i = topk_pallas(jnp.asarray(masked), 16, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+    def test_fewer_hits_than_k(self):
+        from radar_tpu.ops.pallas.topk_kernel import topk_pallas
+
+        masked = np.full((1, 256), -np.inf, np.float32)
+        masked[0, 17] = 5.0
+        masked[0, 200] = 9.0
+        v, i = topk_pallas(jnp.asarray(masked), 4, interpret=True)
+        v, i = np.asarray(v), np.asarray(i)
+        assert list(i[0, :2]) == [200, 17]
+        assert list(v[0, :2]) == [9.0, 5.0]
+        assert not np.isfinite(v[0, 2:]).any()
+
+    def test_tie_break_lowest_index(self):
+        from radar_tpu.ops.pallas.topk_kernel import topk_pallas
+
+        masked = np.zeros((1, 128), np.float32)
+        masked[0, [5, 60, 100]] = 7.0
+        v, i = topk_pallas(jnp.asarray(masked), 3, interpret=True)
+        assert list(np.asarray(i)[0]) == [5, 60, 100]
+
+    def test_pipeline_topk_impl_matches(self, cfg, targets):
+        from radar_tpu.io.synthetic import synthesize_capture
+        from radar_tpu.models.rd_pipeline import RDPipeline
+
+        shorts = synthesize_capture(targets, 3, cfg, noise_std=2.0, seed=53)
+        a = RDPipeline(cfg, 8, topk_impl="xla")
+        b = RDPipeline(cfg, 8, topk_impl="pallas-interpret")
+        base = a.prepare_base(jnp.asarray(shorts[0]))
+        out_a = a.detect(jnp.asarray(shorts[1:]), base)
+        out_b = b.detect(jnp.asarray(shorts[1:]), base)
+        np.testing.assert_array_equal(
+            np.asarray(out_a.range_bin), np.asarray(out_b.range_bin)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_a.valid), np.asarray(out_b.valid)
+        )
