@@ -108,6 +108,34 @@ def cmd_detect(args) -> int:
     return 0
 
 
+def cmd_track(args) -> int:
+    """Detect + multi-frame tracking; prints confirmed object tracks."""
+    import jax
+
+    from radar_tpu.io.capture import read_capture
+    from radar_tpu.models.rd_pipeline import RDPipeline
+    from radar_tpu.models.tracker import TrackerConfig, track_capture
+
+    cfg = RadarConfig()
+    capture = read_capture(args.path, cfg)
+    pipe = RDPipeline(cfg, max_detections=args.max_detections)
+    base = pipe.prepare_base(capture[0])
+    out = jax.block_until_ready(pipe.detect(capture[1:], base))
+    tracker = track_capture(out, cfg, TrackerConfig())
+    tracks = [t for t in tracker.tracks if t.confirmed]
+    for t in tracks:
+        print(json.dumps({
+            "track_id": t.track_id,
+            "range_m": round(t.range_m, 4),
+            "velocity_mps": round(t.velocity_mps, 4),
+            "azimuth_deg": round(t.azimuth_deg, 2),
+            "hits": t.hits,
+        }))
+    print(f"# {len(tracks)} confirmed tracks over {len(capture)-1} frames",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_bench(args) -> int:
     cfg = RadarConfig()
     if args.native:
@@ -260,6 +288,11 @@ def main(argv=None) -> int:
     d.add_argument("--resume", action="store_true",
                    help="append records after the last frame already in --out")
     d.set_defaults(fn=cmd_detect)
+
+    t = sub.add_parser("track", help="detect + multi-frame object tracking")
+    t.add_argument("path")
+    t.add_argument("--max-detections", type=int, default=16)
+    t.set_defaults(fn=cmd_track)
 
     b = sub.add_parser("bench", help="benchmark over a capture file")
     b.add_argument("path")

@@ -1,0 +1,186 @@
+"""Multi-frame object tracker over per-frame detection lists.
+
+The reference emits one independent scalar per frame and keeps no state
+across frames (cudaBenchMarking.cpp:309 stores results but never associates
+them).  This module turns the RD pipeline's per-frame detection lists into
+persistent object tracks:
+
+* gated nearest-neighbor association in (range, velocity, azimuth),
+* alpha-beta filtering of range (velocity is measured directly by Doppler,
+  so it seeds and corrects the rate term),
+* M-hit confirmation and coast/delete lifecycle.
+
+Deliberately host-side NumPy: tracking is branchy, per-object control flow
+over a handful of detections — the wrong shape for the TPU's vector units,
+and it consumes only the tiny detection records the device pipeline emits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+
+import numpy as np
+
+from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
+
+
+@dataclasses.dataclass
+class Track:
+    track_id: int
+    range_m: float
+    velocity_mps: float
+    azimuth_deg: float
+    power: float
+    hits: int = 1
+    misses: int = 0
+    confirmed: bool = False
+    history: list = dataclasses.field(default_factory=list)
+
+    def predict(self, dt: float) -> float:
+        """Predicted range after dt seconds."""
+        return self.range_m + self.velocity_mps * dt
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    gate_range_m: float = 1.5
+    gate_velocity_mps: float = 2.5
+    gate_azimuth_deg: float = 20.0
+    alpha: float = 0.6          # range correction gain
+    beta: float = 0.3           # velocity correction gain
+    azimuth_smoothing: float = 0.5
+    confirm_hits: int = 2
+    max_misses: int = 3
+
+
+class Tracker:
+    """Feed per-frame detection lists; read back confirmed tracks."""
+
+    def __init__(
+        self,
+        cfg: RadarConfig = DEFAULT_CONFIG,
+        params: TrackerConfig = TrackerConfig(),
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.frame_interval_s = cfg.num_chirps * cfg.chirp_interval_s
+        self.tracks: list[Track] = []
+        self._ids = itertools.count()
+
+    # -- association ---------------------------------------------------------
+    def _distance(self, track: Track, det: dict, dt: float) -> float | None:
+        p = self.params
+        dr = abs(det["range_m"] - track.predict(dt))
+        dv = abs(det["velocity_mps"] - track.velocity_mps)
+        da = abs(det["azimuth_deg"] - track.azimuth_deg)
+        if dr > p.gate_range_m or dv > p.gate_velocity_mps or da > p.gate_azimuth_deg:
+            return None
+        return (
+            (dr / p.gate_range_m) ** 2
+            + (dv / p.gate_velocity_mps) ** 2
+            + (da / p.gate_azimuth_deg) ** 2
+        )
+
+    def update(self, detections: list[dict], dt: float | None = None) -> list[Track]:
+        """Advance one frame.
+
+        Args:
+          detections: dicts with range_m / velocity_mps / azimuth_deg /
+            power (the RD pipeline's valid top-K entries).
+          dt: seconds since the previous frame (default: one frame).
+
+        Returns:
+          currently confirmed tracks.
+        """
+        p = self.params
+        dt = self.frame_interval_s if dt is None else dt
+
+        # greedy gated nearest-neighbor (few objects; optimality irrelevant)
+        pairs = []
+        for ti, tr in enumerate(self.tracks):
+            for di, det in enumerate(detections):
+                d = self._distance(tr, det, dt)
+                if d is not None:
+                    pairs.append((d, ti, di))
+        pairs.sort(key=lambda x: x[0])
+        used_t, used_d = set(), set()
+        for _, ti, di in pairs:
+            if ti in used_t or di in used_d:
+                continue
+            used_t.add(ti)
+            used_d.add(di)
+            tr, det = self.tracks[ti], detections[di]
+            pred = tr.predict(dt)
+            residual = det["range_m"] - pred
+            tr.range_m = pred + p.alpha * residual
+            # velocity is MEASURED directly by Doppler; do not differentiate
+            # the bin-quantized range (residual/dt would amplify the 0.39 m
+            # range quantization into tens of m/s at radar frame rates)
+            tr.velocity_mps = (
+                (1 - p.beta) * tr.velocity_mps + p.beta * det["velocity_mps"]
+            )
+            s = p.azimuth_smoothing
+            tr.azimuth_deg = (1 - s) * tr.azimuth_deg + s * det["azimuth_deg"]
+            tr.power = det.get("power", tr.power)
+            tr.hits += 1
+            tr.misses = 0
+            if tr.hits >= p.confirm_hits:
+                tr.confirmed = True
+            tr.history.append((tr.range_m, tr.velocity_mps, tr.azimuth_deg))
+
+        # coast / delete unmatched tracks
+        survivors = []
+        for ti, tr in enumerate(self.tracks):
+            if ti in used_t:
+                survivors.append(tr)
+                continue
+            tr.misses += 1
+            tr.range_m = tr.predict(dt)
+            if tr.misses <= p.max_misses:
+                survivors.append(tr)
+        self.tracks = survivors
+
+        # spawn tentative tracks from unmatched detections
+        for di, det in enumerate(detections):
+            if di in used_d:
+                continue
+            self.tracks.append(
+                Track(
+                    track_id=next(self._ids),
+                    range_m=det["range_m"],
+                    velocity_mps=det["velocity_mps"],
+                    azimuth_deg=det["azimuth_deg"],
+                    power=det.get("power", 0.0),
+                    history=[(det["range_m"], det["velocity_mps"],
+                              det["azimuth_deg"])],
+                )
+            )
+        return [t for t in self.tracks if t.confirmed]
+
+
+def detections_from_result(rd_result, frame: int) -> list[dict]:
+    """Extract frame ``frame``'s valid detections from a batched RDResult."""
+    out = []
+    valid = np.asarray(rd_result.valid[frame])
+    for k in range(valid.shape[0]):
+        if valid[k]:
+            out.append(
+                {
+                    "range_m": float(rd_result.range_m[frame, k]),
+                    "velocity_mps": float(rd_result.velocity_mps[frame, k]),
+                    "azimuth_deg": float(rd_result.azimuth_deg[frame, k]),
+                    "power": float(rd_result.power[frame, k]),
+                }
+            )
+    return out
+
+
+def track_capture(rd_result, cfg: RadarConfig = DEFAULT_CONFIG,
+                  params: TrackerConfig = TrackerConfig()):
+    """Run the tracker over a whole batched RDResult; returns the tracker."""
+    tracker = Tracker(cfg, params)
+    n = np.asarray(rd_result.num_hits).shape[0]
+    for f in range(n):
+        tracker.update(detections_from_result(rd_result, f))
+    return tracker

@@ -95,3 +95,12 @@ def test_detect_resume(cap_path, tmp_path):
     rc = cli.main(["detect", str(cap_path), "--out", str(out), "--resume"])
     assert rc == 0
     assert out.read_text().splitlines() == resumed
+
+
+def test_track_command(cap_path, capsys):
+    rc = cli.main(["track", str(cap_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    recs = [json.loads(x) for x in out.splitlines() if x and not x.startswith("#")]
+    assert recs
+    assert any(abs(r["range_m"] - 4.0) < 1.0 for r in recs)

@@ -1,0 +1,94 @@
+"""Multi-frame tracking over the RD pipeline's detections."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+from radar_tpu.models.rd_pipeline import RDPipeline
+from radar_tpu.models.tracker import (
+    Tracker,
+    TrackerConfig,
+    detections_from_result,
+    track_capture,
+)
+
+
+def _det(r, v, a, p=1.0):
+    return {"range_m": r, "velocity_mps": v, "azimuth_deg": a, "power": p}
+
+
+class TestTrackerUnit:
+    def test_track_confirm_and_id_stability(self, cfg):
+        tr = Tracker(cfg)
+        dt = tr.frame_interval_s
+        confirmed = tr.update([_det(5.0, 2.0, 10.0)])
+        assert confirmed == []  # tentative after 1 hit
+        confirmed = tr.update([_det(5.0 + 2.0 * dt, 2.0, 10.0)])
+        assert len(confirmed) == 1
+        tid = confirmed[0].track_id
+        for i in range(2, 6):
+            confirmed = tr.update([_det(5.0 + 2.0 * dt * i, 2.0, 10.0)])
+        assert len(confirmed) == 1
+        assert confirmed[0].track_id == tid
+        assert abs(confirmed[0].velocity_mps - 2.0) < 0.5
+
+    def test_two_targets_two_tracks(self, cfg):
+        tr = Tracker(cfg)
+        for i in range(4):
+            confirmed = tr.update([_det(5.0, 1.0, 10.0), _det(9.0, -2.0, -30.0)])
+        assert len(confirmed) == 2
+        ranges = sorted(t.range_m for t in confirmed)
+        assert abs(ranges[0] - 5.0) < 0.3 and abs(ranges[1] - 9.0) < 0.5
+
+    def test_track_coasts_then_dies(self, cfg):
+        params = TrackerConfig(confirm_hits=2, max_misses=2)
+        tr = Tracker(cfg, params)
+        tr.update([_det(5.0, 0.0, 0.0)])
+        tr.update([_det(5.0, 0.0, 0.0)])
+        assert len(tr.tracks) == 1
+        tr.update([])  # miss 1
+        tr.update([])  # miss 2 — still coasting
+        assert len(tr.tracks) == 1
+        tr.update([])  # miss 3 — deleted
+        assert len(tr.tracks) == 0
+
+    def test_clutter_not_confirmed(self, cfg):
+        """One-off detections at random places never confirm."""
+        rng = np.random.default_rng(3)
+        tr = Tracker(cfg)
+        for i in range(6):
+            confirmed = tr.update([
+                _det(float(rng.uniform(1, 15)), float(rng.uniform(-5, 5)),
+                     float(rng.uniform(-60, 60)))
+            ])
+        assert confirmed == []
+
+
+class TestTrackerEndToEnd:
+    def test_tracks_synthetic_scene(self, cfg, targets):
+        shorts = synthesize_capture(targets, 9, cfg, noise_std=2.0, seed=42)
+        pipe = RDPipeline(cfg, max_detections=8)
+        base = pipe.prepare_base(jnp.asarray(shorts[0]))
+        out = pipe.detect(jnp.asarray(shorts[1:]), base)
+        tracker = track_capture(out, cfg)
+        confirmed = [t for t in tracker.tracks if t.confirmed]
+        assert len(confirmed) >= 2
+        # both scene targets tracked at roughly the right kinematics
+        frame_interval = cfg.num_chirps * cfg.chirp_interval_s
+        for tgt in targets:
+            expect_r = tgt.range_m + tgt.velocity_mps * frame_interval * 8
+            best = min(confirmed, key=lambda t: abs(t.range_m - expect_r))
+            assert abs(best.range_m - expect_r) < 1.0
+            assert abs(best.velocity_mps - tgt.velocity_mps) < 1.0
+            assert abs(best.azimuth_deg - tgt.azimuth_deg) < 12.0
+
+    def test_detections_from_result_shape(self, cfg, targets):
+        shorts = synthesize_capture(targets, 3, cfg, noise_std=2.0, seed=1)
+        pipe = RDPipeline(cfg, max_detections=8)
+        base = pipe.prepare_base(jnp.asarray(shorts[0]))
+        out = pipe.detect(jnp.asarray(shorts[1:]), base)
+        dets = detections_from_result(out, 0)
+        assert dets and all(
+            set(d) == {"range_m", "velocity_mps", "azimuth_deg", "power"}
+            for d in dets
+        )
