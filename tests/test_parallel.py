@@ -108,3 +108,11 @@ def test_streamer_from_file(tmp_path, cfg, capture):
     streamer = FrameStreamer(str(path), batch=4, cfg=cfg)
     np.testing.assert_array_equal(streamer.base_frame, capture[0])
     assert streamer.num_batches == 3
+
+
+@pytest.mark.parametrize("n", [3, 5, 6])
+def test_dryrun_odd_device_counts(n):
+    """__graft_entry__.dryrun_multichip on non-power-of-2 meshes."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(n)

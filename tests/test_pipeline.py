@@ -8,6 +8,7 @@ within 1e-3 relative (BASELINE.json gates).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from radar_tpu import golden
 from radar_tpu.config import RadarConfig
@@ -130,3 +131,41 @@ class TestCfarImplSwitch:
         np.testing.assert_array_equal(
             np.asarray(out_a.num_hits), np.asarray(out_b.num_hits)
         )
+
+
+class TestParityStress:
+    def test_exact_bin_match_across_many_scenes(self, cfg):
+        """20 random scenes: detection indices must match golden exactly
+        (the BASELINE gate), across ranges, SNRs and multi-target mixes."""
+        rng = np.random.default_rng(99)
+        det = RangeDetector(cfg)
+        for trial in range(20):
+            n_tgt = int(rng.integers(1, 4))
+            tgts = [
+                SceneTarget(
+                    range_m=float(rng.uniform(1.0, 18.0)),
+                    velocity_mps=float(rng.uniform(-5, 5)),
+                    azimuth_deg=float(rng.uniform(-50, 50)),
+                    amplitude=float(rng.uniform(800, 4000)),
+                )
+                for _ in range(n_tgt)
+            ]
+            shorts = synthesize_capture(
+                tgts, 3, cfg, noise_std=float(rng.uniform(1, 20)), seed=trial
+            )
+            out = det.detect_capture(shorts)
+            want = golden.detect_capture(shorts, cfg)
+            for i, w in enumerate(want):
+                assert int(out.peak_bin[i]) == w.peak_bin, (trial, i)
+                assert float(out.peak_magnitude[i]) == pytest.approx(
+                    w.peak_magnitude, rel=1e-3
+                )
+
+    def test_rd_pipeline_deterministic(self, cfg, targets):
+        shorts = synthesize_capture(targets, 3, cfg, noise_std=2.0, seed=8)
+        pipe = RDPipeline(cfg, max_detections=8)
+        base = pipe.prepare_base(jnp.asarray(shorts[0]))
+        a = pipe.detect(jnp.asarray(shorts[1:]), base)
+        b = pipe.detect(jnp.asarray(shorts[1:]), base)
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
