@@ -1,0 +1,127 @@
+"""Live capture ingest: DCA1000-style UDP packet reassembly.
+
+The reference only replays files (hardcoded ``./fhy_direct.bin``,
+cudaBenchMarking.cpp:224); the capture card it models (TI DCA1000) actually
+streams raw ADC data over UDP.  This module provides the missing live path:
+
+* ``PacketReassembler`` — turns DCA1000 raw-mode datagrams into complete
+  frames.  Packet layout (DCA1000 raw mode): 4-byte little-endian sequence
+  number, 6-byte little-endian total-bytes-sent-before-this-packet, then
+  up to 1456 bytes of payload.  Lost packets are zero-filled using the
+  byte-offset field so frame alignment never drifts (the radar keeps
+  transmitting regardless).
+* ``udp_frames`` — generator reading datagrams from a UDP socket and
+  yielding frames, for feeding ``parallel.stream.FrameStreamer`` batches.
+
+Reassembly is pure host-side byte handling; frames come out as the same
+int16 arrays the file reader produces, so the rest of the pipeline is
+identical for live and replayed data.
+"""
+
+from __future__ import annotations
+
+import socket
+from typing import Iterator
+
+import numpy as np
+
+from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
+
+HEADER_BYTES = 10
+DEFAULT_PAYLOAD = 1456
+
+
+def make_packets(
+    frames: np.ndarray,
+    payload_bytes: int = DEFAULT_PAYLOAD,
+    start_seq: int = 0,
+) -> list[bytes]:
+    """Encode a frame stream into DCA1000 raw-mode datagrams (for tests,
+    replay tools and the synthetic live-source)."""
+    data = np.ascontiguousarray(frames, dtype="<i2").tobytes()
+    packets = []
+    offset = 0
+    seq = start_seq
+    while offset < len(data):
+        chunk = data[offset : offset + payload_bytes]
+        header = seq.to_bytes(4, "little") + offset.to_bytes(6, "little")
+        packets.append(header + chunk)
+        offset += len(chunk)
+        seq += 1
+    return packets
+
+
+class PacketReassembler:
+    """Accumulates datagrams into whole radar frames.
+
+    Out-of-order packets within the kernel's reorder window are handled by
+    the byte-offset field; gaps (lost packets) are zero-filled so the frame
+    boundary stays aligned.  ``dropped_bytes`` counts the zero-filled span.
+    """
+
+    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        self.frame_bytes = cfg.bytes_per_frame
+        self._buf = bytearray()
+        self._expected_offset = None  # byte offset of the next in-order packet
+        self.dropped_bytes = 0
+        self.packets_seen = 0
+
+    def feed(self, packet: bytes) -> list[np.ndarray]:
+        """Consume one datagram; return any frames completed by it."""
+        if len(packet) <= HEADER_BYTES:
+            return []
+        self.packets_seen += 1
+        offset = int.from_bytes(packet[4:10], "little")
+        payload = packet[HEADER_BYTES:]
+
+        if self._expected_offset is None:
+            self._expected_offset = offset
+        if offset > self._expected_offset:
+            gap = offset - self._expected_offset
+            self._buf.extend(b"\x00" * gap)  # zero-fill lost packets
+            self.dropped_bytes += gap
+        elif offset < self._expected_offset:
+            return []  # stale duplicate/reorder beyond window: drop
+        self._buf.extend(payload)
+        self._expected_offset = offset + len(payload)
+
+        frames = []
+        while len(self._buf) >= self.frame_bytes:
+            raw = bytes(self._buf[: self.frame_bytes])
+            del self._buf[: self.frame_bytes]
+            frames.append(np.frombuffer(raw, dtype="<i2"))
+        return frames
+
+
+def udp_frames(
+    port: int,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    host: str = "0.0.0.0",
+    max_frames: int | None = None,
+    timeout_s: float | None = 5.0,
+    rcvbuf_bytes: int = 8 << 20,
+) -> Iterator[np.ndarray]:
+    """Yield frames from a DCA1000-style UDP stream until timeout/count."""
+    reasm = PacketReassembler(cfg)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    # at 1000 fps the stream is 205 MB/s; a deep kernel buffer rides out
+    # scheduling hiccups (lost packets are zero-filled, not recovered)
+    sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, rcvbuf_bytes)
+    sock.bind((host, port))
+    if timeout_s is not None:
+        sock.settimeout(timeout_s)
+    produced = 0
+    try:
+        while max_frames is None or produced < max_frames:
+            try:
+                packet, _ = sock.recvfrom(HEADER_BYTES + DEFAULT_PAYLOAD)
+            except socket.timeout:
+                return
+            for frame in reasm.feed(packet):
+                yield frame
+                produced += 1
+                if max_frames is not None and produced >= max_frames:
+                    return
+    finally:
+        sock.close()
