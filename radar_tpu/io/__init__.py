@@ -6,6 +6,7 @@ from radar_tpu.io.capture import (
     iter_frames,
     write_capture,
 )
+from radar_tpu.io.live import PacketReassembler, make_packets, udp_frames
 from radar_tpu.io.synthetic import SceneTarget, synthesize_capture, synthesize_cube
 
 __all__ = [
@@ -18,4 +19,7 @@ __all__ = [
     "SceneTarget",
     "synthesize_capture",
     "synthesize_cube",
+    "PacketReassembler",
+    "make_packets",
+    "udp_frames",
 ]

