@@ -25,8 +25,6 @@ def test_bench_main_emits_json_line(monkeypatch, capsys):
 
 
 def test_detect_sharded_matches_local(cfg, capture):
-    import jax
-
     from radar_tpu.models.range_detector import RangeDetector
     from radar_tpu.parallel.mesh import build_mesh
 

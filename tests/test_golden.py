@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 from radar_tpu import golden
-from radar_tpu.config import RadarConfig
 from radar_tpu.io.synthetic import SceneTarget, synthesize_capture, synthesize_cube
 
 

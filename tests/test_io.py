@@ -3,7 +3,6 @@
 import numpy as np
 import pytest
 
-from radar_tpu.config import RadarConfig
 from radar_tpu.io.capture import (
     decode_frame,
     encode_frame,

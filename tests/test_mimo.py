@@ -1,7 +1,5 @@
 """TDM-MIMO virtual array (2 TX x 4 RX = 8 virtual elements)."""
 
-import dataclasses
-
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -6,7 +6,7 @@ import pytest
 
 from radar_tpu import golden
 from radar_tpu.config import RadarConfig
-from radar_tpu.io.synthetic import SceneTarget, synthesize_cube
+from radar_tpu.io.synthetic import synthesize_cube
 from radar_tpu.ops.cfar import ca_cfar_2d
 from radar_tpu.ops.dftmat import range_doppler_mxu
 from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas

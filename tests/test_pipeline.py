@@ -11,7 +11,6 @@ import numpy as np
 import pytest
 
 from radar_tpu import golden
-from radar_tpu.config import RadarConfig
 from radar_tpu.io.capture import encode_frame
 from radar_tpu.io.synthetic import SceneTarget, synthesize_capture, synthesize_cube
 from radar_tpu.models.range_detector import RangeDetector

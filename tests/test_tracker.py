@@ -3,7 +3,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+from radar_tpu.io.synthetic import synthesize_capture
 from radar_tpu.models.rd_pipeline import RDPipeline
 from radar_tpu.models.tracker import (
     Tracker,
