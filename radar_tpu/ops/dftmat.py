@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,21 +53,40 @@ def dft_matrix(
     return jnp.asarray(_dft_factors(n_in, n_fft, windowed, shift))
 
 
+def _cmatmul_planar(ar, ai, br, bi, eq: str):
+    """Complex matmul via 4 real MXU matmuls on split planes."""
+    rr = jnp.einsum(eq, ar, br) - jnp.einsum(eq, ai, bi)
+    ri = jnp.einsum(eq, ar, bi) + jnp.einsum(eq, ai, br)
+    return rr, ri
+
+
 def range_doppler_mxu(
     cube: jnp.ndarray,
     cfg: RadarConfig = DEFAULT_CONFIG,
     window: bool = True,
+    planar: bool = False,
 ) -> jnp.ndarray:
     """MXU range-Doppler map, same contract as ops.rangefft.range_doppler.
 
     Args:
       cube: complex64 (..., chirps, samples).
+      planar: decompose the complex matmuls into explicit real f32 matmuls
+        on split re/im planes (4 per product) instead of relying on XLA's
+        complex-dot lowering.
 
     Returns:
       complex64 (..., doppler_fft, range_fft), Doppler axis fftshifted.
     """
     f_rng = dft_matrix(cube.shape[-1], cfg.range_fft_size, window)
     f_dop = dft_matrix(cube.shape[-2], cfg.doppler_fft_size, window, shift=True)
-    # (..., C, S) @ (S, R) -> (..., C, R); then (D, C) @ (..., C, R)
-    rng = jnp.einsum("...cs,rs->...cr", cube, f_rng)
-    return jnp.einsum("dc,...cr->...dr", f_dop, rng)
+    if not planar:
+        # (..., C, S) @ (S, R) -> (..., C, R); then (D, C) @ (..., C, R)
+        rng = jnp.einsum("...cs,rs->...cr", cube, f_rng)
+        return jnp.einsum("dc,...cr->...dr", f_dop, rng)
+    rr, ri = _cmatmul_planar(
+        cube.real, cube.imag, f_rng.real, f_rng.imag, "...cs,rs->...cr"
+    )
+    dr, di = _cmatmul_planar(
+        f_dop.real, f_dop.imag, rr, ri, "dc,...cr->...dr"
+    )
+    return jax.lax.complex(dr, di)

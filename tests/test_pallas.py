@@ -180,3 +180,13 @@ class TestPallasCFARConfigs:
         )
         _, got = ca_cfar_2d_pallas(jnp.asarray(power), cfg, interpret=True)
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4)
+
+
+def test_mxu_planar_matches_complex(cfg):
+    rng = np.random.default_rng(61)
+    x = (rng.standard_normal((2, 4, cfg.num_chirps, cfg.num_samples))
+         + 1j * rng.standard_normal((2, 4, cfg.num_chirps, cfg.num_samples))
+         ).astype(np.complex64)
+    a = np.asarray(range_doppler_mxu(jnp.asarray(x), cfg, planar=False))
+    b = np.asarray(range_doppler_mxu(jnp.asarray(x), cfg, planar=True))
+    assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
