@@ -108,6 +108,61 @@ def cmd_detect(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Live serving: DCA1000-style UDP stream -> JSONL detections + tracks.
+
+    The first received frame is the empty-scene base frame (like frame 0
+    of a capture file); every subsequent frame is detected and fed to the
+    tracker, with one JSONL record per frame on stdout.
+    """
+    import jax
+
+    from radar_tpu.io.live import udp_frames
+    from radar_tpu.models.rd_pipeline import RDPipeline
+    from radar_tpu.models.tracker import Tracker
+
+    cfg = RadarConfig()
+    pipe = RDPipeline(cfg, max_detections=args.max_detections)
+    tracker = Tracker(cfg)
+
+    frames = udp_frames(
+        args.port, cfg, host=args.host,
+        max_frames=None if args.max_frames < 0 else args.max_frames,
+        timeout_s=args.timeout,
+    )
+    base = None
+    n = 0
+    for frame in frames:
+        if base is None:
+            base = jax.block_until_ready(pipe.prepare_base(frame))
+            print(json.dumps({"event": "base_frame"}), flush=True)
+            continue
+        out = pipe.detect(frame[None], base)
+        n += 1
+        dets = [
+            {
+                "range_m": round(float(out.range_m[0, k]), 4),
+                "velocity_mps": round(float(out.velocity_mps[0, k]), 4),
+                "azimuth_deg": round(float(out.azimuth_deg[0, k]), 2),
+                "power": float(out.power[0, k]),
+            }
+            for k in range(out.valid.shape[1]) if bool(out.valid[0, k])
+        ]
+        confirmed = tracker.update(dets)
+        print(json.dumps({
+            "frame": n,
+            "detections": dets,
+            "tracks": [
+                {"id": t.track_id, "range_m": round(t.range_m, 4),
+                 "velocity_mps": round(t.velocity_mps, 4),
+                 "azimuth_deg": round(t.azimuth_deg, 2)}
+                for t in confirmed
+            ],
+        }), flush=True)
+    print(f"# served {n} frames", file=sys.stderr)
+    return 0
+
+
 def cmd_track(args) -> int:
     """Detect + multi-frame tracking; prints confirmed object tracks."""
     import jax
@@ -288,6 +343,16 @@ def main(argv=None) -> int:
     d.add_argument("--resume", action="store_true",
                    help="append records after the last frame already in --out")
     d.set_defaults(fn=cmd_detect)
+
+    s = sub.add_parser("serve", help="live UDP stream -> JSONL detections")
+    s.add_argument("--port", type=int, required=True)
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--max-frames", type=int, default=-1,
+                   help="stop after N frames (default: run until timeout)")
+    s.add_argument("--timeout", type=float, default=5.0,
+                   help="socket timeout in seconds")
+    s.add_argument("--max-detections", type=int, default=16)
+    s.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("track", help="detect + multi-frame object tracking")
     t.add_argument("path")

@@ -91,3 +91,53 @@ def test_udp_loopback_end_to_end(cfg, capture):
     want = golden.detect_capture(capture[:4], cfg)
     for i, w in enumerate(want):
         assert int(out.peak_bin[i]) == w.peak_bin
+
+
+def test_serve_loopback(cfg, capsys):
+    """cli serve: UDP frames in, JSONL detections + tracks out."""
+    import time
+    from radar_tpu import cli
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+    import json as _json
+
+    capture = synthesize_capture(
+        [SceneTarget(range_m=5.0, velocity_mps=0.0, azimuth_deg=15.0,
+                     amplitude=3000.0)],
+        5, cfg, noise_std=2.0, seed=71,
+    )
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        sock.bind(("127.0.0.1", 0))
+    except OSError:
+        pytest.skip("no loopback sockets in sandbox")
+    port = sock.getsockname()[1]
+    sock.close()
+
+    packets = make_packets(capture)
+
+    def send():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i, p in enumerate(packets):
+            tx.sendto(p, ("127.0.0.1", port))
+            if i % 64 == 63:
+                time.sleep(0.001)
+        tx.close()
+
+    t = threading.Timer(0.5, send)
+    t.start()
+    rc = cli.main(["serve", "--port", str(port), "--host", "127.0.0.1",
+                   "--max-frames", "5", "--timeout", "15"])
+    t.join()
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    recs = [_json.loads(l) for l in lines]
+    assert recs[0] == {"event": "base_frame"}
+    frame_recs = [r for r in recs if "frame" in r]
+    assert len(frame_recs) == 4
+    assert any(
+        abs(d["range_m"] - 5.0) < 1.0
+        for r in frame_recs for d in r["detections"]
+    )
+    # tracker confirms by the second frame
+    assert frame_recs[-1]["tracks"]
+    assert abs(frame_recs[-1]["tracks"][0]["range_m"] - 5.0) < 1.0
