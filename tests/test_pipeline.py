@@ -168,3 +168,16 @@ class TestParityStress:
         b = pipe.detect(jnp.asarray(shorts[1:]), base)
         for la, lb in zip(a, b):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_rd_pipeline_unbatched_frame(cfg, targets):
+    """A single unbatched frame (serving path) produces the same result as
+    a batch of one."""
+    shorts = synthesize_capture(targets, 2, cfg, noise_std=2.0, seed=12)
+    pipe = RDPipeline(cfg, max_detections=8)
+    base = pipe.prepare_base(jnp.asarray(shorts[0]))
+    batched = pipe.detect(jnp.asarray(shorts[1:2]), base)
+    single = pipe.detect(jnp.asarray(shorts[1])[None], base)
+    np.testing.assert_array_equal(
+        np.asarray(batched.range_bin), np.asarray(single.range_bin)
+    )
