@@ -37,8 +37,15 @@ class RangeDetector:
         out = det.detect(frames[1:], base)       # PeakDetection, batched
     """
 
-    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG):
+    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
+                 detect_impl: str = "auto"):
+        """Args:
+          detect_impl: 'auto'/'xla' (fused XLA argmax) or
+            'pallas'/'pallas-interpret' (fused |X|^2+mask+argmax kernel,
+            ops/pallas/magargmax.py).
+        """
         self.cfg = cfg
+        self.detect_impl = detect_impl
 
     # -- base frame ------------------------------------------------------
     def prepare_base(self, frame0_shorts: jnp.ndarray) -> jnp.ndarray:
@@ -82,7 +89,19 @@ class RangeDetector:
           shorts: int16 (batch, shorts_per_frame) — or unbatched (S,).
           base_rx0: complex64 (rx_samples,) from :meth:`prepare_base`.
         """
-        return peak_detect(self.spectrum(shorts, base_rx0), self.cfg)
+        spec = self.spectrum(shorts, base_rx0)
+        impl = self.detect_impl
+        if impl in ("auto", "xla"):
+            return peak_detect(spec, self.cfg)
+        from radar_tpu.ops.detect import distance_from_bin
+        from radar_tpu.ops.pallas.magargmax import masked_argmax_pallas
+
+        interpret = (
+            impl == "pallas-interpret" or jax.default_backend() != "tpu"
+        )
+        peak_bin, mag = masked_argmax_pallas(spec, self.cfg, interpret=interpret)
+        rescaled, dist = distance_from_bin(peak_bin, self.cfg)
+        return PeakDetection(peak_bin, rescaled, dist, mag)
 
     # -- convenience: whole-capture run ------------------------------------
     def detect_capture(self, frames_shorts) -> PeakDetection:

@@ -64,7 +64,7 @@ def range_doppler_mxu(
     cube: jnp.ndarray,
     cfg: RadarConfig = DEFAULT_CONFIG,
     window: bool = True,
-    planar: bool = False,
+    planar: bool = True,
 ) -> jnp.ndarray:
     """MXU range-Doppler map, same contract as ops.rangefft.range_doppler.
 
@@ -72,7 +72,8 @@ def range_doppler_mxu(
       cube: complex64 (..., chirps, samples).
       planar: decompose the complex matmuls into explicit real f32 matmuls
         on split re/im planes (4 per product) instead of relying on XLA's
-        complex-dot lowering.
+        complex-dot lowering — measured 15% faster on v5e (11.0 vs 13.0 ms
+        per 512-frame batch); default.
 
     Returns:
       complex64 (..., doppler_fft, range_fft), Doppler axis fftshifted.

@@ -10,13 +10,10 @@ never materializes in HBM and only two scalars per frame leave the chip.
 
 Rows are processed 8 at a time (one f32 sublane tile).
 
-Backend note: on the axon remote-TPU transport, a program that derives the
-kernel's f32 operands from a complex64 array (jnp.real/imag, |.|^2, even
-behind an optimization_barrier) fails with UNIMPLEMENTED at runtime, while
-the identical kernel fed f32 arrays produced by a *previous* program works.
-The wrapper is therefore deliberately NOT jitted: the plane split and the
-pallas_call dispatch as separate programs (async dispatch makes the extra
-hop free).  Do not inline this into a larger jit on axon.
+Backend note: the axon remote-TPU transport cannot move complex64 across
+the host<->device boundary (H2D or D2H) — verified fine when the spectrum
+is produced on device (int16 capture -> decode -> FFT -> this kernel, all
+in one jit).  Keep complex values device-resident on that transport.
 """
 
 from __future__ import annotations
@@ -48,6 +45,7 @@ def _kernel(re_ref, im_ref, idx_ref, mag_ref, *, scan_bins, n):
     mag_ref[:] = jnp.sqrt(peak)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def masked_argmax_pallas(
     spectrum: jnp.ndarray,
     cfg: RadarConfig = DEFAULT_CONFIG,

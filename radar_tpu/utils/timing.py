@@ -19,6 +19,13 @@ from typing import Callable
 import jax
 
 
+@jax.jit
+def _complex_power_sum(v):
+    import jax.numpy as jnp
+
+    return jnp.sum(v.real * v.real + v.imag * v.imag)
+
+
 class Timer:
     """Monotonic stopwatch (the reference Timer's contract)."""
 
@@ -78,10 +85,14 @@ def fence(tree) -> None:
 
     total = jnp.float32(0)
     for leaf in jax.tree.leaves(tree):
-        leaf = jnp.asarray(leaf)
+        if not isinstance(leaf, jax.Array):
+            continue  # host value: already materialized
         if jnp.iscomplexobj(leaf):
-            leaf = leaf.real
-        total = total + jnp.sum(leaf.astype(jnp.float32))
+            # reduce c64 -> f32 on device in one jitted program; complex64
+            # values cannot cross the host boundary on the axon transport
+            total = total + _complex_power_sum(leaf)
+        else:
+            total = total + jnp.sum(leaf.astype(jnp.float32))
     float(total)
 
 

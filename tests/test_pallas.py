@@ -190,3 +190,20 @@ def test_mxu_planar_matches_complex(cfg):
     a = np.asarray(range_doppler_mxu(jnp.asarray(x), cfg, planar=False))
     b = np.asarray(range_doppler_mxu(jnp.asarray(x), cfg, planar=True))
     assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
+
+
+def test_range_detector_pallas_impl_matches(cfg, capture):
+    from radar_tpu.models.range_detector import RangeDetector
+
+    a = RangeDetector(cfg, detect_impl="xla")
+    b = RangeDetector(cfg, detect_impl="pallas-interpret")
+    base = a.prepare_base(jnp.asarray(capture[0]))
+    oa = a.detect(jnp.asarray(capture[1:]), base)
+    ob = b.detect(jnp.asarray(capture[1:]), base)
+    np.testing.assert_array_equal(np.asarray(oa.peak_bin), np.asarray(ob.peak_bin))
+    np.testing.assert_array_equal(
+        np.asarray(oa.rescaled_bin), np.asarray(ob.rescaled_bin)
+    )
+    np.testing.assert_allclose(
+        np.asarray(oa.peak_magnitude), np.asarray(ob.peak_magnitude), rtol=1e-6
+    )
