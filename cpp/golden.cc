@@ -170,7 +170,6 @@ int radar_process_capture(const RadarParams* p, const char* path,
                           double* timings, double* distances,
                           int max_frames) {
   const int shorts_per_frame = radar_shorts_per_frame(p);
-  const size_t frame_bytes = (size_t)shorts_per_frame * sizeof(int16_t);
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
 
@@ -230,6 +229,88 @@ int radar_process_capture(const RadarParams* p, const char* path,
     timings[3] = t_max;
   }
   return n;
+}
+
+void radar_range_doppler(const double* in_re, const double* in_im,
+                         int chirps_in, int samples_in, int doppler_fft,
+                         int range_fft, int window, double* out_re,
+                         double* out_im) {
+  // windowed copy into the zero-padded (doppler_fft, range_fft) plane
+  std::vector<double> re((size_t)doppler_fft * range_fft, 0.0);
+  std::vector<double> im((size_t)doppler_fft * range_fft, 0.0);
+  for (int c = 0; c < chirps_in; ++c) {
+    const double wc =
+        window ? 0.5 - 0.5 * std::cos(2.0 * M_PI * c / chirps_in) : 1.0;
+    for (int s = 0; s < samples_in; ++s) {
+      const double ws =
+          window ? 0.5 - 0.5 * std::cos(2.0 * M_PI * s / samples_in) : 1.0;
+      re[(size_t)c * range_fft + s] = wc * ws * in_re[c * samples_in + s];
+      im[(size_t)c * range_fft + s] = wc * ws * in_im[c * samples_in + s];
+    }
+  }
+  // range FFT along rows
+  for (int c = 0; c < doppler_fft; ++c) {
+    radar_fft(re.data() + (size_t)c * range_fft,
+              im.data() + (size_t)c * range_fft, range_fft);
+  }
+  // Doppler FFT along columns (gather/scatter through a scratch line)
+  std::vector<double> col_re(doppler_fft), col_im(doppler_fft);
+  for (int s = 0; s < range_fft; ++s) {
+    for (int c = 0; c < doppler_fft; ++c) {
+      col_re[c] = re[(size_t)c * range_fft + s];
+      col_im[c] = im[(size_t)c * range_fft + s];
+    }
+    radar_fft(col_re.data(), col_im.data(), doppler_fft);
+    // fftshift the Doppler axis on write-back
+    const int half = doppler_fft / 2;
+    for (int c = 0; c < doppler_fft; ++c) {
+      const int shifted = (c + half) % doppler_fft;
+      out_re[(size_t)shifted * range_fft + s] = col_re[c];
+      out_im[(size_t)shifted * range_fft + s] = col_im[c];
+    }
+  }
+}
+
+void radar_ca_cfar(const double* power, int d, int r, int guard_d,
+                   int guard_r, int train_d, int train_r, double pfa,
+                   double* threshold, uint8_t* hits) {
+  const int wd = guard_d + train_d, wr = guard_r + train_r;
+  const int n_train =
+      (2 * wd + 1) * (2 * wr + 1) - (2 * guard_d + 1) * (2 * guard_r + 1);
+  const double alpha = n_train * (std::pow(pfa, -1.0 / n_train) - 1.0);
+
+  // separable circular box sums (same wrap convention as the TPU kernel)
+  auto box = [&](const std::vector<double>& src, int half_d, int half_r,
+                 std::vector<double>& dst) {
+    std::vector<double> rows((size_t)d * r);
+    for (int i = 0; i < d; ++i) {
+      for (int j = 0; j < r; ++j) {
+        double acc = 0.0;
+        for (int k = -half_r; k <= half_r; ++k) {
+          acc += src[(size_t)i * r + ((j + k) % r + r) % r];
+        }
+        rows[(size_t)i * r + j] = acc;
+      }
+    }
+    for (int i = 0; i < d; ++i) {
+      for (int j = 0; j < r; ++j) {
+        double acc = 0.0;
+        for (int k = -half_d; k <= half_d; ++k) {
+          acc += rows[(size_t)(((i + k) % d + d) % d) * r + j];
+        }
+        dst[(size_t)i * r + j] = acc;
+      }
+    }
+  };
+  std::vector<double> p(power, power + (size_t)d * r);
+  std::vector<double> total((size_t)d * r), inner((size_t)d * r);
+  box(p, wd, wr, total);
+  box(p, guard_d, guard_r, inner);
+  for (size_t i = 0; i < (size_t)d * r; ++i) {
+    const double noise = (total[i] - inner[i]) / n_train;
+    threshold[i] = alpha * noise;
+    hits[i] = power[i] > threshold[i] ? 1 : 0;
+  }
 }
 
 }  // extern "C"

@@ -73,6 +73,22 @@ int radar_process_capture(const RadarParams* p, const char* path,
                           double* timings, double* distances,
                           int max_frames);
 
+// Windowed range-Doppler map for one channel: input (chirps_in, samples_in)
+// complex -> output (doppler_fft, range_fft) complex, Doppler axis
+// fftshifted.  Periodic Hann windows on both axes when window != 0.
+// Matches radar_tpu.golden.range_doppler_map.
+void radar_range_doppler(const double* in_re, const double* in_im,
+                         int chirps_in, int samples_in, int doppler_fft,
+                         int range_fft, int window, double* out_re,
+                         double* out_im);
+
+// 2D cell-averaging CFAR with wrap-around edges (matches
+// radar_tpu.golden.ca_cfar_2d).  power: (d, r) row-major; outputs
+// threshold (d, r) and hit flags (0/1).
+void radar_ca_cfar(const double* power, int d, int r, int guard_d,
+                   int guard_r, int train_d, int train_r, double pfa,
+                   double* threshold, uint8_t* hits);
+
 #ifdef __cplusplus
 }  // extern "C"
 #endif

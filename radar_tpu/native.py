@@ -99,6 +99,16 @@ def load() -> ctypes.CDLL:
             ctypes.c_int,
         ]
         lib.radar_process_capture.restype = ctypes.c_int
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.radar_range_doppler.argtypes = [
+            dp, dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, dp, dp,
+        ]
+        lib.radar_ca_cfar.argtypes = [
+            dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, dp,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
     return _lib
 
@@ -160,6 +170,47 @@ def base_frame(frame0_shorts: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG):
     p = _params(cfg)
     lib.radar_base_frame(ctypes.byref(p), _sptr(frame), _dptr(re), _dptr(im))
     return re + 1j * im
+
+
+def range_doppler_map(
+    channel: np.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    window: bool = True,
+) -> np.ndarray:
+    """Native RD map for one channel: complex (chirps, samples) ->
+    complex (doppler_fft, range_fft), Doppler fftshifted."""
+    lib = load()
+    x = np.asarray(channel, np.complex128)
+    c, s = x.shape
+    re = np.ascontiguousarray(x.real)
+    im = np.ascontiguousarray(x.imag)
+    d, r = cfg.doppler_fft_size, cfg.range_fft_size
+    out_re = np.empty((d, r), np.float64)
+    out_im = np.empty((d, r), np.float64)
+    lib.radar_range_doppler(
+        _dptr(re), _dptr(im), c, s, d, r, int(window), _dptr(out_re),
+        _dptr(out_im),
+    )
+    return out_re + 1j * out_im
+
+
+def ca_cfar_2d(
+    power: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native 2D CA-CFAR: (hits bool, threshold) for a (d, r) power map."""
+    import ctypes as ct
+
+    lib = load()
+    p = np.ascontiguousarray(power, np.float64)
+    d, r = p.shape
+    thresh = np.empty((d, r), np.float64)
+    hits = np.empty((d, r), np.uint8)
+    lib.radar_ca_cfar(
+        _dptr(p), d, r, cfg.cfar_guard[0], cfg.cfar_guard[1],
+        cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa, _dptr(thresh),
+        hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+    )
+    return hits.astype(bool), thresh
 
 
 def process_capture(

@@ -71,3 +71,30 @@ def test_bench_cli(tmp_path, cfg, capture):
     assert "Total Time for 9 frames" in out.stdout
     assert "FPS" in out.stdout
     assert "Total FFT time" in out.stdout
+
+
+def test_native_range_doppler_matches_numpy_golden(cfg):
+    rng = np.random.default_rng(67)
+    ch = (rng.standard_normal((cfg.num_chirps, cfg.num_samples))
+          + 1j * rng.standard_normal((cfg.num_chirps, cfg.num_samples)))
+    want = golden.range_doppler_map(ch, cfg)
+    got = native.range_doppler_map(ch, cfg)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+    # no-window variant too
+    np.testing.assert_allclose(
+        native.range_doppler_map(ch, cfg, window=False),
+        golden.range_doppler_map(ch, cfg, window=False),
+        rtol=1e-9, atol=1e-9,
+    )
+
+
+def test_native_cfar_matches_numpy_golden(cfg):
+    rng = np.random.default_rng(71)
+    power = rng.exponential(1.0, (cfg.doppler_fft_size, cfg.range_fft_size))
+    power[30, 40] = 900.0
+    want_hits, want_thresh = golden.ca_cfar_2d(
+        power, cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa
+    )
+    got_hits, got_thresh = native.ca_cfar_2d(power, cfg)
+    np.testing.assert_allclose(got_thresh, want_thresh, rtol=1e-12)
+    np.testing.assert_array_equal(got_hits, want_hits)
