@@ -1,0 +1,135 @@
+"""Matplotlib visualization for radar products.
+
+Engineering plots for captures, detections, and tracks.  Conventions:
+magnitude maps use a single perceptually-uniform sequential colormap,
+detections overlay as outlined markers (identity never by color alone),
+one axis per chart, categorical series colors in fixed order.
+
+Headless-safe: uses the Agg backend unless one is already selected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import matplotlib
+
+if matplotlib.get_backend().lower() not in ("agg",) and not hasattr(
+    matplotlib, "_radar_tpu_backend_set"
+):
+    try:
+        matplotlib.use("Agg")
+    except Exception:
+        pass
+    matplotlib._radar_tpu_backend_set = True
+
+import matplotlib.pyplot as plt
+
+from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
+
+# fixed categorical order for track series
+_SERIES = ["#4477aa", "#ee6677", "#228833", "#ccbb44", "#66ccee", "#aa3377"]
+
+
+def plot_range_profile(
+    spectrum: np.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    peak_bin: int | None = None,
+    path: str | None = None,
+):
+    """Range spectrum magnitude over the scan window, axis in meters."""
+    mag = np.abs(np.asarray(spectrum))[: cfg.scan_bins]
+    ranges = np.array(
+        [cfg.bin_to_physical_distance(i) for i in range(cfg.scan_bins)]
+    )
+    fig, ax = plt.subplots(figsize=(8, 3.2), constrained_layout=True)
+    ax.plot(ranges, mag, lw=1.2, color=_SERIES[0])
+    if peak_bin is not None:
+        ax.plot(
+            ranges[peak_bin], mag[peak_bin], "o", ms=7,
+            mfc="none", mec=_SERIES[1], mew=1.6,
+            label=f"peak: {ranges[peak_bin]:.2f} m",
+        )
+        ax.legend(frameon=False)
+    ax.set_xlabel("range (m)")
+    ax.set_ylabel("|X|")
+    ax.grid(alpha=0.25, lw=0.5)
+    ax.spines[["top", "right"]].set_visible(False)
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def plot_range_doppler(
+    power: np.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    detections: list[dict] | None = None,
+    path: str | None = None,
+    db: bool = True,
+):
+    """RD power map with physical axes and optional detection overlay.
+
+    Args:
+      power: (doppler, range) non-negative power.
+      detections: dicts with range_m / velocity_mps (e.g. from
+        tracker.detections_from_result).
+    """
+    p = np.asarray(power, np.float64)
+    img = 10.0 * np.log10(np.maximum(p, p.max() * 1e-8)) if db else p
+    d, r = p.shape
+    v_max = (d // 2) / (d * cfg.slow_time_interval_s) * cfg.wavelength_m / 2
+    r_max = cfg.sample_rate_hz * 3.0e8 / (2 * cfg.slope_hz_per_s)  # full axis
+    r_max = r_max * (r - 1) / r
+    fig, ax = plt.subplots(figsize=(7, 4.6), constrained_layout=True)
+    im = ax.imshow(
+        img,
+        origin="lower",
+        aspect="auto",
+        extent=[0, r_max, -v_max, v_max],
+        cmap="magma",
+        interpolation="nearest",
+    )
+    fig.colorbar(im, ax=ax, label="power (dB)" if db else "power")
+    if detections:
+        ax.plot(
+            [det["range_m"] for det in detections],
+            [det["velocity_mps"] for det in detections],
+            "o", ms=9, mfc="none", mec="#66ccee", mew=1.8,
+            label="CFAR detections",
+        )
+        ax.legend(frameon=False, loc="upper right", labelcolor="white")
+    ax.set_xlabel("range (m)")
+    ax.set_ylabel("radial velocity (m/s)")
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def plot_tracks(
+    tracker,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    path: str | None = None,
+):
+    """Track range histories over time, one fixed-order color per track."""
+    fig, ax = plt.subplots(figsize=(8, 3.6), constrained_layout=True)
+    dt = cfg.num_chirps * cfg.chirp_interval_s
+    confirmed = [t for t in tracker.tracks if t.confirmed]
+    for i, tr in enumerate(confirmed):
+        hist = np.array([h[0] for h in tr.history])
+        t_axis = np.arange(len(hist)) * dt * 1e3
+        color = _SERIES[i % len(_SERIES)]
+        ax.plot(t_axis, hist, lw=1.6, color=color)
+        ax.annotate(
+            f"track {tr.track_id}", (t_axis[-1], hist[-1]),
+            textcoords="offset points", xytext=(4, 0), fontsize=8,
+        )
+    ax.set_xlabel("time (ms)")
+    ax.set_ylabel("range (m)")
+    ax.grid(alpha=0.25, lw=0.5)
+    ax.spines[["top", "right"]].set_visible(False)
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
