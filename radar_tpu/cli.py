@@ -70,13 +70,13 @@ def cmd_detect(args) -> int:
             print(f"{args.out} already covers all {len(capture)-1} frames")
             return 0
     det = RangeDetector(cfg)
-    out = jax.block_until_ready(det.detect_capture(capture))
+    out = jax.tree.map(np.asarray, det.detect_capture(capture))
 
     records = []
     if args.full:
         pipe = RDPipeline(cfg, max_detections=args.max_detections)
         base = pipe.prepare_base(capture[0])
-        rd = jax.block_until_ready(pipe.detect(capture[1:], base))
+        rd = jax.tree.map(np.asarray, pipe.detect(capture[1:], base))
     for i in range(start_frame - 1, len(capture) - 1):
         dets = None
         if args.full:
@@ -119,7 +119,7 @@ def cmd_serve(args) -> int:
 
     from radar_tpu.io.live import udp_frames
     from radar_tpu.models.rd_pipeline import RDPipeline
-    from radar_tpu.models.tracker import Tracker
+    from radar_tpu.models.tracker import Tracker, group_peaks
 
     cfg = RadarConfig()
     pipe = RDPipeline(cfg, max_detections=args.max_detections)
@@ -137,7 +137,7 @@ def cmd_serve(args) -> int:
             base = jax.block_until_ready(pipe.prepare_base(frame))
             print(json.dumps({"event": "base_frame"}), flush=True)
             continue
-        out = pipe.detect(frame[None], base)
+        out = jax.tree.map(np.asarray, pipe.detect(frame[None], base))
         n += 1
         dets = [
             {
@@ -148,6 +148,7 @@ def cmd_serve(args) -> int:
             }
             for k in range(out.valid.shape[1]) if bool(out.valid[0, k])
         ]
+        dets = group_peaks(dets)
         confirmed = tracker.update(dets)
         print(json.dumps({
             "frame": n,
@@ -171,11 +172,13 @@ def cmd_track(args) -> int:
     from radar_tpu.models.rd_pipeline import RDPipeline
     from radar_tpu.models.tracker import TrackerConfig, track_capture
 
+    from radar_tpu.models.tracker import materialize_result
+
     cfg = RadarConfig()
     capture = read_capture(args.path, cfg)
     pipe = RDPipeline(cfg, max_detections=args.max_detections)
     base = pipe.prepare_base(capture[0])
-    out = jax.block_until_ready(pipe.detect(capture[1:], base))
+    out = materialize_result(pipe.detect(capture[1:], base))
     tracker = track_capture(out, cfg, TrackerConfig())
     tracks = [t for t in tracker.tracks if t.confirmed]
     for t in tracks:
@@ -293,7 +296,7 @@ def cmd_verify(args) -> int:
     cfg = RadarConfig()
     capture = read_capture(args.path, cfg)
     det = RangeDetector(cfg)
-    got = jax.block_until_ready(det.detect_capture(capture))
+    got = jax.tree.map(np.asarray, det.detect_capture(capture))
     want = golden.detect_capture(capture, cfg)
 
     failures = 0

@@ -159,10 +159,48 @@ class Tracker:
         return [t for t in self.tracks if t.confirmed]
 
 
-def detections_from_result(rd_result, frame: int) -> list[dict]:
-    """Extract frame ``frame``'s valid detections from a batched RDResult."""
+def materialize_result(rd_result):
+    """Bulk device->host transfer of a batched RDResult.
+
+    One transfer per leaf instead of one per scalar — on remote-TPU
+    transports each materialization is a ~27 ms round trip, so per-element
+    ``float(...)`` loops cost seconds per frame batch.
+    """
+    return type(rd_result)(*(np.asarray(l) for l in rd_result))
+
+
+def group_peaks(
+    detections: list[dict],
+    range_window_m: float = 1.2,
+    velocity_window_mps: float = 0.8,
+) -> list[dict]:
+    """Peak grouping: collapse CFAR cell clusters to their strongest cell.
+
+    A real target trips several adjacent range-Doppler cells (mainlobe +
+    window leakage); tracking every cell spawns one track per sidelobe.
+    Greedy strongest-first suppression within a (range, velocity) window
+    is the standard radar "peak grouping" step.
+    """
+    kept: list[dict] = []
+    for d in sorted(detections, key=lambda x: -x.get("power", 0.0)):
+        clustered = any(
+            abs(d["range_m"] - k["range_m"]) <= range_window_m
+            and abs(d["velocity_mps"] - k["velocity_mps"]) <= velocity_window_mps
+            for k in kept
+        )
+        if not clustered:
+            kept.append(d)
+    return kept
+
+
+def detections_from_result(rd_result, frame: int, group: bool = True) -> list[dict]:
+    """Extract frame ``frame``'s valid detections from a batched RDResult.
+
+    Pass a :func:`materialize_result`-ed result when calling in a loop.
+    """
+    rd_result = materialize_result(rd_result)
     out = []
-    valid = np.asarray(rd_result.valid[frame])
+    valid = rd_result.valid[frame]
     for k in range(valid.shape[0]):
         if valid[k]:
             out.append(
@@ -173,14 +211,15 @@ def detections_from_result(rd_result, frame: int) -> list[dict]:
                     "power": float(rd_result.power[frame, k]),
                 }
             )
-    return out
+    return group_peaks(out) if group else out
 
 
 def track_capture(rd_result, cfg: RadarConfig = DEFAULT_CONFIG,
                   params: TrackerConfig = TrackerConfig()):
     """Run the tracker over a whole batched RDResult; returns the tracker."""
+    rd_result = materialize_result(rd_result)
     tracker = Tracker(cfg, params)
-    n = np.asarray(rd_result.num_hits).shape[0]
+    n = rd_result.num_hits.shape[0]
     for f in range(n):
         tracker.update(detections_from_result(rd_result, f))
     return tracker
