@@ -3,7 +3,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from radar_tpu.io.synthetic import synthesize_capture
+from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
 from radar_tpu.models.rd_pipeline import RDPipeline
 from radar_tpu.models.tracker import (
     Tracker,
@@ -92,3 +92,37 @@ class TestTrackerEndToEnd:
             set(d) == {"range_m", "velocity_mps", "azimuth_deg", "power"}
             for d in dets
         )
+
+
+class TestPeakGrouping:
+    def test_sidelobes_collapse_to_strongest(self):
+        from radar_tpu.models.tracker import group_peaks
+
+        dets = [
+            _det(5.0, 2.0, 15.0, p=100.0),
+            _det(5.4, 2.0, 15.0, p=40.0),   # range sidelobe
+            _det(5.0, 2.2, 15.0, p=30.0),   # doppler sidelobe
+            _det(9.0, -1.0, -30.0, p=80.0),
+            _det(8.6, -1.0, -30.0, p=20.0),
+        ]
+        kept = group_peaks(dets)
+        assert len(kept) == 2
+        assert kept[0]["power"] == 100.0 and kept[1]["power"] == 80.0
+
+    def test_distinct_targets_survive(self):
+        from radar_tpu.models.tracker import group_peaks
+
+        dets = [_det(5.0, 2.0, 0.0, p=10.0), _det(5.0, -2.0, 0.0, p=9.0)]
+        assert len(group_peaks(dets)) == 2  # same range, opposite velocity
+
+    def test_materialize_result_is_numpy(self, cfg, targets):
+        from radar_tpu.models.tracker import materialize_result
+
+        shorts = synthesize_capture(targets, 2, cfg, noise_std=2.0, seed=2)
+        pipe = RDPipeline(cfg, max_detections=4)
+        base = pipe.prepare_base(jnp.asarray(shorts[0]))
+        out = materialize_result(pipe.detect(jnp.asarray(shorts[1:]), base))
+        assert all(isinstance(l, np.ndarray) for l in out)
+        # idempotent
+        out2 = materialize_result(out)
+        np.testing.assert_array_equal(out.range_bin, out2.range_bin)
