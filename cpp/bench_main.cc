@@ -24,11 +24,13 @@ int main(int argc, char** argv) {
   RadarParams p;
   radar_default_params(&p);
 
-  std::vector<double> distances(max_frames > 0 ? max_frames : 1 << 20);
+  // pass the buffer capacity as the frame cap so the capture loop can
+  // never write past the allocation
+  const int cap = max_frames > 0 ? max_frames : 1 << 20;
+  std::vector<double> distances(cap);
   double t[4] = {0, 0, 0, 0};
   std::printf("CPU Timing (native golden model)\n");
-  const int n = radar_process_capture(&p, path, t, distances.data(),
-                                      max_frames);
+  const int n = radar_process_capture(&p, path, t, distances.data(), cap);
   if (n < 0) {
     std::fprintf(stderr, "unable to read the specified file: %s\n", path);
     return 1;

@@ -83,6 +83,7 @@ void radar_decode_frame(const RadarParams* p, const int16_t* shorts,
 }
 
 void radar_fft(double* re, double* im, int n) {
+  if (n <= 0 || (n & (n - 1))) return;  // radix-2 only; refuse non-pow2
   // bit-reversal permutation
   for (int i = 1, j = 0; i < n; ++i) {
     int bit = n >> 1;

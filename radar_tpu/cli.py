@@ -69,33 +69,37 @@ def cmd_detect(args) -> int:
         if start_frame >= len(capture):
             print(f"{args.out} already covers all {len(capture)-1} frames")
             return 0
+    # detect only the frames that still need records (resume == seek: the
+    # pipeline is stateless past the base frame)
+    todo = capture[start_frame:]
     det = RangeDetector(cfg)
-    out = jax.tree.map(np.asarray, det.detect_capture(capture))
+    base_rx0 = det.prepare_base(capture[0])
+    out = jax.tree.map(np.asarray, det.detect(todo, base_rx0))
 
     records = []
     if args.full:
         pipe = RDPipeline(cfg, max_detections=args.max_detections)
         base = pipe.prepare_base(capture[0])
-        rd = jax.tree.map(np.asarray, pipe.detect(capture[1:], base))
-    for i in range(start_frame - 1, len(capture) - 1):
+        rd = jax.tree.map(np.asarray, pipe.detect(todo, base))
+    for j in range(len(todo)):
         dets = None
         if args.full:
             dets = [
                 {
-                    "range_m": round(float(rd.range_m[i, k]), 4),
-                    "velocity_mps": round(float(rd.velocity_mps[i, k]), 4),
-                    "azimuth_deg": round(float(rd.azimuth_deg[i, k]), 2),
-                    "power": float(rd.power[i, k]),
+                    "range_m": round(float(rd.range_m[j, k]), 4),
+                    "velocity_mps": round(float(rd.velocity_mps[j, k]), 4),
+                    "azimuth_deg": round(float(rd.azimuth_deg[j, k]), 2),
+                    "power": float(rd.power[j, k]),
                 }
                 for k in range(rd.valid.shape[1])
-                if bool(rd.valid[i, k])
+                if bool(rd.valid[j, k])
             ]
         records.append(
             DetectionRecord(
-                frame=i + 1,
-                peak_bin=int(out.peak_bin[i]),
-                distance_m=float(out.distance_m[i]),
-                magnitude=float(out.peak_magnitude[i]),
+                frame=start_frame + j,
+                peak_bin=int(out.peak_bin[j]),
+                distance_m=float(out.distance_m[j]),
+                magnitude=float(out.peak_magnitude[j]),
                 detections=dets,
             )
         )

@@ -54,18 +54,43 @@ def make_packets(
 class PacketReassembler:
     """Accumulates datagrams into whole radar frames.
 
-    Out-of-order packets within the kernel's reorder window are handled by
-    the byte-offset field; gaps (lost packets) are zero-filled so the frame
-    boundary stays aligned.  ``dropped_bytes`` counts the zero-filled span.
+    Out-of-order packets are held in a pending map keyed by byte offset and
+    drained in order, so reorders within ``reorder_window`` packets are
+    reassembled losslessly.  Only when the window overflows (genuine loss:
+    the missing packet never arrives while later ones keep coming) is the
+    gap zero-filled so the frame boundary stays aligned; ``dropped_bytes``
+    counts exactly the zero-filled span.
     """
 
-    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG):
+    def __init__(
+        self, cfg: RadarConfig = DEFAULT_CONFIG, reorder_window: int = 32
+    ):
         self.cfg = cfg
         self.frame_bytes = cfg.bytes_per_frame
+        self.reorder_window = reorder_window
         self._buf = bytearray()
-        self._expected_offset = None  # byte offset of the next in-order packet
+        self._pending: dict[int, bytes] = {}  # offset -> payload
+        self._expected_offset = None  # byte offset of the next in-order byte
         self.dropped_bytes = 0
         self.packets_seen = 0
+
+    def _drain(self) -> None:
+        while self._pending:
+            payload = self._pending.pop(self._expected_offset, None)
+            if payload is not None:
+                self._buf.extend(payload)
+                self._expected_offset += len(payload)
+                continue
+            if len(self._pending) >= self.reorder_window:
+                # the head packet is lost: zero-fill up to the earliest
+                # pending offset and keep draining
+                nxt = min(self._pending)
+                gap = nxt - self._expected_offset
+                self._buf.extend(b"\x00" * gap)
+                self.dropped_bytes += gap
+                self._expected_offset = nxt
+                continue
+            break  # wait for the missing packet
 
     def feed(self, packet: bytes) -> list[np.ndarray]:
         """Consume one datagram; return any frames completed by it."""
@@ -77,14 +102,10 @@ class PacketReassembler:
 
         if self._expected_offset is None:
             self._expected_offset = offset
-        if offset > self._expected_offset:
-            gap = offset - self._expected_offset
-            self._buf.extend(b"\x00" * gap)  # zero-fill lost packets
-            self.dropped_bytes += gap
-        elif offset < self._expected_offset:
-            return []  # stale duplicate/reorder beyond window: drop
-        self._buf.extend(payload)
-        self._expected_offset = offset + len(payload)
+        if offset >= self._expected_offset:
+            self._pending[offset] = payload  # duplicate: last write wins
+        # else: stale duplicate of already-consumed data -> drop
+        self._drain()
 
         frames = []
         while len(self._buf) >= self.frame_bytes:
@@ -92,6 +113,21 @@ class PacketReassembler:
             del self._buf[: self.frame_bytes]
             frames.append(np.frombuffer(raw, dtype="<i2"))
         return frames
+
+    def flush(self) -> int:
+        """Force-drain pending packets (zero-filling gaps); returns the
+        number of bytes still buffered short of a frame boundary."""
+        while self._pending:
+            nxt = min(self._pending)
+            if nxt > self._expected_offset:
+                gap = nxt - self._expected_offset
+                self._buf.extend(b"\x00" * gap)
+                self.dropped_bytes += gap
+                self._expected_offset = nxt
+            payload = self._pending.pop(nxt)
+            self._buf.extend(payload)
+            self._expected_offset += len(payload)
+        return len(self._buf)
 
 
 def udp_frames(
@@ -115,7 +151,9 @@ def udp_frames(
     try:
         while max_frames is None or produced < max_frames:
             try:
-                packet, _ = sock.recvfrom(HEADER_BYTES + DEFAULT_PAYLOAD)
+                # 64 KiB = max UDP datagram; a short buffer would silently
+                # truncate packets from senders using larger payloads
+                packet, _ = sock.recvfrom(65535)
             except socket.timeout:
                 return
             for frame in reasm.feed(packet):

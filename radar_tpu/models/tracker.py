@@ -173,19 +173,25 @@ def group_peaks(
     detections: list[dict],
     range_window_m: float = 1.2,
     velocity_window_mps: float = 0.8,
+    azimuth_window_deg: float = 12.0,
 ) -> list[dict]:
     """Peak grouping: collapse CFAR cell clusters to their strongest cell.
 
     A real target trips several adjacent range-Doppler cells (mainlobe +
     window leakage); tracking every cell spawns one track per sidelobe.
-    Greedy strongest-first suppression within a (range, velocity) window
-    is the standard radar "peak grouping" step.
+    Greedy strongest-first suppression within a (range, velocity, azimuth)
+    window is the standard radar "peak grouping" step.  The azimuth window
+    keeps two real targets at the same range/speed but different bearings
+    (side-by-side objects) as separate detections — a target's own sidelobe
+    cells share its azimuth, so they still collapse.
     """
     kept: list[dict] = []
     for d in sorted(detections, key=lambda x: -x.get("power", 0.0)):
         clustered = any(
             abs(d["range_m"] - k["range_m"]) <= range_window_m
             and abs(d["velocity_mps"] - k["velocity_mps"]) <= velocity_window_mps
+            and abs(d.get("azimuth_deg", 0.0) - k.get("azimuth_deg", 0.0))
+            <= azimuth_window_deg
             for k in kept
         )
         if not clustered:

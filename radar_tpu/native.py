@@ -138,6 +138,9 @@ def fft(x: np.ndarray) -> np.ndarray:
     """Native in-place radix-2 FFT (returns a new array)."""
     lib = load()
     x = np.asarray(x, np.complex128)
+    n = len(x)
+    if n == 0 or n & (n - 1):
+        raise ValueError(f"size must be a power of two, got {n}")
     re = np.ascontiguousarray(x.real)
     im = np.ascontiguousarray(x.imag)
     lib.radar_fft(_dptr(re), _dptr(im), len(x))
@@ -220,12 +223,14 @@ def process_capture(
 ):
     """Native streaming benchmark.  Returns (distances, timings dict)."""
     lib = load()
+    # the distances buffer is caller-sized: always pass its capacity as the
+    # C-side frame cap so the loop can never write past the allocation
     cap = 1 << 20 if max_frames < 0 else max_frames
     dists = np.zeros(cap, np.float64)
     t = np.zeros(4, np.float64)
     p = _params(cfg)
     n = lib.radar_process_capture(
-        ctypes.byref(p), str(path).encode(), _dptr(t), _dptr(dists), max_frames
+        ctypes.byref(p), str(path).encode(), _dptr(t), _dptr(dists), cap
     )
     if n < 0:
         raise IOError(f"cannot process capture {path}")

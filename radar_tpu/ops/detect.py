@@ -42,6 +42,40 @@ def scan_window_argmax(
     return idx, jnp.sqrt(peak_power[..., 0])
 
 
+def _rescale_bin_i32(peak_bin: jnp.ndarray, cfg: RadarConfig) -> jnp.ndarray:
+    """Exact ``peak_bin * rx_samples // fft_size`` without int32 overflow.
+
+    JAX defaults to int32 (no x64), and the direct product overflows once
+    rx_samples exceeds ~51k (e.g. 256 samples x 512 chirps), silently
+    flipping distances negative.  fft_size is a power of two, so split:
+
+      rx_samples = q * fft + r  (q in {0,1} since fft = nextPow2(rx))
+      peak_bin   = ph * 2^12 + pl
+      (peak_bin * r) // 2^k
+        = (ph*r >> (k-12)) + (((ph*r & (2^(k-12)-1)) << 12) + pl*r) >> k
+
+    All partial products stay below 2^31 for fft_size up to 2^18.
+    """
+    fft = cfg.fft_size
+    k = fft.bit_length() - 1
+    q, r = divmod(cfg.rx_samples, fft)
+    rescaled = peak_bin * q
+    if r:
+        if cfg.scan_bins * r < 2**31:
+            rescaled = rescaled + (peak_bin * r) // fft
+        else:
+            if k <= 12 or k > 18:
+                raise ValueError(
+                    f"fft_size {fft} out of supported overflow-safe range"
+                )
+            ph = peak_bin >> 12
+            pl = peak_bin & 0xFFF
+            a = ph * r                      # < 2^(k-12) * 2^k <= 2^24
+            low = ((a & ((1 << (k - 12)) - 1)) << 12) + pl * r  # < 2^31
+            rescaled = rescaled + (a >> (k - 12)) + (low >> k)
+    return rescaled
+
+
 def distance_from_bin(
     peak_bin: jnp.ndarray, cfg: RadarConfig = DEFAULT_CONFIG
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -50,7 +84,7 @@ def distance_from_bin(
     rescaled = peak_bin * rx_samples // fft_size   (integer division)
     distance = c * ((rescaled / fft_size) * Fs_extend) / (2 mu)
     """
-    rescaled = (peak_bin * cfg.rx_samples) // cfg.fft_size
+    rescaled = _rescale_bin_i32(peak_bin, cfg)
     scale = (
         LIGHT_SPEED
         * cfg.extended_sample_rate_hz

@@ -12,16 +12,18 @@ from __future__ import annotations
 
 import numpy as np
 
+import os
+
 import matplotlib
 
-if matplotlib.get_backend().lower() not in ("agg",) and not hasattr(
-    matplotlib, "_radar_tpu_backend_set"
-):
+# Headless fallback only: never override an interactive session's backend.
+if os.environ.get("DISPLAY") is None and os.environ.get(
+    "MPLBACKEND"
+) is None and "agg" not in matplotlib.get_backend().lower():
     try:
         matplotlib.use("Agg")
     except Exception:
         pass
-    matplotlib._radar_tpu_backend_set = True
 
 import matplotlib.pyplot as plt
 

@@ -60,3 +60,27 @@ def test_rd_pipeline_across_configs(c):
 def test_invalid_configs_rejected():
     with pytest.raises(ValueError):
         RadarConfig(num_chirps=100, num_tx=3).chirps_per_tx
+
+
+def test_rescale_no_int32_overflow():
+    """peak_bin * rx_samples overflows int32 for big configs; the device
+    rescale must still match Python's exact integer math."""
+    import jax.numpy as jnp
+
+    from radar_tpu.ops.detect import distance_from_bin
+
+    for c in [
+        RadarConfig(num_samples=256, num_chirps=512),   # rx=131072 (pow2)
+        RadarConfig(num_samples=250, num_chirps=512),   # rx=128000, fft=131072
+        RadarConfig(num_samples=200, num_chirps=400),   # rx=80000, fft=131072
+    ]:
+        bins = np.unique(
+            np.concatenate([
+                np.linspace(0, c.scan_bins - 1, 50, dtype=np.int64),
+                [0, 1, c.scan_bins - 1],
+            ])
+        )
+        rescaled, dist = distance_from_bin(jnp.asarray(bins, jnp.int32), c)
+        want = [c.rescale_peak_bin(int(b)) for b in bins]
+        np.testing.assert_array_equal(np.asarray(rescaled), want)
+        assert float(np.asarray(dist).min()) >= 0.0

@@ -141,3 +141,30 @@ def test_serve_loopback(cfg, capsys):
     # tracker confirms by the second frame
     assert frame_recs[-1]["tracks"]
     assert abs(frame_recs[-1]["tracks"][0]["range_m"] - 5.0) < 1.0
+
+
+def test_reorder_swap_is_lossless(cfg, capture):
+    """Adjacent packet swap (classic UDP reorder) must reassemble exactly."""
+    packets = make_packets(capture[:3])
+    packets[50], packets[51] = packets[51], packets[50]
+    packets[200], packets[201] = packets[201], packets[200]
+    reasm = PacketReassembler(cfg)
+    frames = []
+    for p in packets:
+        frames.extend(reasm.feed(p))
+    assert reasm.dropped_bytes == 0
+    assert len(frames) == 3
+    np.testing.assert_array_equal(np.stack(frames), capture[:3])
+
+
+def test_deep_reorder_within_window(cfg, capture):
+    """A packet delayed by 10 positions still lands losslessly."""
+    packets = make_packets(capture[:2])
+    moved = packets.pop(30)
+    packets.insert(40, moved)
+    reasm = PacketReassembler(cfg)
+    frames = []
+    for p in packets:
+        frames.extend(reasm.feed(p))
+    assert reasm.dropped_bytes == 0
+    np.testing.assert_array_equal(np.stack(frames), capture[:2])
