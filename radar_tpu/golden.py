@@ -301,6 +301,46 @@ def angle_bin_to_deg(bin_idx: np.ndarray, num_bins: int, cfg: RadarConfig) -> np
     return np.rad2deg(np.arcsin(np.clip(sin_theta, -1.0, 1.0)))
 
 
+def music_spectrum(
+    snapshots: np.ndarray,
+    num_sources: int,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+) -> tuple[np.ndarray, np.ndarray]:
+    """MUSIC pseudospectrum from RX-array snapshots.
+
+    Eigendecompose the spatial covariance, project steering vectors onto
+    the noise subspace: P(theta) = 1 / ||E_n^H a(theta)||^2.
+
+    Args:
+      snapshots: complex (..., n_snapshots, n_rx).
+      num_sources: assumed signal-subspace dimension (< n_rx).
+
+    Returns:
+      (angles_deg (n_angles,), pseudospectrum (..., n_angles)).
+    """
+    x = np.asarray(snapshots, dtype=np.complex128)
+    n_rx = x.shape[-1]
+    if not 0 < num_sources < n_rx:
+        raise ValueError(f"num_sources must be in (0, {n_rx})")
+    r = np.einsum("...si,...sj->...ij", x, x.conj()) / x.shape[-2]
+    # eigh returns ascending eigenvalues: noise subspace = first n_rx - M
+    _, vecs = np.linalg.eigh(r)
+    noise = vecs[..., :, : n_rx - num_sources]  # (..., n_rx, n_noise)
+
+    lo, hi, n = cfg.angle_grid_deg
+    angles = np.linspace(lo, hi, int(n))
+    k = 2.0 * np.pi * cfg.rx_spacing_wavelengths
+    steering = np.exp(
+        1j * k * np.sin(np.deg2rad(angles))[:, None] * np.arange(n_rx)[None, :]
+    )  # (n_angles, n_rx)
+    # proj[..., a, i] = (E_n^H a(theta))_i = sum_j conj(E_n[j, i]) a_j
+    proj = np.einsum(
+        "...ij,aj->...ai", np.swapaxes(noise, -2, -1).conj(), steering
+    )
+    denom = np.sum(np.abs(proj) ** 2, axis=-1)
+    return angles, 1.0 / np.maximum(denom, 1e-30)
+
+
 def capon_spectrum(
     snapshots: np.ndarray,
     cfg: RadarConfig = DEFAULT_CONFIG,

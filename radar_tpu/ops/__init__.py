@@ -7,7 +7,12 @@ from radar_tpu.ops.detect import (
     scan_window_argmax,
 )
 from radar_tpu.ops.cfar import ca_cfar_2d
-from radar_tpu.ops.aoa import angle_fft_spectrum, capon_spectrum, angle_bins_deg
+from radar_tpu.ops.aoa import (
+    angle_fft_spectrum,
+    capon_spectrum,
+    music_spectrum,
+    angle_bins_deg,
+)
 
 __all__ = [
     "decode_to_cube",
@@ -21,5 +26,6 @@ __all__ = [
     "ca_cfar_2d",
     "angle_fft_spectrum",
     "capon_spectrum",
+    "music_spectrum",
     "angle_bins_deg",
 ]

@@ -102,6 +102,35 @@ def capon_aoa_at_cells(
     return angles[jnp.argmax(power, axis=-1)]
 
 
+def music_spectrum(
+    snapshots: jnp.ndarray,
+    num_sources: int,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+) -> tuple[np.ndarray, jnp.ndarray]:
+    """MUSIC pseudospectrum (TPU twin of golden.music_spectrum).
+
+    The covariance and noise-subspace projection are small batched
+    matmuls (MXU); the eigendecomposition of the (n_rx, n_rx) covariance
+    is a batched ``eigh`` — tiny matrices, so XLA's QR iteration is cheap.
+
+    Args:
+      snapshots: complex64 (..., n_snapshots, n_rx).
+      num_sources: assumed signal-subspace dimension (< n_rx).
+    """
+    x = snapshots
+    n_rx = x.shape[-1]
+    if not 0 < num_sources < n_rx:
+        raise ValueError(f"num_sources must be in (0, {n_rx})")
+    r = jnp.einsum("...si,...sj->...ij", x, x.conj()) / x.shape[-2]
+    _, vecs = jnp.linalg.eigh(r)  # ascending eigenvalues
+    noise = vecs[..., :, : n_rx - num_sources]
+    angles, steering = _steering_matrix(n_rx, cfg)
+    a = jnp.asarray(steering)
+    proj = jnp.einsum("...ij,aj->...ai", jnp.swapaxes(noise, -2, -1).conj(), a)
+    denom = jnp.sum(proj.real * proj.real + proj.imag * proj.imag, axis=-1)
+    return angles, 1.0 / jnp.maximum(denom, 1e-30)
+
+
 def capon_spectrum(
     snapshots: jnp.ndarray,
     cfg: RadarConfig = DEFAULT_CONFIG,

@@ -5,7 +5,7 @@ import numpy as np
 
 from radar_tpu import golden
 from radar_tpu.io.capture import decode_shorts
-from radar_tpu.ops.aoa import angle_fft_spectrum, capon_spectrum
+from radar_tpu.ops.aoa import angle_fft_spectrum, capon_spectrum, music_spectrum
 from radar_tpu.ops.cfar import ca_cfar_2d
 from radar_tpu.ops.decode import decode_to_cube, rx0_slice
 from radar_tpu.ops.preproc import clutter_subtract_pad
@@ -122,3 +122,47 @@ def test_capon_matches_golden(cfg):
     np.testing.assert_allclose(
         got_p / got_p.max(), want_p / want_p.max(), rtol=0, atol=1e-2
     )
+
+
+def test_music_recovers_two_sources(cfg):
+    """MUSIC resolves two sources on the 4-element array; golden and TPU
+    implementations agree."""
+    rng = np.random.default_rng(77)
+    angles_true = [-25.0, 30.0]
+    n_snap = 256
+    snaps = np.zeros((n_snap, cfg.num_rx), np.complex128)
+    for az in angles_true:
+        steer = np.exp(
+            1j * 2 * np.pi * cfg.rx_spacing_wavelengths
+            * np.sin(np.deg2rad(az)) * np.arange(cfg.num_rx)
+        )
+        sig = rng.standard_normal((n_snap, 1)) + 1j * rng.standard_normal((n_snap, 1))
+        snaps += sig * steer
+    snaps += 0.05 * (
+        rng.standard_normal(snaps.shape) + 1j * rng.standard_normal(snaps.shape)
+    )
+    want_angles, want_p = golden.music_spectrum(snaps, 2, cfg)
+    got_angles, got_p = music_spectrum(
+        jnp.asarray(snaps.astype(np.complex64)), 2, cfg
+    )
+    np.testing.assert_allclose(got_angles, want_angles)
+    got_p, want_p = np.asarray(got_p), want_p
+    assert np.argmax(got_p) == np.argmax(want_p)
+    # both true sources appear as local maxima near truth in both impls
+    for p in (want_p, got_p):
+        peaks = [
+            want_angles[i] for i in range(1, len(p) - 1)
+            if p[i] > p[i - 1] and p[i] > p[i + 1] and p[i] > 0.05 * p.max()
+        ]
+        for az in angles_true:
+            assert any(abs(pk - az) <= 4.0 for pk in peaks), (az, peaks)
+
+
+def test_music_rejects_bad_num_sources(cfg):
+    import pytest as _pytest
+
+    snaps = jnp.ones((8, cfg.num_rx), jnp.complex64)
+    with _pytest.raises(ValueError):
+        music_spectrum(snaps, cfg.num_rx, cfg)
+    with _pytest.raises(ValueError):
+        golden.music_spectrum(np.ones((8, cfg.num_rx)), 0, cfg)
