@@ -89,38 +89,42 @@ def main() -> None:
         log(f"rep {rep}: {frames} frames in {dt:.4f}s -> {frames/dt:.0f} fps")
     fps = max(fps_runs)
 
-    # ---- stage comparisons (stderr) ---------------------------------------
-    variants = [("mxu", "pallas"), ("mxu", "xla"), ("fft", "pallas")]
-    for rd, cf in variants:
-        p = RDPipeline(cfg, 16, cfar_impl=cf, rd_impl=rd)
-        fence(p.detect(batch_dev, base))
+    # ---- optional extras (stderr only; never allowed to kill the
+    # headline JSON line) ----------------------------------------------------
+    try:
+        variants = [("mxu", "pallas"), ("mxu", "xla"), ("fft", "pallas")]
+        for rd, cf in variants:
+            p = RDPipeline(cfg, 16, cfar_impl=cf, rd_impl=rd)
+            fence(p.detect(batch_dev, base))
+            t0 = time.perf_counter()
+            outs = [p.detect(batch_dev, base) for _ in range(4)]
+            fence([o.power for o in outs])
+            dt = (time.perf_counter() - t0) / 4
+            log(f"variant rd={rd} cfar={cf}: {1000*dt:.2f} ms/{args.batch} "
+                f"frames = {args.batch/dt:.0f} fps")
+
+        # reference-parity range-only pipeline
+        rdet = RangeDetector(cfg)
+        base_rx0 = rdet.prepare_base(capture[0])
+        fence(rdet.detect(batch_dev, base_rx0))
         t0 = time.perf_counter()
-        outs = [p.detect(batch_dev, base) for _ in range(4)]
-        fence([o.power for o in outs])
+        outs = [rdet.detect(batch_dev, base_rx0) for _ in range(4)]
+        fence([o.peak_bin for o in outs])
         dt = (time.perf_counter() - t0) / 4
-        log(f"variant rd={rd} cfar={cf}: {1000*dt:.2f} ms/{args.batch} frames "
+        log(f"range-parity (16K FFT + argmax): {1000*dt:.2f} ms/{args.batch} "
             f"= {args.batch/dt:.0f} fps")
 
-    # reference-parity range-only pipeline
-    rdet = RangeDetector(cfg)
-    base_rx0 = rdet.prepare_base(capture[0])
-    fence(rdet.detect(batch_dev, base_rx0))
-    t0 = time.perf_counter()
-    outs = [rdet.detect(batch_dev, base_rx0) for _ in range(4)]
-    fence([o.peak_bin for o in outs])
-    dt = (time.perf_counter() - t0) / 4
-    log(f"range-parity (16K FFT + argmax): {1000*dt:.2f} ms/{args.batch} "
-        f"= {args.batch/dt:.0f} fps")
-
-    # ---- tunnel H2D (environment artifact, stderr only) -------------------
-    if not args.skip_h2d:
-        t0 = time.perf_counter()
-        up = jax.device_put(capture[1:])
-        fence(jnp.sum(jnp.max(up, axis=-1)))
-        dt = time.perf_counter() - t0
-        log(f"tunnel H2D: {capture[1:].nbytes/1e6:.0f} MB in {dt:.2f}s "
-            f"= {capture[1:].nbytes/dt/1e6:.0f} MB/s "
-            f"(dev-env loopback relay; production PCIe >> 205 MB/s needed)")
+        # tunnel H2D (environment artifact)
+        if not args.skip_h2d:
+            t0 = time.perf_counter()
+            up = jax.device_put(capture[1:])
+            fence(jnp.sum(jnp.max(up, axis=-1)))
+            dt = time.perf_counter() - t0
+            log(f"tunnel H2D: {capture[1:].nbytes/1e6:.0f} MB in {dt:.2f}s "
+                f"= {capture[1:].nbytes/dt/1e6:.0f} MB/s "
+                f"(dev-env loopback relay; production PCIe >> 205 MB/s needed)")
+    except Exception as e:  # transient transport failures are non-fatal
+        log(f"optional bench sections skipped: {type(e).__name__}: {e}")
 
     result = {
         "metric": "range-doppler-cfar-aoa detection rate (on-chip, frames resident in HBM)",
