@@ -116,3 +116,18 @@ def test_dryrun_odd_device_counts(n):
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(n)
+
+
+def test_dryrun_survives_hostile_backend_env(monkeypatch):
+    """The driver's exact call path: import __graft_entry__ and call
+    dryrun_multichip directly from a process whose environment selects a
+    (possibly broken) non-CPU platform.  Round 1 failed here
+    (MULTICHIP_r01.json ok=false): in-process platform forcing was
+    unreachable from the driver's import-and-call path."""
+    import __graft_entry__ as ge
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=2"
+    )
+    ge.dryrun_multichip(8)  # must not raise, must not inherit the 2
