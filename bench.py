@@ -14,8 +14,13 @@ Measurement notes
   (axon relay); every timing here fences by materializing a scalar
   reduction of the results (radar_tpu.utils.timing.fence).
 * The headline is the sustained on-chip detection rate: raw int16 frames
-  resident in HBM -> decode -> clutter removal -> range-Doppler (MXU DFT)
-  -> CA-CFAR (Pallas) -> top-K -> AoA, with per-batch detection outputs.
+  resident in HBM -> fused decode+window+DFT MXU matmuls (de-interleave
+  and transpose folded into the contractions, ops/fuseddft.py) -> CA-CFAR
+  -> top-K -> AoA, with per-batch detection outputs.
+* The relay adds ~7-9 ms of fixed dispatch RTT per fence window; the
+  default 32-batch loop depth amortizes it to <0.5 ms/batch (a production
+  host pipelines dispatches and has no such relay), making the headline
+  conservative rather than inflated.
   Host->HBM ingest through *this environment's* loopback tunnel runs at
   ~29 MB/s (~145 fps equivalent) and is reported separately on stderr; a
   production host NIC/PCIe sustains the 205 MB/s needed for 1000 fps with
@@ -26,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import sys
 import time
 
@@ -38,7 +44,7 @@ def log(msg: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=4096, help="frames per run")
+    ap.add_argument("--frames", type=int, default=16384, help="frames per run")
     ap.add_argument("--batch", type=int, default=512, help="frames per cube")
     ap.add_argument("--reps", type=int, default=3, help="timed repetitions")
     ap.add_argument("--skip-h2d", action="store_true",
@@ -78,6 +84,7 @@ def main() -> None:
     log(f"compile+warmup: {time.perf_counter() - t0:.2f}s")
 
     # ---- headline: sustained on-chip detection rate ----------------------
+    # median of reps (not best-of): reproducible within run-to-run noise
     fps_runs = []
     for rep in range(args.reps):
         t0 = time.perf_counter()
@@ -87,20 +94,43 @@ def main() -> None:
         frames = n_batches * args.batch
         fps_runs.append(frames / dt)
         log(f"rep {rep}: {frames} frames in {dt:.4f}s -> {frames/dt:.0f} fps")
-    fps = max(fps_runs)
+    fps = statistics.median(fps_runs)
+    log(f"headline = median of {len(fps_runs)} reps: {fps:.0f} fps "
+        f"(min {min(fps_runs):.0f}, max {max(fps_runs):.0f})")
+
+    # arithmetic intensity of the measured pipeline (MXU DFT path):
+    # complex matmul = 4 real; range (C,S)x(S,R) + doppler (D,C)x(C,R) per rx
+    cf = cfg
+    flop_frame = 8 * cf.num_rx * (
+        cf.num_chirps * cf.num_samples * cf.range_fft_size
+        + cf.doppler_fft_size * cf.num_chirps * cf.range_fft_size
+    )
+    log(f"DFT matmul work: {flop_frame/1e6:.1f} MFLOP/frame -> "
+        f"{flop_frame*fps/1e12:.2f} TFLOP/s f32 achieved; input "
+        f"{cfg.bytes_per_frame*args.batch/1e6:.0f} MB int16/batch, RD power "
+        f"map {4*cf.doppler_fft_size*cf.range_fft_size*args.batch/1e6:.0f} "
+        f"MB f32/batch")
 
     # ---- optional extras (stderr only; never allowed to kill the
     # headline JSON line) ----------------------------------------------------
     try:
-        variants = [("mxu", "pallas"), ("mxu", "xla"), ("fft", "pallas")]
-        for rd, cf in variants:
-            p = RDPipeline(cfg, 16, cfar_impl=cf, rd_impl=rd)
+        # loop depth aligned with the headline (n_batches per fence) so
+        # variant numbers are directly comparable
+        variants = [
+            ("fused", "xla"),
+            ("fused", "pallas"),
+            ("planar", "xla"),
+            ("mxu", "pallas"),
+            ("fft", "pallas"),
+        ]
+        for rd, cfi in variants:
+            p = RDPipeline(cfg, 16, cfar_impl=cfi, rd_impl=rd)
             fence(p.detect(batch_dev, base))
             t0 = time.perf_counter()
-            outs = [p.detect(batch_dev, base) for _ in range(4)]
+            outs = [p.detect(batch_dev, base) for _ in range(n_batches)]
             fence([o.power for o in outs])
-            dt = (time.perf_counter() - t0) / 4
-            log(f"variant rd={rd} cfar={cf}: {1000*dt:.2f} ms/{args.batch} "
+            dt = (time.perf_counter() - t0) / n_batches
+            log(f"variant rd={rd} cfar={cfi}: {1000*dt:.2f} ms/{args.batch} "
                 f"frames = {args.batch/dt:.0f} fps")
 
         # reference-parity range-only pipeline
@@ -108,9 +138,9 @@ def main() -> None:
         base_rx0 = rdet.prepare_base(capture[0])
         fence(rdet.detect(batch_dev, base_rx0))
         t0 = time.perf_counter()
-        outs = [rdet.detect(batch_dev, base_rx0) for _ in range(4)]
+        outs = [rdet.detect(batch_dev, base_rx0) for _ in range(n_batches)]
         fence([o.peak_bin for o in outs])
-        dt = (time.perf_counter() - t0) / 4
+        dt = (time.perf_counter() - t0) / n_batches
         log(f"range-parity (16K FFT + argmax): {1000*dt:.2f} ms/{args.batch} "
             f"= {args.batch/dt:.0f} fps")
 

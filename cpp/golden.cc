@@ -274,13 +274,15 @@ void radar_range_doppler(const double* in_re, const double* in_im,
 
 void radar_ca_cfar(const double* power, int d, int r, int guard_d,
                    int guard_r, int train_d, int train_r, double pfa,
-                   double* threshold, uint8_t* hits) {
+                   int range_mode, double* threshold, uint8_t* hits) {
   const int wd = guard_d + train_d, wr = guard_r + train_r;
   const int n_train =
       (2 * wd + 1) * (2 * wr + 1) - (2 * guard_d + 1) * (2 * guard_r + 1);
   const double alpha = n_train * (std::pow(pfa, -1.0 / n_train) - 1.0);
 
-  // separable circular box sums (same wrap convention as the TPU kernel)
+  // separable box sums: Doppler circular, range wrap or reflect (numpy
+  // 'reflect': edge sample not repeated) — same convention as the TPU
+  // XLA/Pallas twins
   auto box = [&](const std::vector<double>& src, int half_d, int half_r,
                  std::vector<double>& dst) {
     std::vector<double> rows((size_t)d * r);
@@ -288,7 +290,14 @@ void radar_ca_cfar(const double* power, int d, int r, int guard_d,
       for (int j = 0; j < r; ++j) {
         double acc = 0.0;
         for (int k = -half_r; k <= half_r; ++k) {
-          acc += src[(size_t)i * r + ((j + k) % r + r) % r];
+          int jr = j + k;
+          if (range_mode == 1) {
+            if (jr < 0) jr = -jr;
+            else if (jr >= r) jr = 2 * r - 2 - jr;
+          } else {
+            jr = (jr % r + r) % r;
+          }
+          acc += src[(size_t)i * r + jr];
         }
         rows[(size_t)i * r + j] = acc;
       }

@@ -82,12 +82,13 @@ void radar_range_doppler(const double* in_re, const double* in_im,
                          int range_fft, int window, double* out_re,
                          double* out_im);
 
-// 2D cell-averaging CFAR with wrap-around edges (matches
-// radar_tpu.golden.ca_cfar_2d).  power: (d, r) row-major; outputs
-// threshold (d, r) and hit flags (0/1).
+// 2D cell-averaging CFAR (matches radar_tpu.golden.ca_cfar_2d): Doppler
+// axis wraps, range axis per range_mode (0 = wrap, 1 = reflect — range is
+// not circular).  power: (d, r) row-major; outputs threshold (d, r) and
+// hit flags (0/1).
 void radar_ca_cfar(const double* power, int d, int r, int guard_d,
                    int guard_r, int train_d, int train_r, double pfa,
-                   double* threshold, uint8_t* hits);
+                   int range_mode, double* threshold, uint8_t* hits);
 
 #ifdef __cplusplus
 }  // extern "C"

@@ -60,6 +60,11 @@ def cmd_detect(args) -> int:
 
     from radar_tpu.utils.records import last_frame_index
 
+    if args.resume and not args.out:
+        print("error: --resume requires --out (records on stdout cannot be "
+              "resumed)", file=sys.stderr)
+        return 2
+
     cfg = RadarConfig()
     capture = read_capture(args.path, cfg)
     start_frame = 1

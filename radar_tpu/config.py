@@ -51,6 +51,10 @@ class RadarConfig:
     cfar_guard: Tuple[int, int] = (2, 2)      # (doppler, range) guard cells
     cfar_train: Tuple[int, int] = (4, 8)      # (doppler, range) training cells
     cfar_pfa: float = 1e-4                    # false-alarm rate -> threshold
+    # Range-axis edge handling for the CFAR training window: 'reflect'
+    # (physical: range is not circular, mirror the edge cells) or 'wrap'.
+    # Doppler always wraps (circular after fftshift).
+    cfar_range_mode: str = "reflect"
     # Angle processing
     num_angle_bins: int = 64                  # angle-FFT size
     angle_grid_deg: Tuple[float, float, int] = (-90.0, 90.0, 181)  # Capon scan

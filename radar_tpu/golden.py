@@ -233,6 +233,7 @@ def ca_cfar_2d(
     guard: tuple[int, int],
     train: tuple[int, int],
     pfa: float,
+    range_mode: str = "reflect",
 ) -> tuple[np.ndarray, np.ndarray]:
     """2D cell-averaging CFAR on a power map.
 
@@ -240,13 +241,14 @@ def ca_cfar_2d(
       power: (..., doppler, range) non-negative power.
       guard/train: half-window guard and training cell counts per axis.
       pfa: false alarm probability -> threshold alpha = N*(pfa^{-1/N}-1).
+      range_mode: edge handling on the range axis — 'reflect' (default;
+        range is not circular, so a strong target near bin 0 must not
+        inflate the noise estimate at the far edge) or 'wrap'.
 
     Returns:
-      (detections bool map, threshold map).  Edges use the same window
-      with wrap-around padding on the Doppler axis (it is circular after
-      fftshift) and edge-clamped ("reflect"-free, sum of available cells)
-      behavior approximated by wrap on range too for simplicity and
-      determinism; the TPU kernel implements the identical convention.
+      (detections bool map, threshold map).  The Doppler axis always uses
+      wrap-around padding (it is circular after fftshift); the TPU XLA,
+      Pallas, and native C++ twins implement the identical convention.
     """
     gd, gr = guard
     td, tr = train
@@ -255,10 +257,10 @@ def ca_cfar_2d(
     alpha = n_train * (pfa ** (-1.0 / n_train) - 1.0)
 
     def window_sum(p: np.ndarray, hd: int, hr: int) -> np.ndarray:
+        lead = [(0, 0)] * (p.ndim - 2)
+        padded = np.pad(p, lead + [(hd, hd), (0, 0)], mode="wrap")
         padded = np.pad(
-            p,
-            [(0, 0)] * (p.ndim - 2) + [(hd, hd), (hr, hr)],
-            mode="wrap",
+            padded, lead + [(0, 0), (hr, hr)], mode=range_mode
         )
         out = np.zeros_like(p)
         for dd in range(2 * hd + 1):

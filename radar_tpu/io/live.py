@@ -106,7 +106,9 @@ class PacketReassembler:
             self._pending[offset] = payload  # duplicate: last write wins
         # else: stale duplicate of already-consumed data -> drop
         self._drain()
+        return self._pop_frames()
 
+    def _pop_frames(self) -> list[np.ndarray]:
         frames = []
         while len(self._buf) >= self.frame_bytes:
             raw = bytes(self._buf[: self.frame_bytes])
@@ -116,7 +118,9 @@ class PacketReassembler:
 
     def flush(self) -> int:
         """Force-drain pending packets (zero-filling gaps); returns the
-        number of bytes still buffered short of a frame boundary."""
+        number of bytes still buffered short of a frame boundary.  Call
+        :meth:`_pop_frames` (or ``flush_frames``) afterwards to collect any
+        frames the drain completed."""
         while self._pending:
             nxt = min(self._pending)
             if nxt > self._expected_offset:
@@ -128,6 +132,11 @@ class PacketReassembler:
             self._buf.extend(payload)
             self._expected_offset += len(payload)
         return len(self._buf)
+
+    def flush_frames(self) -> list[np.ndarray]:
+        """Force-drain pending packets and return the frames completed."""
+        self.flush()
+        return self._pop_frames()
 
 
 def udp_frames(
@@ -155,6 +164,13 @@ def udp_frames(
                 # truncate packets from senders using larger payloads
                 packet, _ = sock.recvfrom(65535)
             except socket.timeout:
+                # stream ended: drain reorder-pending packets so a final
+                # frame missing only a reordered tail isn't silently lost
+                for frame in reasm.flush_frames():
+                    yield frame
+                    produced += 1
+                    if max_frames is not None and produced >= max_frames:
+                        return
                 return
             for frame in reasm.feed(packet):
                 yield frame

@@ -15,6 +15,7 @@ magnitude) scalars per frame ever leave the device.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -27,6 +28,7 @@ from radar_tpu.ops.preproc import clutter_subtract_pad
 from radar_tpu.ops.rangefft import range_fft
 
 
+@dataclasses.dataclass(frozen=True)
 class RangeDetector:
     """Frame-batched parity pipeline.
 
@@ -35,17 +37,18 @@ class RangeDetector:
         det = RangeDetector(cfg)
         base = det.prepare_base(frames[0])      # frame 0 = empty scene
         out = det.detect(frames[1:], base)       # PeakDetection, batched
+
+    Frozen + hashed by value (``self`` is a jit static argument): equal
+    configs share one compiled program; mutation raises.
+
+    Attributes:
+      detect_impl: 'auto'/'xla' (fused XLA argmax) or
+        'pallas'/'pallas-interpret' (fused |X|^2+mask+argmax kernel,
+        ops/pallas/magargmax.py).
     """
 
-    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
-                 detect_impl: str = "auto"):
-        """Args:
-          detect_impl: 'auto'/'xla' (fused XLA argmax) or
-            'pallas'/'pallas-interpret' (fused |X|^2+mask+argmax kernel,
-            ops/pallas/magargmax.py).
-        """
-        self.cfg = cfg
-        self.detect_impl = detect_impl
+    cfg: RadarConfig = DEFAULT_CONFIG
+    detect_impl: str = "auto"
 
     # -- base frame ------------------------------------------------------
     def prepare_base(self, frame0_shorts: jnp.ndarray) -> jnp.ndarray:

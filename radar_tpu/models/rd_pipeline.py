@@ -20,6 +20,7 @@ The stage helpers (`topk_cells`, `cell_physics`, `gather_snapshots`,
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple
 
@@ -129,16 +130,23 @@ def mimo_compensate(
 def gather_snapshots(rd: jnp.ndarray, top_idx: jnp.ndarray) -> jnp.ndarray:
     """Gather per-detection RX snapshots from the RD cube.
 
+    Gathers in the cube's native (..., rx, D, R) layout and transposes only
+    the tiny (rx, K) result — a moveaxis-first formulation materializes a
+    full transposed copy of the RD cube (~270 MB/512-frame batch) just to
+    pick K cells out of it.
+
     Args:
-      rd: complex64 (..., rx, D, R); top_idx: int32 (..., K) flat D*R index.
+      rd: complex64 or float32 (..., rx, D, R); top_idx: int32 (..., K)
+        flat D*R cell index.
 
     Returns:
-      complex64 (..., K, rx).
+      (..., K, rx), dtype of ``rd``.
     """
     d_size, r_size = rd.shape[-2], rd.shape[-1]
-    rd_t = jnp.moveaxis(rd, -3, -1)  # (..., D, R, rx)
-    flat = rd_t.reshape(rd_t.shape[:-3] + (d_size * r_size, rd_t.shape[-1]))
-    return jnp.take_along_axis(flat, top_idx[..., None], axis=-2)
+    flat = rd.reshape(rd.shape[:-2] + (d_size * r_size,))  # (..., rx, D*R)
+    idx = top_idx[..., None, :]  # (..., 1, K) broadcast over rx
+    picked = jnp.take_along_axis(flat, idx, axis=-1)  # (..., rx, K)
+    return jnp.swapaxes(picked, -2, -1)
 
 
 def aoa_from_snapshots(snaps: jnp.ndarray, cfg: RadarConfig):
@@ -190,33 +198,34 @@ def integrate_power(rd: jnp.ndarray) -> jnp.ndarray:
 # single-device (or auto-sharded) pipeline
 # --------------------------------------------------------------------------
 
+@dataclasses.dataclass(frozen=True)
 class RDPipeline:
-    """Frame-batched range-Doppler-CFAR-AoA detector."""
+    """Frame-batched range-Doppler-CFAR-AoA detector.
 
-    def __init__(
-        self,
-        cfg: RadarConfig = DEFAULT_CONFIG,
-        max_detections: int = 16,
-        use_base_frame: bool = True,
-        cfar_impl: str = "auto",
-        rd_impl: str = "auto",
-        topk_impl: str = "auto",
-    ):
-        """Args:
-          cfar_impl: 'auto' (Pallas kernel on TPU, XLA elsewhere), 'xla',
-            'pallas', or 'pallas-interpret' (for CPU tests of the kernel).
-          rd_impl: 'auto' (MXU DFT matmuls on TPU, FFT elsewhere), 'fft',
-            or 'mxu'.
-          topk_impl: 'auto' (lax.top_k — measured on-par with the Pallas
-            iterative kernel at K=16, and XLA fuses it into the tail),
-            'xla', 'pallas', or 'pallas-interpret'.
-        """
-        self.cfg = cfg
-        self.max_detections = max_detections
-        self.use_base_frame = use_base_frame
-        self.cfar_impl = cfar_impl
-        self.rd_impl = rd_impl
-        self.topk_impl = topk_impl
+    Frozen + hashed by value: ``self`` is a jit static argument, so two
+    identically-configured pipelines share one compiled program, and
+    mutating an impl after the first call raises instead of silently
+    reusing a stale compilation.
+
+    Attributes:
+      cfar_impl: 'auto' (Pallas kernel on TPU, XLA elsewhere), 'xla',
+        'pallas', or 'pallas-interpret' (for CPU tests of the kernel).
+      rd_impl: 'auto' (fused on TPU, FFT elsewhere), 'fft', 'mxu'
+        (complex-cube MXU DFT), 'planar' (split re/im f32 planes from
+        decode through power — the complex RD cube never materializes in
+        HBM), or 'fused' (de-interleave + transpose + window folded into
+        the DFT matmuls themselves; see ops/fuseddft.py).
+      topk_impl: 'auto' (lax.top_k — measured on-par with the Pallas
+        iterative kernel at K=16, and XLA fuses it into the tail),
+        'xla', 'pallas', or 'pallas-interpret'.
+    """
+
+    cfg: RadarConfig = DEFAULT_CONFIG
+    max_detections: int = 16
+    use_base_frame: bool = True
+    cfar_impl: str = "auto"
+    rd_impl: str = "auto"
+    topk_impl: str = "auto"
 
     def _topk_impl(self) -> str:
         if self.topk_impl == "auto":
@@ -226,7 +235,15 @@ class RDPipeline:
     def _cfar(self, power):
         impl = self.cfar_impl
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # measured on v5e: with the MXU DFT paths the fused XLA
+            # reduce_window CFAR edges out the Pallas kernel (7.3 vs 7.6
+            # ms/512 fused); the kernel exists to break the fft+reduce_window
+            # 13x pathology, so auto picks it only alongside the FFT HLO
+            rd = self.rd_impl
+            if jax.default_backend() == "tpu":
+                impl = "pallas" if rd == "fft" else "xla"
+            else:
+                impl = "xla"
         if impl == "xla":
             return ca_cfar_2d(power, self.cfg)
         from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas
@@ -297,12 +314,62 @@ class RDPipeline:
         self, shorts: jnp.ndarray, base_cube: jnp.ndarray | None = None
     ) -> RDResult:
         cfg = self.cfg
+        impl = self.rd_impl
+        if impl == "auto":
+            impl = "fused" if jax.default_backend() == "tpu" else "fft"
+        if impl in ("planar", "fused"):
+            return self._detect_planar(shorts, base_cube, fused=impl == "fused")
         rd = self.rd_cube(shorts, base_cube)  # (B, rx, D, R)
         power = integrate_power(rd)
         hits, _ = self._cfar(power)
         return assemble_result(
             power,
             lambda top_idx: gather_snapshots(rd, top_idx),
+            hits,
+            self.max_detections,
+            cfg,
+            topk_impl=self._topk_impl(),
+        )
+
+    def _detect_planar(
+        self, shorts: jnp.ndarray, base_cube: jnp.ndarray | None,
+        fused: bool = False,
+    ) -> RDResult:
+        """End-to-end split-plane path: f32 re/im planes from decode
+        through RD power; complex only reappears on the tiny (B, K, rx)
+        AoA snapshots (gathered per plane, combined on device).
+
+        With ``fused=True`` the decode/transpose work is folded into the
+        DFT matmuls (ops/fuseddft.py) instead of running as separate
+        layout passes."""
+        cfg = self.cfg
+        base = base_cube if self.use_base_frame else None
+        if fused:
+            from radar_tpu.ops.fuseddft import fused_rd_planes
+
+            dr, di = fused_rd_planes(shorts, base, cfg)
+        else:
+            from radar_tpu.ops.decode import decode_to_planes
+            from radar_tpu.ops.dftmat import range_doppler_planes
+
+            re, im = decode_to_planes(shorts, cfg)
+            if base is not None:
+                re = re - base.real
+                im = im - base.imag
+            else:
+                # mean over chirps is linear: per-plane == complex mean
+                re = re - jnp.mean(re, axis=-2, keepdims=True)
+                im = im - jnp.mean(im, axis=-2, keepdims=True)
+            re = virtualize_cube(re, cfg)
+            im = virtualize_cube(im, cfg)
+            dr, di = range_doppler_planes(re, im, cfg)  # (B, rx, D, R)
+        power = jnp.sum(dr * dr + di * di, axis=-3)
+        hits, _ = self._cfar(power)
+        return assemble_result(
+            power,
+            lambda top_idx: jax.lax.complex(
+                gather_snapshots(dr, top_idx), gather_snapshots(di, top_idx)
+            ),
             hits,
             self.max_detections,
             cfg,

@@ -106,7 +106,7 @@ def load() -> ctypes.CDLL:
         ]
         lib.radar_ca_cfar.argtypes = [
             dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_double, dp,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int, dp,
             ctypes.POINTER(ctypes.c_uint8),
         ]
         _lib = lib
@@ -210,7 +210,8 @@ def ca_cfar_2d(
     hits = np.empty((d, r), np.uint8)
     lib.radar_ca_cfar(
         _dptr(p), d, r, cfg.cfar_guard[0], cfg.cfar_guard[1],
-        cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa, _dptr(thresh),
+        cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa,
+        1 if cfg.cfar_range_mode == "reflect" else 0, _dptr(thresh),
         hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
     )
     return hits.astype(bool), thresh

@@ -3,8 +3,9 @@
 The reference detects with a bare argmax (single-target assumption,
 acceleration.cu:522); CA-CFAR is the multi-target extension called for by
 the north star.  Convention matches ``radar_tpu.golden.ca_cfar_2d``:
-wrap-around padding on both axes (Doppler is circular after fftshift),
-threshold alpha = N * (pfa^{-1/N} - 1).
+wrap-around padding on the Doppler axis (circular after fftshift),
+reflect (default) or wrap padding on the range axis (range is NOT
+circular — ``cfg.cfar_range_mode``), threshold alpha = N * (pfa^{-1/N} - 1).
 
 This XLA version expresses the guard/training window as two box sums via
 ``lax.reduce_window`` — fully fused and batched.  A Pallas sliding-window
@@ -19,10 +20,16 @@ import jax.numpy as jnp
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
 
 
-def _box_sum_wrap(power: jnp.ndarray, half_d: int, half_r: int) -> jnp.ndarray:
-    """Sum over a (2*half_d+1, 2*half_r+1) window with wrap padding."""
-    pad = [(0, 0)] * (power.ndim - 2) + [(half_d, half_d), (half_r, half_r)]
-    padded = jnp.pad(power, pad, mode="wrap")
+def _box_sum(
+    power: jnp.ndarray, half_d: int, half_r: int, range_mode: str = "reflect"
+) -> jnp.ndarray:
+    """Sum over a (2*half_d+1, 2*half_r+1) window; Doppler wraps, range
+    edge handling per ``range_mode`` ('reflect' or 'wrap')."""
+    lead = [(0, 0)] * (power.ndim - 2)
+    padded = jnp.pad(power, lead + [(half_d, half_d), (0, 0)], mode="wrap")
+    padded = jnp.pad(
+        padded, lead + [(0, 0), (half_r, half_r)], mode=range_mode
+    )
     window = (1,) * (power.ndim - 2) + (2 * half_d + 1, 2 * half_r + 1)
     return jax.lax.reduce_window(
         padded,
@@ -57,8 +64,9 @@ def ca_cfar_2d(
     gd, gr = cfg.cfar_guard
     td, tr = cfg.cfar_train
     alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa)
-    total = _box_sum_wrap(power, gd + td, gr + tr)
-    inner = _box_sum_wrap(power, gd, gr)
+    mode = cfg.cfar_range_mode
+    total = _box_sum(power, gd + td, gr + tr, mode)
+    inner = _box_sum(power, gd, gr, mode)
     noise = (total - inner) * jnp.asarray(1.0 / n_train, power.dtype)
     threshold = jnp.asarray(alpha, power.dtype) * noise
     return power > threshold, threshold

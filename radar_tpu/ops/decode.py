@@ -37,6 +37,25 @@ def decode_to_cube(
     return jnp.swapaxes(cplx, -3, -2)
 
 
+def decode_to_planes(
+    shorts: jnp.ndarray, cfg: RadarConfig = DEFAULT_CONFIG
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """int16 frame stream -> (re, im) float32 planes, same layout as
+    :func:`decode_to_cube` ((..., num_rx, num_chirps, num_samples)).
+
+    Planar twin of ``decode_to_cube`` for the end-to-end split-plane
+    pipeline: the complex64 cube is never materialized, so the RD stage's
+    MXU matmuls read f32 planes straight from the decode with no
+    complex<->planar conversion traffic in between.
+    """
+    lead = shorts.shape[:-1]
+    g = shorts.reshape(lead + (-1, 4)).astype(jnp.float32)
+    shape = lead + (cfg.num_chirps, cfg.num_rx, cfg.num_samples)
+    re = g[..., 0:2].reshape(shape)
+    im = g[..., 2:4].reshape(shape)
+    return jnp.swapaxes(re, -3, -2), jnp.swapaxes(im, -3, -2)
+
+
 def rx0_slice(cube: jnp.ndarray, cfg: RadarConfig = DEFAULT_CONFIG) -> jnp.ndarray:
     """RX0's frame slice flattened to (..., chirps*samples) — the input of
     the reference's extension kernel (acceleration.cu:472)."""

@@ -60,6 +60,33 @@ def _cmatmul_planar(ar, ai, br, bi, eq: str):
     return rr, ri
 
 
+def range_doppler_planes(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    window: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Split-plane MXU range-Doppler: f32 planes in, f32 planes out.
+
+    The planar end-to-end path: decode produces (re, im) planes, this runs
+    the windowed 2D DFT as 8 real MXU matmuls, and power/snapshot gathering
+    consume the output planes directly — the complex64 RD cube (~270 MB per
+    512-frame batch at default geometry) is never materialized in HBM.
+
+    Args:
+      re, im: float32 (..., chirps, samples).
+
+    Returns:
+      (dr, di) float32 (..., doppler_fft, range_fft), Doppler fftshifted.
+    """
+    f_rng = dft_matrix(re.shape[-1], cfg.range_fft_size, window)
+    f_dop = dft_matrix(re.shape[-2], cfg.doppler_fft_size, window, shift=True)
+    rr, ri = _cmatmul_planar(
+        re, im, f_rng.real, f_rng.imag, "...cs,rs->...cr"
+    )
+    return _cmatmul_planar(f_dop.real, f_dop.imag, rr, ri, "dc,...cr->...dr")
+
+
 def range_doppler_mxu(
     cube: jnp.ndarray,
     cfg: RadarConfig = DEFAULT_CONFIG,
@@ -78,16 +105,13 @@ def range_doppler_mxu(
     Returns:
       complex64 (..., doppler_fft, range_fft), Doppler axis fftshifted.
     """
-    f_rng = dft_matrix(cube.shape[-1], cfg.range_fft_size, window)
-    f_dop = dft_matrix(cube.shape[-2], cfg.doppler_fft_size, window, shift=True)
     if not planar:
+        f_rng = dft_matrix(cube.shape[-1], cfg.range_fft_size, window)
+        f_dop = dft_matrix(
+            cube.shape[-2], cfg.doppler_fft_size, window, shift=True
+        )
         # (..., C, S) @ (S, R) -> (..., C, R); then (D, C) @ (..., C, R)
         rng = jnp.einsum("...cs,rs->...cr", cube, f_rng)
         return jnp.einsum("dc,...cr->...dr", f_dop, rng)
-    rr, ri = _cmatmul_planar(
-        cube.real, cube.imag, f_rng.real, f_rng.imag, "...cs,rs->...cr"
-    )
-    dr, di = _cmatmul_planar(
-        f_dop.real, f_dop.imag, rr, ri, "dc,...cr->...dr"
-    )
+    dr, di = range_doppler_planes(cube.real, cube.imag, cfg, window)
     return jax.lax.complex(dr, di)

@@ -1,8 +1,12 @@
 """Pallas CA-CFAR threshold kernel.
 
 Contract identical to ``radar_tpu.ops.cfar.ca_cfar_2d`` (and the golden
-NumPy version): 2D cell-averaging with wrap-around edges, threshold
-``alpha * (ring mean)``.
+NumPy version): 2D cell-averaging, Doppler axis wrap-around, range axis
+reflect (default, ``cfg.cfar_range_mode``) or wrap, threshold
+``alpha * (ring mean)``.  Range reflection is handled OUTSIDE the kernel:
+the map is reflect-padded by the window half-width at XLA level, the
+circular kernel runs on the padded width (its wrap artifacts land only in
+the padding), and the valid centers are sliced back out.
 
 Kernel design (one range-Doppler map per grid step, resident in VMEM):
 
@@ -62,13 +66,19 @@ def ca_cfar_2d_pallas(
     alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa)
 
     lead = power.shape[:-2]
-    d, r = power.shape[-2], power.shape[-1]
-    x = power.reshape((-1, d, r)).astype(jnp.float32)
+    d, r_out = power.shape[-2], power.shape[-1]
+    x = power.reshape((-1, d, r_out)).astype(jnp.float32)
+    if cfg.cfar_range_mode == "reflect":
+        # window centers in [0, r_out) never see the circular wrap once the
+        # range axis carries wr cells of reflection on each side
+        x = jnp.pad(x, ((0, 0), (0, 0), (wr, wr)), mode="reflect")
+    r = x.shape[-1]
     b = x.shape[0]
-    # VMEM budget: in+out double buffering plus the box-sum temporaries is
-    # ~6 live copies of the block; 16 MB VMEM caps rows at ~40 for 128x128
-    # maps (32 maps/step measured OOM).  8 is the measured sweet spot.
-    vmem_cap = max(1, (4 << 20) // (d * r * 4))
+    # VMEM budget: Mosaic's scheduled box-sum roll temporaries cost ~32
+    # live copies of one map row (measured: 8 maps/step of 128x128 f32 sat
+    # exactly at the 16 MB scoped-vmem limit; 128x148 reflect-padded maps
+    # at 8/step exceeded it by 3 MB).  Cap rows so 32 copies fit in 16 MB.
+    vmem_cap = max(1, (16 << 20) // (32 * d * r * 4))
     rows = max(1, min(maps_per_step, b, vmem_cap))
     b_pad = -(-b // rows) * rows
     if b_pad != b:
@@ -93,5 +103,7 @@ def ca_cfar_2d_pallas(
         ),
         interpret=interpret,
     )(x)
-    thresh = thresh[:b].reshape(lead + (d, r))
+    if cfg.cfar_range_mode == "reflect":
+        thresh = thresh[..., wr : wr + r_out]
+    thresh = thresh[:b].reshape(lead + (d, r_out))
     return power > thresh, thresh

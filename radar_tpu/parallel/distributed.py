@@ -111,19 +111,40 @@ class DistributedRDPipeline:
 
         def local_step(shorts_local: jnp.ndarray, base_local: jnp.ndarray):
             # shorts_local: (B_local, S) int16; base_local: (rx_per, C, Smp)
-            cube = decode_to_cube(shorts_local, cfg)  # (B_local, rx, C, Smp)
             chan_idx = jax.lax.axis_index(CHAN_AXIS)
-            cube_l = jax.lax.dynamic_slice_in_dim(
-                cube, chan_idx * rx_per, rx_per, axis=1
-            )
-            cube_l = virtualize_cube(cube_l - base_local, cfg)
-            if rd_impl == "mxu":
-                from radar_tpu.ops.dftmat import range_doppler_mxu
+            if rd_impl == "planar":
+                # split-plane end-to-end (see RDPipeline._detect_planar)
+                from radar_tpu.ops.decode import decode_to_planes
+                from radar_tpu.ops.dftmat import range_doppler_planes
 
-                rd_l = range_doppler_mxu(cube_l, cfg)
+                re, im = decode_to_planes(shorts_local, cfg)
+                re = jax.lax.dynamic_slice_in_dim(
+                    re, chan_idx * rx_per, rx_per, axis=1
+                ) - base_local.real
+                im = jax.lax.dynamic_slice_in_dim(
+                    im, chan_idx * rx_per, rx_per, axis=1
+                ) - base_local.imag
+                dr, di = range_doppler_planes(
+                    virtualize_cube(re, cfg), virtualize_cube(im, cfg), cfg
+                )
+                rd_l = None  # never materialized; snaps gathers per plane
+                planes = (dr, di)
+                local_power = jnp.sum(dr * dr + di * di, axis=-3)
             else:
-                rd_l = range_doppler(cube_l, cfg)  # (B_local, tx*rx_per, D, R)
-            power = jax.lax.psum(integrate_power(rd_l), CHAN_AXIS)
+                cube = decode_to_cube(shorts_local, cfg)  # (B, rx, C, Smp)
+                cube_l = jax.lax.dynamic_slice_in_dim(
+                    cube, chan_idx * rx_per, rx_per, axis=1
+                )
+                cube_l = virtualize_cube(cube_l - base_local, cfg)
+                if rd_impl == "mxu":
+                    from radar_tpu.ops.dftmat import range_doppler_mxu
+
+                    rd_l = range_doppler_mxu(cube_l, cfg)
+                else:
+                    rd_l = range_doppler(cube_l, cfg)  # (B, tx*rx_per, D, R)
+                planes = None
+                local_power = integrate_power(rd_l)
+            power = jax.lax.psum(local_power, CHAN_AXIS)
             if cfar_impl == "pallas":
                 from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas
 
@@ -134,7 +155,13 @@ class DistributedRDPipeline:
                 hits, _ = ca_cfar_2d(power, cfg)
 
             def snaps(top_idx):
-                local = gather_snapshots(rd_l, top_idx)  # (B_l, K, tx*rx_per)
+                if planes is not None:
+                    local = jax.lax.complex(
+                        gather_snapshots(planes[0], top_idx),
+                        gather_snapshots(planes[1], top_idx),
+                    )  # (B_l, K, tx*rx_per)
+                else:
+                    local = gather_snapshots(rd_l, top_idx)
                 full = jax.lax.all_gather(
                     local, CHAN_AXIS, axis=local.ndim - 1, tiled=True
                 )  # (B_l, K, chan*tx*rx_per) shard-major

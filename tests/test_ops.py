@@ -166,3 +166,47 @@ def test_music_rejects_bad_num_sources(cfg):
         music_spectrum(snaps, cfg.num_rx, cfg)
     with _pytest.raises(ValueError):
         golden.music_spectrum(np.ones((8, cfg.num_rx)), 0, cfg)
+
+
+def test_cfar_range_edges_do_not_wrap(cfg):
+    """A strong target hugging range bin 0 must not inflate the noise
+    estimate (and thus thresholds) at the far range edge: range is not
+    circular.  'wrap' mode keeps the old circular behavior."""
+    from radar_tpu.config import RadarConfig as RC
+
+    d, r = cfg.doppler_fft_size, cfg.range_fft_size
+    rng = np.random.default_rng(31)
+    power = rng.exponential(1.0, (d, r)).astype(np.float32)
+    power[60, 5] = 1e6  # near range edge: in the far edge's training
+    # ring under wrap (|dr|=6..10), outside its guard ring
+
+    reflect_cfg = RC(cfar_range_mode="reflect")
+    wrap_cfg = RC(cfar_range_mode="wrap")
+    _, t_reflect = ca_cfar_2d(jnp.asarray(power), reflect_cfg)
+    _, t_wrap = ca_cfar_2d(jnp.asarray(power), wrap_cfg)
+    t_reflect, t_wrap = np.asarray(t_reflect), np.asarray(t_wrap)
+
+    # wrap leaks the near-edge target into far-edge thresholds; reflect must not
+    assert t_wrap[60, r - 1] > 100 * t_reflect[60, r - 1]
+    assert t_reflect[60, r - 1] < 100  # unpolluted noise-level threshold
+
+    # all four twins agree at the edges under the default (reflect) config
+    want_hits, want_t = golden.ca_cfar_2d(
+        power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa
+    )
+    # f32 twins: the 1e6 outlier costs ~3 digits in the (total - inner)
+    # cancellation, hence the looser 2e-3 on cells near the target
+    np.testing.assert_allclose(
+        np.asarray(ca_cfar_2d(jnp.asarray(power), cfg)[1]), want_t, rtol=2e-3
+    )
+    from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas
+
+    np.testing.assert_allclose(
+        np.asarray(ca_cfar_2d_pallas(jnp.asarray(power), cfg, interpret=True)[1]),
+        want_t, rtol=2e-3,
+    )
+    from radar_tpu import native
+
+    np.testing.assert_allclose(
+        native.ca_cfar_2d(power.astype(np.float64), cfg)[1], want_t, rtol=1e-10
+    )

@@ -131,3 +131,25 @@ def test_dryrun_survives_hostile_backend_env(monkeypatch):
         "XLA_FLAGS", "--xla_force_host_platform_device_count=2"
     )
     ge.dryrun_multichip(8)  # must not raise, must not inherit the 2
+
+
+def test_distributed_planar_matches_single_device(cfg, capture):
+    """Planar (split re/im) sharded pipeline == single-device planar."""
+    mesh = build_mesh(n_devices=8, num_rx=cfg.num_rx)
+    dist = DistributedRDPipeline(
+        mesh=mesh, cfg=cfg, max_detections=8, rd_impl="planar"
+    )
+    single = RDPipeline(cfg, max_detections=8, rd_impl="planar",
+                        cfar_impl="xla")
+    frames = capture[1:9]
+    want = single.detect(
+        jnp.asarray(frames), single.prepare_base(jnp.asarray(capture[0]))
+    )
+    got = dist.detect(dist.shard_frames(frames), dist.prepare_base(capture[0]))
+    np.testing.assert_array_equal(np.asarray(got.range_bin),
+                                  np.asarray(want.range_bin))
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_array_equal(np.asarray(got.angle_bin),
+                                  np.asarray(want.angle_bin))
+    np.testing.assert_allclose(np.asarray(got.power), np.asarray(want.power),
+                               rtol=1e-5)

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from radar_tpu import golden
+from radar_tpu.config import RadarConfig
 from radar_tpu.io.capture import encode_frame
 from radar_tpu.io.synthetic import SceneTarget, synthesize_capture, synthesize_cube
 from radar_tpu.models.range_detector import RangeDetector
@@ -181,3 +182,103 @@ def test_rd_pipeline_unbatched_frame(cfg, targets):
     np.testing.assert_array_equal(
         np.asarray(batched.range_bin), np.asarray(single.range_bin)
     )
+
+
+def test_pipeline_classes_frozen_and_value_hashed():
+    """self is a jit static argument: freezing prevents the silent
+    stale-compilation reuse a mutable self would allow, and value hashing
+    makes identically-configured pipelines share one compiled program."""
+    import dataclasses
+
+    cfg = RadarConfig()
+    pipe = RDPipeline(cfg, max_detections=8)
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        pipe.cfar_impl = "xla"
+    det = RangeDetector(cfg)
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        det.detect_impl = "pallas"
+
+    # equal config -> equal hash -> shared jit cache entry
+    assert RDPipeline(cfg, max_detections=8) == pipe
+    assert hash(RDPipeline(cfg, max_detections=8)) == hash(pipe)
+    assert RDPipeline(cfg, max_detections=8, cfar_impl="xla") != pipe
+    assert RangeDetector(cfg) == det
+
+
+def test_planar_pipeline_matches_mxu(cfg, targets):
+    """The planar end-to-end path performs the identical real arithmetic
+    as rd_impl='mxu' (which splits planes at the matmul); results must
+    match to float32 roundoff, detections exactly."""
+    shorts = synthesize_capture(targets, 4, cfg, noise_std=2.0, seed=21)
+    mxu = RDPipeline(cfg, max_detections=8, rd_impl="mxu", cfar_impl="xla")
+    planar = RDPipeline(cfg, max_detections=8, rd_impl="planar",
+                        cfar_impl="xla")
+    base = mxu.prepare_base(jnp.asarray(shorts[0]))
+    a = mxu.detect(jnp.asarray(shorts[1:]), base)
+    b = planar.detect(jnp.asarray(shorts[1:]), base)
+    np.testing.assert_array_equal(np.asarray(a.range_bin), np.asarray(b.range_bin))
+    np.testing.assert_array_equal(np.asarray(a.doppler_bin), np.asarray(b.doppler_bin))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.angle_bin), np.asarray(b.angle_bin))
+    np.testing.assert_array_equal(np.asarray(a.num_hits), np.asarray(b.num_hits))
+    np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.azimuth_deg),
+                               np.asarray(b.azimuth_deg), rtol=1e-5, atol=1e-4)
+
+
+def test_planar_pipeline_mean_clutter_and_golden(cfg, targets):
+    """Planar path without a base frame (mean clutter removal) matches the
+    complex-cube mxu path, and still finds the targets."""
+    shorts = synthesize_capture(targets, 3, cfg, noise_std=2.0, seed=22)
+    mxu = RDPipeline(cfg, max_detections=8, use_base_frame=False,
+                     rd_impl="mxu", cfar_impl="xla")
+    planar = RDPipeline(cfg, max_detections=8, use_base_frame=False,
+                        rd_impl="planar", cfar_impl="xla")
+    a = mxu.detect(jnp.asarray(shorts[1:]))  # frame 0 = empty scene
+    b = planar.detect(jnp.asarray(shorts[1:]))
+    np.testing.assert_array_equal(np.asarray(a.range_bin), np.asarray(b.range_bin))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    assert np.asarray(b.num_hits).min() > 0
+
+
+@pytest.mark.parametrize("use_base", [True, False])
+def test_fused_pipeline_matches_mxu(cfg, targets, use_base):
+    """The fused interleave-matmul path (decode+window+DFT folded into the
+    MXU contractions, ops/fuseddft.py) must agree with the complex-cube
+    mxu path: detections exactly, power to f32 roundoff."""
+    shorts = synthesize_capture(targets, 4, cfg, noise_std=2.0, seed=33)
+    mxu = RDPipeline(cfg, max_detections=8, rd_impl="mxu", cfar_impl="xla",
+                     use_base_frame=use_base)
+    fused = RDPipeline(cfg, max_detections=8, rd_impl="fused",
+                       cfar_impl="xla", use_base_frame=use_base)
+    base = mxu.prepare_base(jnp.asarray(shorts[0])) if use_base else None
+    a = mxu.detect(jnp.asarray(shorts[1:]), base)
+    b = fused.detect(jnp.asarray(shorts[1:]), base)
+    np.testing.assert_array_equal(np.asarray(a.range_bin), np.asarray(b.range_bin))
+    np.testing.assert_array_equal(np.asarray(a.doppler_bin), np.asarray(b.doppler_bin))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.angle_bin), np.asarray(b.angle_bin))
+    np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
+                               rtol=2e-4, atol=1e-2)
+
+
+def test_fused_pipeline_mimo(targets):
+    """Fused path with TDM-MIMO (num_tx=2): virtual array ordering and the
+    chirp de-multiplex inside the Doppler contraction must match the
+    explicit virtualize_cube path."""
+    from radar_tpu.config import RadarConfig as RC
+
+    cfg2 = RC(num_tx=2)
+    shorts = synthesize_capture(targets, 3, cfg2, noise_std=2.0, seed=34)
+    mxu = RDPipeline(cfg2, max_detections=8, rd_impl="mxu", cfar_impl="xla")
+    fused = RDPipeline(cfg2, max_detections=8, rd_impl="fused",
+                       cfar_impl="xla")
+    base = mxu.prepare_base(jnp.asarray(shorts[0]))
+    a = mxu.detect(jnp.asarray(shorts[1:]), base)
+    b = fused.detect(jnp.asarray(shorts[1:]), base)
+    np.testing.assert_array_equal(np.asarray(a.range_bin), np.asarray(b.range_bin))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.angle_bin), np.asarray(b.angle_bin))
+    np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
+                               rtol=2e-4, atol=1e-2)
