@@ -144,15 +144,46 @@ def main() -> None:
         log(f"range-parity (16K FFT + argmax): {1000*dt:.2f} ms/{args.batch} "
             f"= {args.batch/dt:.0f} fps")
 
-        # tunnel H2D (environment artifact)
+        # ingest: (a) pure transport, (b) on-chip compute, (c) sustained
+        # end-to-end with upload/compute overlap + donated input buffers.
+        # (c) ~= max(a, b), not a + b: compute hides behind transport (or
+        # vice versa on hosts where PCIe outruns the chip).
         if not args.skip_h2d:
+            n_up = 3
+            chunk = capture[1:]
+            mb = chunk.nbytes / 1e6
+
             t0 = time.perf_counter()
-            up = jax.device_put(capture[1:])
-            fence(jnp.sum(jnp.max(up, axis=-1)))
-            dt = time.perf_counter() - t0
-            log(f"tunnel H2D: {capture[1:].nbytes/1e6:.0f} MB in {dt:.2f}s "
-                f"= {capture[1:].nbytes/dt/1e6:.0f} MB/s "
-                f"(dev-env loopback relay; production PCIe >> 205 MB/s needed)")
+            ups = [jax.device_put(chunk) for _ in range(n_up)]
+            fence([jnp.sum(jnp.max(u, axis=-1)) for u in ups])
+            t_a = time.perf_counter() - t0
+            del ups
+
+            # (b) from the headline above
+            t_b = n_up * args.batch / fps
+
+            fence(pipe.detect_donated(jax.device_put(chunk), base))  # compile
+            t0 = time.perf_counter()
+            buf = jax.device_put(chunk)
+            outs = []
+            for i in range(n_up):
+                nxt = jax.device_put(chunk) if i + 1 < n_up else None
+                outs.append(pipe.detect_donated(buf, base))  # buf consumed
+                buf = nxt  # upload of batch i+1 overlaps compute of batch i
+            fence([o.power for o in outs])
+            t_c = time.perf_counter() - t0
+
+            log(f"ingest: (a) transport {n_up}x{mb:.0f} MB in {t_a:.2f}s = "
+                f"{n_up*mb/t_a:.0f} MB/s (dev-relay artifact; production "
+                f"PCIe >> the 205 MB/s that 1000 fps needs)")
+            log(f"ingest: (b) on-chip compute for the same frames: {t_b:.3f}s")
+            log(f"ingest: (c) sustained overlapped+donated end-to-end: "
+                f"{t_c:.2f}s = {n_up*args.batch/t_c:.0f} fps end-to-end; "
+                f"c/max(a,b) = {t_c/max(t_a, t_b):.2f} (1.0 = perfect "
+                f"overlap), c/(a+b) = {t_c/(t_a+t_b):.2f}")
+            log("ingest: (XLA may warn the donation is unusable for "
+                "aliasing — outputs are far smaller than the input; the "
+                "donated buffers are still consumed, bounding ring memory)")
     except Exception as e:  # transient transport failures are non-fatal
         log(f"optional bench sections skipped: {type(e).__name__}: {e}")
 

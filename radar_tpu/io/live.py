@@ -148,34 +148,95 @@ def udp_frames(
     rcvbuf_bytes: int = 8 << 20,
 ) -> Iterator[np.ndarray]:
     """Yield frames from a DCA1000-style UDP stream until timeout/count."""
+    for batch in udp_frame_batches(
+        port, cfg, host=host, max_frames=max_frames, timeout_s=timeout_s,
+        rcvbuf_bytes=rcvbuf_bytes, max_batch=1,
+    ):
+        yield from batch
+
+
+def udp_frame_batches(
+    port: int,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    host: str = "0.0.0.0",
+    max_frames: int | None = None,
+    timeout_s: float | None = 5.0,
+    rcvbuf_bytes: int = 8 << 20,
+    max_batch: int = 8,
+    on_bound=None,
+) -> Iterator[list[np.ndarray]]:
+    """Yield LISTS of frames: everything available without waiting, up to
+    ``max_batch`` per yield.
+
+    The serving pipeline dispatches one detection program per yield; on
+    transports with a large per-dispatch RTT, batching the frames that have
+    already arrived multiplies served throughput without adding latency
+    beyond the first frame's (the drain uses a zero timeout — it never
+    waits for frames that are not already in the kernel buffer).
+
+    ``on_bound``, if given, runs right after the socket binds and before
+    the first receive — the place for expensive warmup (compiles): packets
+    arriving meanwhile accumulate in the kernel buffer instead of being
+    lost to a closed port.
+    """
     reasm = PacketReassembler(cfg)
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     # at 1000 fps the stream is 205 MB/s; a deep kernel buffer rides out
-    # scheduling hiccups (lost packets are zero-filled, not recovered)
-    sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, rcvbuf_bytes)
-    sock.bind((host, port))
-    if timeout_s is not None:
-        sock.settimeout(timeout_s)
-    produced = 0
+    # scheduling hiccups (lost packets are zero-filled, not recovered).
+    # SO_RCVBUF is silently capped at net.core.rmem_max (~212 KB default =
+    # one frame); SO_RCVBUFFORCE (root) bypasses the cap.
     try:
+        sock.setsockopt(
+            socket.SOL_SOCKET, getattr(socket, "SO_RCVBUFFORCE", 33),
+            rcvbuf_bytes,
+        )
+    except OSError:
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, rcvbuf_bytes)
+    sock.bind((host, port))
+    if on_bound is not None:
+        on_bound()
+    produced = 0
+
+    def room() -> int:
+        if max_frames is None:
+            return max_batch
+        return min(max_batch, max_frames - produced)
+
+    try:
+        pending: list[np.ndarray] = []
         while max_frames is None or produced < max_frames:
             try:
+                sock.settimeout(timeout_s)
                 # 64 KiB = max UDP datagram; a short buffer would silently
                 # truncate packets from senders using larger payloads
                 packet, _ = sock.recvfrom(65535)
             except socket.timeout:
                 # stream ended: drain reorder-pending packets so a final
                 # frame missing only a reordered tail isn't silently lost
-                for frame in reasm.flush_frames():
-                    yield frame
-                    produced += 1
-                    if max_frames is not None and produced >= max_frames:
+                pending.extend(reasm.flush_frames())
+                while pending:
+                    n = room()
+                    if n <= 0:
                         return
+                    yield pending[:n]
+                    produced += len(pending[:n])
+                    del pending[:n]
                 return
-            for frame in reasm.feed(packet):
-                yield frame
-                produced += 1
-                if max_frames is not None and produced >= max_frames:
+            pending.extend(reasm.feed(packet))
+            # greedy zero-wait drain: batch frames already in flight
+            while len(pending) < room():
+                try:
+                    sock.settimeout(0.0)
+                    packet, _ = sock.recvfrom(65535)
+                except (BlockingIOError, socket.timeout, OSError):
+                    break
+                pending.extend(reasm.feed(packet))
+            while len(pending) >= 1:
+                n = room()
+                if n <= 0:
                     return
+                batch, pending = pending[:n], pending[n:]
+                yield batch
+                produced += len(batch)
     finally:
         sock.close()

@@ -189,6 +189,28 @@ def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig,
     )
 
 
+@jax.jit
+def pack_detections(out: RDResult) -> jnp.ndarray:
+    """Pack the serving-relevant RDResult fields into ONE (B, K, 5) f32
+    array: [range_m, velocity_mps, azimuth_deg, power, valid].
+
+    Serving materializes results every dispatch; on remote-TPU transports
+    each materialized leaf costs a full round trip (~27 ms on the dev
+    relay), so nine RDResult leaves turn a 1 ms detection into a 250 ms
+    one.  One packed array = one transfer.
+    """
+    return jnp.stack(
+        [
+            out.range_m,
+            out.velocity_mps,
+            out.azimuth_deg,
+            out.power,
+            out.valid.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
 def integrate_power(rd: jnp.ndarray) -> jnp.ndarray:
     """Non-coherent integration over the RX axis: (..., rx, D, R) -> (..., D, R)."""
     return jnp.sum(rd.real * rd.real + rd.imag * rd.imag, axis=-3)
@@ -330,6 +352,22 @@ class RDPipeline:
             cfg,
             topk_impl=self._topk_impl(),
         )
+
+    # -- streaming ingest: donated input buffer ------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def detect_donated(
+        self, shorts: jnp.ndarray, base_cube: jnp.ndarray | None = None
+    ) -> RDResult:
+        """:meth:`detect` with the raw frame buffer DONATED.
+
+        For sustained host->HBM streaming: each uploaded cube's HBM buffer
+        is released to XLA the moment the step consumes it, so back-to-back
+        upload/compute overlap does not accumulate dead input buffers (the
+        TPU-native answer to the reference's 6 cudaMalloc/cudaFree pairs
+        per frame, acceleration.cu:435-519).  The caller must not reuse
+        ``shorts`` after the call.
+        """
+        return self.detect(shorts, base_cube)
 
     def _detect_planar(
         self, shorts: jnp.ndarray, base_cube: jnp.ndarray | None,

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Weak-scaling curve for the (data, chan) sharded pipeline.
+
+Runs the full-geometry (128 chirps x 100 samples x 4 RX) distributed
+range-Doppler-CFAR-AoA step on virtual CPU meshes of n = 1, 2, 4, 8
+devices with a CONSTANT per-device frame load, and reports per-step wall
+time plus the collective traffic the sharding implies.
+
+This is a SIMULATION in the precise sense that the devices are
+--xla_force_host_platform_device_count virtual CPU devices sharing one
+host's cores — absolute times mean nothing, and inter-device "collectives"
+are memcpys, not ICI.  What it demonstrates honestly:
+
+* the sharded program compiles and runs at full frame geometry for every
+  mesh shape (not just the tiny dryrun shapes);
+* the collective payload per step is tiny and CONSTANT per device as the
+  mesh grows (weak scaling): the psum moves one (D, R) f32 partial-power
+  map per local frame and the all_gather moves K x rx complex snapshots —
+  independent of n — so on real ICI (~100 GB/s/link) the collective time
+  is bounded by microseconds against a ~multi-ms compute step.
+
+Each mesh size runs in its own subprocess (the device count must be fixed
+before the backend initializes).
+
+Usage:  python scripts/weak_scaling.py [--frames-per-shard 8] [--out docs/SCALING.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, time
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from radar_tpu.config import RadarConfig
+from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+from radar_tpu.parallel.distributed import DistributedRDPipeline
+from radar_tpu.parallel.mesh import build_mesh
+
+n = int(__import__("sys").argv[1])
+fps_shard = int(__import__("sys").argv[2])
+
+cfg = RadarConfig()  # FULL reference geometry: 128 x 100 x 4
+mesh = build_mesh(n_devices=n, num_rx=cfg.num_rx)
+pipe = DistributedRDPipeline(mesh=mesh, cfg=cfg, max_detections=16,
+                             rd_impl="planar")
+data = mesh.shape["data"]
+frames = data * fps_shard
+
+cap = synthesize_capture(
+    [SceneTarget(range_m=5.0, velocity_mps=2.0, azimuth_deg=15.0)],
+    frames + 1, cfg, noise_std=5.0, seed=0,
+)
+base = pipe.prepare_base(cap[0])
+x = pipe.shard_frames(cap[1:])
+out = jax.block_until_ready(pipe.detect(x, base))  # compile
+reps = []
+for _ in range(5):
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(pipe.detect(x, base))
+    reps.append(time.perf_counter() - t0)
+step = sorted(reps)[len(reps) // 2]
+
+# collective payload per step (analytic, from the sharding layout)
+d, r = cfg.doppler_fft_size, cfg.range_fft_size
+chan = mesh.shape["chan"]
+psum_bytes = frames // data * d * r * 4          # per-device partial power
+ag_bytes = frames // data * 16 * cfg.num_rx // chan * 8   # K x rx_local c64
+
+print(json.dumps({
+    "n": n, "mesh": dict(mesh.shape), "frames": frames,
+    "frames_per_device": frames // data, "step_s": step,
+    "psum_bytes_per_device": psum_bytes,
+    "all_gather_bytes_per_device": ag_bytes,
+}))
+"""
+
+
+def run_one(n: int, frames_per_shard: int) -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={n}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    proc = subprocess.run(
+        [sys.executable, "-c", _WORKER, str(n), str(frames_per_shard)],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"n={n} failed:\n{proc.stderr[-2000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames-per-shard", type=int, default=8)
+    ap.add_argument("--sizes", default="1,2,4,8")
+    ap.add_argument("--out", default=None, help="write a markdown table here")
+    args = ap.parse_args()
+
+    rows = []
+    for n in [int(s) for s in args.sizes.split(",")]:
+        row = run_one(n, args.frames_per_shard)
+        rows.append(row)
+        print(json.dumps(row))
+
+    if args.out:
+        base = rows[0]["step_s"]
+        lines = [
+            "# Weak scaling — (data, chan) mesh, full 128x100x4 geometry",
+            "",
+            "Virtual CPU mesh **simulation** (all devices timeshare one",
+            "host's cores, so wall time GROWS with n here by construction;",
+            "see scripts/weak_scaling.py for what this does and does not",
+            "demonstrate).  The `data` axis holds "
+            f"{rows[0]['frames_per_device']} frames/device constant; the "
+            "`chan` axis divides the per-frame RX work.",
+            "",
+            "| n | mesh (data, chan) | frames/step | step (s) | vs n=1 | psum B/dev | all_gather B/dev |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for r in rows:
+            m = r["mesh"]
+            lines.append(
+                f"| {r['n']} | ({m['data']}, {m['chan']}) | {r['frames']} "
+                f"| {r['step_s']:.4f} | {r['step_s']/base:.2f}x "
+                f"| {r['psum_bytes_per_device']:,} "
+                f"| {r['all_gather_bytes_per_device']:,} |"
+            )
+        lines += [
+            "",
+            "Collective payloads are constant per device as the mesh grows —",
+            "the weak-scaling property the layout was designed for.  On real",
+            "ICI (~1e11 B/s per link) the psum payload above costs ~10 us",
+            "against a multi-ms compute step.",
+            "",
+        ]
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines))
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

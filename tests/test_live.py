@@ -131,7 +131,8 @@ def test_serve_loopback(cfg, capsys):
     assert rc == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     recs = [_json.loads(l) for l in lines]
-    assert recs[0] == {"event": "base_frame"}
+    assert recs[0] == {"event": "ready"}
+    assert recs[1] == {"event": "base_frame"}
     frame_recs = [r for r in recs if "frame" in r]
     assert len(frame_recs) == 4
     assert any(
@@ -168,3 +169,77 @@ def test_deep_reorder_within_window(cfg, capture):
         frames.extend(reasm.feed(p))
     assert reasm.dropped_bytes == 0
     np.testing.assert_array_equal(np.stack(frames), capture[:2])
+
+
+def _free_port():
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        sock.bind(("127.0.0.1", 0))
+    except OSError:
+        pytest.skip("no loopback sockets in sandbox")
+    port = sock.getsockname()[1]
+    sock.close()
+    return port
+
+
+def test_udp_frame_batches_cover_stream(cfg, capture):
+    """The micro-batching generator yields every frame, in order, with
+    batches bounded by max_batch."""
+    import time
+    from radar_tpu.io.live import udp_frame_batches
+
+    port = _free_port()
+    packets = make_packets(capture[:6])
+
+    def send():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i, p in enumerate(packets):
+            tx.sendto(p, ("127.0.0.1", port))
+            if i % 64 == 63:
+                time.sleep(0.001)
+        tx.close()
+
+    gen = udp_frame_batches(port, cfg, host="127.0.0.1", max_frames=6,
+                            timeout_s=10.0, max_batch=4)
+    t = threading.Timer(0.3, send)
+    t.start()
+    batches = list(gen)
+    t.join()
+    assert all(1 <= len(b) <= 4 for b in batches)
+    frames = [f for b in batches for f in b]
+    assert len(frames) == 6
+    np.testing.assert_array_equal(np.stack(frames), capture[:6])
+
+
+def test_timeout_flushes_reorder_pending_final_frame(cfg, capture):
+    """A final frame missing only a lost mid-packet (later packets held in
+    the reorder-pending map) is zero-fill completed at timeout instead of
+    silently dropped."""
+    import time
+
+    port = _free_port()
+    packets = make_packets(capture[:2])
+    lost = len(packets) - 3  # a packet near the end of frame 1
+    kept = [p for i, p in enumerate(packets) if i != lost]
+
+    def send():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i, p in enumerate(kept):
+            tx.sendto(p, ("127.0.0.1", port))
+            if i % 64 == 63:
+                time.sleep(0.001)
+        tx.close()
+
+    gen = udp_frames(port, cfg, host="127.0.0.1", max_frames=2,
+                     timeout_s=1.0)
+    t = threading.Timer(0.2, send)
+    t.start()
+    frames = list(gen)
+    t.join()
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0], capture[0])
+    # the lost packet's span is zeroed; everything else bit-exact
+    want = capture[1].copy()
+    start = (lost * DEFAULT_PAYLOAD) % cfg.bytes_per_frame // 2
+    want[start : start + DEFAULT_PAYLOAD // 2] = 0
+    np.testing.assert_array_equal(frames[1], want)

@@ -6,6 +6,7 @@ TPU pipeline per frame — detection indices exact, magnitudes/distances
 within 1e-3 relative (BASELINE.json gates).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -282,3 +283,21 @@ def test_fused_pipeline_mimo(targets):
     np.testing.assert_array_equal(np.asarray(a.angle_bin), np.asarray(b.angle_bin))
     np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
                                rtol=2e-4, atol=1e-2)
+
+
+def test_detect_donated_matches_and_consumes(cfg, targets):
+    """detect_donated == detect, and the donated input buffer is actually
+    consumed (deleted) by the call."""
+    shorts = synthesize_capture(targets, 3, cfg, noise_std=2.0, seed=41)
+    pipe = RDPipeline(cfg, max_detections=8, rd_impl="planar", cfar_impl="xla")
+    base = pipe.prepare_base(jnp.asarray(shorts[0]))
+    want = pipe.detect(jnp.asarray(shorts[1:]), base)
+    buf = jax.device_put(shorts[1:])
+    got = pipe.detect_donated(buf, base)
+    np.testing.assert_array_equal(np.asarray(got.range_bin),
+                                  np.asarray(want.range_bin))
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    # on the CPU backend XLA declines the donation (outputs are far smaller
+    # than the input, nothing to alias) and leaves the buffer live; on TPU
+    # the buffer is consumed.  Either way the call semantics must hold.
+    assert buf.is_deleted() or jax.default_backend() != "tpu"
