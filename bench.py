@@ -114,11 +114,24 @@ def main() -> None:
     # ---- optional extras (stderr only; never allowed to kill the
     # headline JSON line) ----------------------------------------------------
     try:
+        # bf16-MXU-pass speed mode (cfg default is full-f32 'highest')
+        cfg_fast = RadarConfig(dft_precision="default")
+        p = RDPipeline(cfg_fast, 16, rd_impl="fused", cfar_impl="xla")
+        base_fast = p.prepare_base(capture[0])
+        fence(p.detect(batch_dev, base_fast))
+        t0 = time.perf_counter()
+        outs = [p.detect(batch_dev, base_fast) for _ in range(n_batches)]
+        fence([o.power for o in outs])
+        dt = (time.perf_counter() - t0) / n_batches
+        log(f"speed mode dft_precision=default (bf16 MXU pass, ~9e-4 vs "
+            f"golden): {1000*dt:.2f} ms/{args.batch} = {args.batch/dt:.0f} fps")
+
         # loop depth aligned with the headline (n_batches per fence) so
         # variant numbers are directly comparable
         variants = [
             ("fused", "xla"),
             ("fused", "pallas"),
+            ("fused-pallas", "xla"),
             ("planar", "xla"),
             ("mxu", "pallas"),
             ("fft", "pallas"),

@@ -55,6 +55,12 @@ class RadarConfig:
     # (physical: range is not circular, mirror the edge cells) or 'wrap'.
     # Doppler always wraps (circular after fftshift).
     cfar_range_mode: str = "reflect"
+    # MXU matmul precision for the DFT paths.  'highest' (default):
+    # full-f32 passes, ~8e-8 relative vs float64 golden.  'default': the
+    # TPU's single bf16 MXU pass — ~9e-4 relative (inside the 1e-3
+    # BASELINE gate but with little margin) for ~17% more throughput
+    # (measured 69.7k vs 59.6k fps full-pipeline on v5e).
+    dft_precision: str = "highest"
     # Angle processing
     num_angle_bins: int = 64                  # angle-FFT size
     angle_grid_deg: Tuple[float, float, int] = (-90.0, 90.0, 181)  # Capon scan

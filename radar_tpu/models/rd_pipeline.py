@@ -339,8 +339,8 @@ class RDPipeline:
         impl = self.rd_impl
         if impl == "auto":
             impl = "fused" if jax.default_backend() == "tpu" else "fft"
-        if impl in ("planar", "fused"):
-            return self._detect_planar(shorts, base_cube, fused=impl == "fused")
+        if impl in ("planar", "fused", "fused-pallas"):
+            return self._detect_planar(shorts, base_cube, impl=impl)
         rd = self.rd_cube(shorts, base_cube)  # (B, rx, D, R)
         power = integrate_power(rd)
         hits, _ = self._cfar(power)
@@ -371,21 +371,31 @@ class RDPipeline:
 
     def _detect_planar(
         self, shorts: jnp.ndarray, base_cube: jnp.ndarray | None,
-        fused: bool = False,
+        impl: str = "planar",
     ) -> RDResult:
         """End-to-end split-plane path: f32 re/im planes from decode
         through RD power; complex only reappears on the tiny (B, K, rx)
         AoA snapshots (gathered per plane, combined on device).
 
-        With ``fused=True`` the decode/transpose work is folded into the
-        DFT matmuls (ops/fuseddft.py) instead of running as separate
-        layout passes."""
+        'fused' folds the decode/transpose work into the DFT matmuls
+        (ops/fuseddft.py) instead of running separate layout passes;
+        'fused-pallas' runs the range stage as the explicit Pallas kernel
+        (ops/pallas/fused_dft_kernel.py)."""
         cfg = self.cfg
         base = base_cube if self.use_base_frame else None
-        if fused:
+        if impl == "fused":
             from radar_tpu.ops.fuseddft import fused_rd_planes
 
             dr, di = fused_rd_planes(shorts, base, cfg)
+        elif impl == "fused-pallas":
+            from radar_tpu.ops.pallas.fused_dft_kernel import (
+                fused_rd_planes_pallas,
+            )
+
+            dr, di = fused_rd_planes_pallas(
+                shorts, base, cfg,
+                interpret=jax.default_backend() != "tpu",
+            )
         else:
             from radar_tpu.ops.decode import decode_to_planes
             from radar_tpu.ops.dftmat import range_doppler_planes

@@ -53,10 +53,26 @@ def dft_matrix(
     return jnp.asarray(_dft_factors(n_in, n_fft, windowed, shift))
 
 
-def _cmatmul_planar(ar, ai, br, bi, eq: str):
-    """Complex matmul via 4 real MXU matmuls on split planes."""
-    rr = jnp.einsum(eq, ar, br) - jnp.einsum(eq, ai, bi)
-    ri = jnp.einsum(eq, ar, bi) + jnp.einsum(eq, ai, br)
+def resolve_precision(name: str):
+    """cfg.dft_precision -> jax matmul precision (None = TPU default)."""
+    return jax.lax.Precision.HIGHEST if name == "highest" else None
+
+
+def _cmatmul_planar(ar, ai, br, bi, eq: str, precision=None):
+    """Complex matmul via 4 real MXU matmuls on split planes.
+
+    ``precision=None`` uses the TPU default (single bf16 MXU pass,
+    ~1e-3 relative on these DFT sizes — inside the BASELINE gate but with
+    little margin); pass ``jax.lax.Precision.HIGHEST`` for full-f32
+    passes (~1e-6)."""
+    rr = (
+        jnp.einsum(eq, ar, br, precision=precision)
+        - jnp.einsum(eq, ai, bi, precision=precision)
+    )
+    ri = (
+        jnp.einsum(eq, ar, bi, precision=precision)
+        + jnp.einsum(eq, ai, br, precision=precision)
+    )
     return rr, ri
 
 
@@ -81,10 +97,13 @@ def range_doppler_planes(
     """
     f_rng = dft_matrix(re.shape[-1], cfg.range_fft_size, window)
     f_dop = dft_matrix(re.shape[-2], cfg.doppler_fft_size, window, shift=True)
+    prec = resolve_precision(cfg.dft_precision)
     rr, ri = _cmatmul_planar(
-        re, im, f_rng.real, f_rng.imag, "...cs,rs->...cr"
+        re, im, f_rng.real, f_rng.imag, "...cs,rs->...cr", prec
     )
-    return _cmatmul_planar(f_dop.real, f_dop.imag, rr, ri, "dc,...cr->...dr")
+    return _cmatmul_planar(
+        f_dop.real, f_dop.imag, rr, ri, "dc,...cr->...dr", prec
+    )
 
 
 def range_doppler_mxu(
@@ -110,8 +129,9 @@ def range_doppler_mxu(
         f_dop = dft_matrix(
             cube.shape[-2], cfg.doppler_fft_size, window, shift=True
         )
+        prec = resolve_precision(cfg.dft_precision)
         # (..., C, S) @ (S, R) -> (..., C, R); then (D, C) @ (..., C, R)
-        rng = jnp.einsum("...cs,rs->...cr", cube, f_rng)
-        return jnp.einsum("dc,...cr->...dr", f_dop, rng)
+        rng = jnp.einsum("...cs,rs->...cr", cube, f_rng, precision=prec)
+        return jnp.einsum("dc,...cr->...dr", f_dop, rng, precision=prec)
     dr, di = range_doppler_planes(cube.real, cube.imag, cfg, window)
     return jax.lax.complex(dr, di)

@@ -37,7 +37,7 @@ import numpy as np
 
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
 from radar_tpu.golden import hann_window
-from radar_tpu.ops.dftmat import _cmatmul_planar, dft_matrix
+from radar_tpu.ops.dftmat import _cmatmul_planar, dft_matrix, resolve_precision
 
 
 @lru_cache(maxsize=16)
@@ -79,7 +79,7 @@ def _base_range_planes(base_cube, cfg: RadarConfig, window: bool):
     f_rng = dft_matrix(base_cube.shape[-1], cfg.range_fft_size, window)
     return _cmatmul_planar(
         base_cube.real, base_cube.imag, f_rng.real, f_rng.imag,
-        "vcs,rs->cvr",
+        "vcs,rs->cvr", resolve_precision(cfg.dft_precision),
     )
 
 
@@ -107,9 +107,10 @@ def fused_rd_planes(
     a_re, a_im = interleaved_range_matrices(
         cfg.num_samples, cfg.range_fft_size, window
     )
+    prec = resolve_precision(cfg.dft_precision)
     # range DFT straight off the interleaved axis: (B, C, V, 2S) @ (R, 2S)
-    rng_re = jnp.einsum("bcvj,rj->bcvr", raw, a_re)
-    rng_im = jnp.einsum("bcvj,rj->bcvr", raw, a_im)
+    rng_re = jnp.einsum("bcvj,rj->bcvr", raw, a_re, precision=prec)
+    rng_im = jnp.einsum("bcvj,rj->bcvr", raw, a_im, precision=prec)
     if base_cube is not None:
         b_re, b_im = _base_range_planes(base_cube, cfg, window)
         rng_re = rng_re - b_re
@@ -117,8 +118,20 @@ def fused_rd_planes(
     else:
         rng_re = rng_re - jnp.mean(rng_re, axis=-3, keepdims=True)
         rng_im = rng_im - jnp.mean(rng_im, axis=-3, keepdims=True)
+    return doppler_from_range_planes(rng_re, rng_im, cfg, window)
 
-    # TDM de-multiplex: chirp c = k * num_tx + tx -> axes (K, TX)
+
+def doppler_from_range_planes(
+    rng_re: jnp.ndarray,
+    rng_im: jnp.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    window: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, C, V, R) clutter-removed range planes -> (B, TX*V, D, R) RD
+    planes: TDM de-multiplex (a reshape of the chirp axis into (K, TX)
+    groups) + Doppler DFT + RX-major output order, all in one contraction.
+    """
+    v = rng_re.shape[-2]
     tx = cfg.num_tx
     k = cfg.chirps_per_tx
     lead = rng_re.shape[:-3]
@@ -127,10 +140,10 @@ def fused_rd_planes(
     rng_im = rng_im.reshape(shape)
 
     f_dop = dft_matrix(k, cfg.doppler_fft_size, window, shift=True)
-    # Doppler DFT + RX-major output order in one contraction:
     # (D, K) x (B, K, TX, V, R) -> (B, TX, V, D, R)
     dr, di = _cmatmul_planar(
-        f_dop.real, f_dop.imag, rng_re, rng_im, "dk,bktvr->btvdr"
+        f_dop.real, f_dop.imag, rng_re, rng_im, "dk,bktvr->btvdr",
+        resolve_precision(cfg.dft_precision),
     )
     out = lead + (tx * v, cfg.doppler_fft_size, cfg.range_fft_size)
     return dr.reshape(out), di.reshape(out)

@@ -244,14 +244,16 @@ def test_planar_pipeline_mean_clutter_and_golden(cfg, targets):
 
 
 @pytest.mark.parametrize("use_base", [True, False])
-def test_fused_pipeline_matches_mxu(cfg, targets, use_base):
-    """The fused interleave-matmul path (decode+window+DFT folded into the
-    MXU contractions, ops/fuseddft.py) must agree with the complex-cube
-    mxu path: detections exactly, power to f32 roundoff."""
+@pytest.mark.parametrize("impl", ["fused", "fused-pallas"])
+def test_fused_pipeline_matches_mxu(cfg, targets, use_base, impl):
+    """The fused interleave-matmul paths (decode+window+DFT folded into
+    the MXU contractions — XLA einsums in ops/fuseddft.py, the explicit
+    kernel in ops/pallas/fused_dft_kernel.py) must agree with the
+    complex-cube mxu path: detections exactly, power to f32 roundoff."""
     shorts = synthesize_capture(targets, 4, cfg, noise_std=2.0, seed=33)
     mxu = RDPipeline(cfg, max_detections=8, rd_impl="mxu", cfar_impl="xla",
                      use_base_frame=use_base)
-    fused = RDPipeline(cfg, max_detections=8, rd_impl="fused",
+    fused = RDPipeline(cfg, max_detections=8, rd_impl=impl,
                        cfar_impl="xla", use_base_frame=use_base)
     base = mxu.prepare_base(jnp.asarray(shorts[0])) if use_base else None
     a = mxu.detect(jnp.asarray(shorts[1:]), base)
