@@ -55,6 +55,12 @@ class RadarConfig:
     # (physical: range is not circular, mirror the edge cells) or 'wrap'.
     # Doppler always wraps (circular after fftshift).
     cfar_range_mode: str = "reflect"
+    # Detector family: 'ca' (cell-averaging) or 'os' (ordered-statistic —
+    # robust to clutter edges / multiple targets in the training ring).
+    cfar_kind: str = "ca"
+    # OS-CFAR order statistic as a fraction of the training-cell count
+    # (k = round(frac * N); 0.75 is the standard choice).
+    cfar_os_k_frac: float = 0.75
     # MXU matmul precision for the DFT paths.  'highest' (default):
     # full-f32 passes, ~8e-8 relative vs float64 golden.  'default': the
     # TPU's single bf16 MXU pass — ~9e-4 relative (inside the 1e-3
@@ -64,6 +70,13 @@ class RadarConfig:
     # Angle processing
     num_angle_bins: int = 64                  # angle-FFT size
     angle_grid_deg: Tuple[float, float, int] = (-90.0, 90.0, 181)  # Capon scan
+    # TX antenna positions in wavelengths as ((azimuth, elevation), ...)
+    # per TX.  None = azimuth-only ULA: TX t at (t * num_rx * spacing, 0),
+    # giving the classic contiguous 1D virtual array.  An elevated TX
+    # (nonzero second coordinate) makes the virtual array planar and
+    # enables elevation estimation (ops.aoa.aoa_2d_from_snapshots).
+    tx_positions_wl: Tuple[Tuple[float, float], ...] | None = None
+    elevation_grid_deg: Tuple[float, float, int] = (-30.0, 30.0, 61)
 
     # ---- derived sizes --------------------------------------------------
     @property
@@ -115,6 +128,37 @@ class RadarConfig:
         if self.num_chirps % self.num_tx:
             raise ValueError("num_chirps must be a multiple of num_tx")
         return self.num_chirps // self.num_tx
+
+    def virtual_positions_wl(self):
+        """(num_virtual_rx, 2) float64 (azimuth, elevation) positions in
+        wavelengths: element v = tx*num_rx + rx sits at
+        rx_position + tx_position (TDM-MIMO convolution of apertures)."""
+        import numpy as np
+
+        if self.tx_positions_wl is None:
+            tx_pos = [
+                (t * self.num_rx * self.rx_spacing_wavelengths, 0.0)
+                for t in range(self.num_tx)
+            ]
+        else:
+            if len(self.tx_positions_wl) != self.num_tx:
+                raise ValueError("tx_positions_wl must have num_tx entries")
+            tx_pos = list(self.tx_positions_wl)
+        pos = np.zeros((self.num_virtual_rx, 2))
+        for t in range(self.num_tx):
+            for r in range(self.num_rx):
+                pos[t * self.num_rx + r, 0] = (
+                    r * self.rx_spacing_wavelengths + tx_pos[t][0]
+                )
+                pos[t * self.num_rx + r, 1] = tx_pos[t][1]
+        return pos
+
+    @property
+    def has_elevation(self) -> bool:
+        """True when any TX is elevated (planar virtual array)."""
+        return self.tx_positions_wl is not None and any(
+            p[1] != 0.0 for p in self.tx_positions_wl
+        )
 
     @property
     def slow_time_interval_s(self) -> float:

@@ -279,6 +279,76 @@ def ca_cfar_2d(
     return power > threshold, threshold
 
 
+def os_cfar_alpha(n_train: int, k: int, pfa: float) -> float:
+    """OS-CFAR scale factor for exponential (square-law) noise.
+
+    Pfa(alpha) = k * C(N, k) * B(alpha + N - k + 1, k)  [Rohling 1983],
+    solved for alpha by bisection using log-gamma (no scipy dependency).
+    """
+    import math
+
+    log_k_choose = (
+        math.log(k)
+        + math.lgamma(n_train + 1)
+        - math.lgamma(k + 1)
+        - math.lgamma(n_train - k + 1)
+    )
+
+    def log_pfa(alpha: float) -> float:
+        # log B(alpha + N - k + 1, k) = lgamma(a) + lgamma(k) - lgamma(a+k)
+        a = alpha + n_train - k + 1
+        return log_k_choose + math.lgamma(a) + math.lgamma(k) - math.lgamma(a + k)
+
+    target = math.log(pfa)
+    lo, hi = 1e-6, 1e6
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if log_pfa(mid) > target:  # Pfa decreases as alpha grows
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def os_cfar_2d(
+    power: np.ndarray,
+    guard: tuple[int, int],
+    train: tuple[int, int],
+    pfa: float,
+    k_frac: float = 0.75,
+    range_mode: str = "reflect",
+) -> tuple[np.ndarray, np.ndarray]:
+    """2D ordered-statistic CFAR: threshold = alpha_os * k-th smallest
+    training cell.  Robust to clutter edges and multiple targets inside
+    the training ring, where CA-CFAR's mean is biased (the classic CA
+    masking problem).  Same window geometry and edge conventions as
+    :func:`ca_cfar_2d` (Doppler wraps, range per ``range_mode``).
+    """
+    gd, gr = guard
+    td, tr = train
+    wd, wr = gd + td, gr + tr
+    lead = [(0, 0)] * (power.ndim - 2)
+    padded = np.pad(power, lead + [(wd, wd), (0, 0)], mode="wrap")
+    padded = np.pad(padded, lead + [(0, 0), (wr, wr)], mode=range_mode)
+
+    d_sz, r_sz = power.shape[-2], power.shape[-1]
+    ring = []
+    for dd in range(-wd, wd + 1):
+        for dr in range(-wr, wr + 1):
+            if abs(dd) <= gd and abs(dr) <= gr:
+                continue  # guard region (incl. the cell under test)
+            ring.append(
+                padded[..., wd + dd : wd + dd + d_sz, wr + dr : wr + dr + r_sz]
+            )
+    cells = np.stack(ring, axis=-1)
+    n_train = cells.shape[-1]
+    k = max(1, min(n_train, int(round(k_frac * n_train))))
+    kth = np.sort(cells, axis=-1)[..., k - 1]
+    alpha = os_cfar_alpha(n_train, k, pfa)
+    threshold = alpha * kth
+    return power > threshold, threshold
+
+
 def angle_fft(
     rx_snapshot: np.ndarray, num_bins: int, cfg: RadarConfig = DEFAULT_CONFIG
 ) -> np.ndarray:
@@ -301,6 +371,37 @@ def angle_bin_to_deg(bin_idx: np.ndarray, num_bins: int, cfg: RadarConfig) -> np
         num_bins * cfg.rx_spacing_wavelengths
     )
     return np.rad2deg(np.arcsin(np.clip(sin_theta, -1.0, 1.0)))
+
+
+def aoa_2d(
+    snapshot: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG
+) -> tuple[float, float]:
+    """Joint (azimuth, elevation) from one virtual-array snapshot via a
+    matched-filter scan over the planar steering grid.
+
+    Steering for element at (x, z) wavelengths (x: azimuth axis, z: up):
+    a_v = exp(j 2 pi (x sin(az) cos(el) + z sin(el))).
+
+    Args:
+      snapshot: complex (num_virtual_rx,) cell values (TDM-compensated).
+
+    Returns:
+      (azimuth_deg, elevation_deg) at the grid argmax.
+    """
+    pos = cfg.virtual_positions_wl()  # (V, 2)
+    az = np.linspace(*cfg.angle_grid_deg[:2], int(cfg.angle_grid_deg[2]))
+    el = np.linspace(
+        *cfg.elevation_grid_deg[:2], int(cfg.elevation_grid_deg[2])
+    )
+    saz, cel = np.sin(np.deg2rad(az)), np.cos(np.deg2rad(el))
+    sel = np.sin(np.deg2rad(el))
+    phase = 2 * np.pi * (
+        pos[None, None, :, 0] * saz[:, None, None] * cel[None, :, None]
+        + pos[None, None, :, 1] * sel[None, :, None]
+    )  # (n_az, n_el, V)
+    spec = np.exp(-1j * phase) @ snapshot  # (n_az, n_el)
+    i, j = np.unravel_index(np.argmax(np.abs(spec)), spec.shape)
+    return float(az[i]), float(el[j])
 
 
 def music_spectrum(

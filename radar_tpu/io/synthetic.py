@@ -35,6 +35,8 @@ class SceneTarget:
     velocity_mps: float = 0.0
     azimuth_deg: float = 0.0
     amplitude: float = 2000.0  # ADC counts
+    # nonzero elevation needs an elevated TX (cfg.tx_positions_wl)
+    elevation_deg: float = 0.0
 
 
 def synthesize_cube(
@@ -75,9 +77,17 @@ def synthesize_cube(
     # tx = c % num_tx, and the virtual element for (tx, rx) sits at
     # position tx*num_rx + rx in a uniform lambda/2 array.
     tx_of_chirp = chirps % cfg.num_tx  # (chirps,)
+    # virtual-element (azimuth, elevation) positions in wavelengths,
+    # indexed by (rx, chirp) through the firing TX
+    vpos = cfg.virtual_positions_wl()  # (V, 2)
+    virt_of = tx_of_chirp[None, :] * cfg.num_rx + rxs[:, None]  # (rx, chirps)
+    x_pos = vpos[virt_of, 0]
+    z_pos = vpos[virt_of, 1]
     for tgt in targets:
         fd = cfg.velocity_to_doppler_hz(tgt.velocity_mps)
         sin_az = np.sin(np.deg2rad(tgt.azimuth_deg))
+        cos_el = np.cos(np.deg2rad(tgt.elevation_deg))
+        sin_el = np.sin(np.deg2rad(tgt.elevation_deg))
         # slow-time index across the whole capture so the target moves
         # coherently frame to frame
         slow_t = (
@@ -87,9 +97,8 @@ def synthesize_cube(
         fb = cfg.distance_to_beat_hz(rng_m)  # (frames,) beat freq per frame
         fast = np.exp(1j * 2 * np.pi * fb[:, None] * t[None, :])  # (frames, samples)
         dopp = np.exp(1j * 2 * np.pi * fd * slow_t)  # (frames, chirps)
-        virt_pos = tx_of_chirp[None, :] * cfg.num_rx + rxs[:, None]  # (rx, chirps)
         steer = np.exp(
-            1j * 2 * np.pi * cfg.rx_spacing_wavelengths * sin_az * virt_pos
+            1j * 2 * np.pi * (x_pos * sin_az * cos_el + z_pos * sin_el)
         )  # (rx, chirps)
         sig = (
             tgt.amplitude

@@ -255,6 +255,10 @@ class RDPipeline:
         return self.topk_impl
 
     def _cfar(self, power):
+        if self.cfg.cfar_kind == "os":
+            from radar_tpu.ops.cfar import os_cfar_2d
+
+            return os_cfar_2d(power, self.cfg)
         impl = self.cfar_impl
         if impl == "auto":
             # measured on v5e: with the MXU DFT paths the fused XLA
@@ -329,6 +333,35 @@ class RDPipeline:
         x = cube * hann(cube.shape[-1], jnp.float32)
         rng = jnp.fft.fft(x, n=cfg.range_fft_size, axis=-1)
         return capon_aoa_at_cells(rng, d_bin, r_bin, cfg)
+
+    # -- joint azimuth/elevation refinement (planar virtual arrays) ----------
+    @partial(jax.jit, static_argnums=0)
+    def refine_2d(
+        self,
+        shorts: jnp.ndarray,
+        base_cube: jnp.ndarray | None,
+        d_bin: jnp.ndarray,
+        r_bin: jnp.ndarray,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(azimuth_deg, elevation_deg) (B, K) for detected cells.
+
+        Requires an elevated TX (``cfg.tx_positions_wl``) for a planar
+        virtual array; with a 1D ULA the elevation estimate is degenerate
+        (the grid scan returns the boresight row).  Run on demand for
+        confirmed detections, like :meth:`capon_refine`.
+        """
+        from radar_tpu.ops.aoa import aoa_2d_from_snapshots
+        from radar_tpu.ops.fuseddft import fused_rd_planes
+
+        cfg = self.cfg
+        base = base_cube if self.use_base_frame else None
+        dr_p, di_p = fused_rd_planes(shorts, base, cfg)
+        top_idx = d_bin * cfg.range_fft_size + r_bin
+        snaps = jax.lax.complex(
+            gather_snapshots(dr_p, top_idx), gather_snapshots(di_p, top_idx)
+        )
+        snaps = mimo_compensate(snaps, d_bin, cfg)
+        return aoa_2d_from_snapshots(snaps, cfg)
 
     # -- full pipeline ------------------------------------------------------
     @partial(jax.jit, static_argnums=0)

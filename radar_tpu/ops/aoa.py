@@ -102,6 +102,50 @@ def capon_aoa_at_cells(
     return angles[jnp.argmax(power, axis=-1)]
 
 
+def _steering_grid_2d(cfg: RadarConfig) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(az_deg, el_deg, conj-steering (n_az, n_el, V) c64) for the planar
+    virtual array (twin of the scan in golden.aoa_2d)."""
+    pos = cfg.virtual_positions_wl()
+    az = np.linspace(*cfg.angle_grid_deg[:2], int(cfg.angle_grid_deg[2]))
+    el = np.linspace(
+        *cfg.elevation_grid_deg[:2], int(cfg.elevation_grid_deg[2])
+    )
+    saz, cel = np.sin(np.deg2rad(az)), np.cos(np.deg2rad(el))
+    sel = np.sin(np.deg2rad(el))
+    phase = 2 * np.pi * (
+        pos[None, None, :, 0] * saz[:, None, None] * cel[None, :, None]
+        + pos[None, None, :, 1] * sel[None, :, None]
+    )
+    return az, el, np.exp(-1j * phase).astype(np.complex64)
+
+
+def aoa_2d_from_snapshots(
+    snaps: jnp.ndarray, cfg: RadarConfig = DEFAULT_CONFIG
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Joint (azimuth, elevation) per detection from planar-array
+    snapshots (matched-filter grid scan; twin of golden.aoa_2d).
+
+    The reference has no angle stage at all; elevation needs an elevated
+    TX (``cfg.tx_positions_wl``) so the TDM virtual array spans two axes.
+
+    Args:
+      snaps: complex64 (..., K, V), TDM-compensated.
+
+    Returns:
+      (azimuth_deg, elevation_deg) float32 (..., K).
+    """
+    az, el, steer = _steering_grid_2d(cfg)
+    a = jnp.asarray(steer)  # (n_az, n_el, V)
+    spec = jnp.einsum("aev,...kv->...kae", a, snaps)
+    power = spec.real * spec.real + spec.imag * spec.imag
+    flat = power.reshape(power.shape[:-2] + (-1,))
+    idx = jnp.argmax(flat, axis=-1)
+    az_t = jnp.asarray(az, jnp.float32)
+    el_t = jnp.asarray(el, jnp.float32)
+    n_el = el.shape[0]
+    return az_t[idx // n_el], el_t[idx % n_el]
+
+
 def music_spectrum(
     snapshots: jnp.ndarray,
     num_sources: int,

@@ -70,3 +70,60 @@ def ca_cfar_2d(
     noise = (total - inner) * jnp.asarray(1.0 / n_train, power.dtype)
     threshold = jnp.asarray(alpha, power.dtype) * noise
     return power > threshold, threshold
+
+
+def os_cfar_2d(
+    power: jnp.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """2D ordered-statistic CFAR (twin of golden.os_cfar_2d).
+
+    threshold = alpha_os * (k-th smallest training cell): robust where
+    CA-CFAR's mean is biased — clutter edges and multiple targets inside
+    the training ring.  The training ring is gathered as static slices of
+    the padded map and sorted along the stacked axis; the per-frame
+    temporary is n_train * D * R * 4 B (~16 MB at defaults), so frames
+    are processed through ``lax.map`` rather than one broadcast sort.
+
+    Args:
+      power: float32 (..., doppler, range).
+
+    Returns:
+      (hits bool, threshold float32), shapes of ``power``.
+    """
+    from radar_tpu.golden import os_cfar_alpha
+
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    wd, wr = gd + td, gr + tr
+    d_sz, r_sz = power.shape[-2], power.shape[-1]
+
+    offsets = [
+        (dd, dr)
+        for dd in range(-wd, wd + 1)
+        for dr in range(-wr, wr + 1)
+        if not (abs(dd) <= gd and abs(dr) <= gr)
+    ]
+    n_train = len(offsets)
+    k = max(1, min(n_train, int(round(cfg.cfar_os_k_frac * n_train))))
+    alpha = jnp.float32(os_cfar_alpha(n_train, k, cfg.cfar_pfa))
+
+    def one_map(p: jnp.ndarray) -> jnp.ndarray:
+        padded = jnp.pad(p, [(wd, wd), (0, 0)], mode="wrap")
+        padded = jnp.pad(padded, [(0, 0), (wr, wr)], mode=cfg.cfar_range_mode)
+        ring = jnp.stack(
+            [
+                jax.lax.dynamic_slice(
+                    padded, (wd + dd, wr + dr), (d_sz, r_sz)
+                )
+                for dd, dr in offsets
+            ],
+            axis=-1,
+        )
+        kth = jnp.sort(ring, axis=-1)[..., k - 1]
+        return alpha * kth
+
+    lead = power.shape[:-2]
+    flat = power.reshape((-1, d_sz, r_sz))
+    threshold = jax.lax.map(one_map, flat).reshape(lead + (d_sz, r_sz))
+    return power > threshold, threshold

@@ -210,3 +210,68 @@ def test_cfar_range_edges_do_not_wrap(cfg):
     np.testing.assert_allclose(
         native.ca_cfar_2d(power.astype(np.float64), cfg)[1], want_t, rtol=1e-10
     )
+
+
+class TestOSCFAR:
+    def test_alpha_monotone_and_sane(self):
+        from radar_tpu.golden import os_cfar_alpha
+
+        a1 = os_cfar_alpha(248, 186, 1e-4)
+        a2 = os_cfar_alpha(248, 186, 1e-6)
+        assert a2 > a1 > 1.0  # stricter pfa -> higher threshold scale
+
+    def test_matches_golden(self, cfg):
+        from radar_tpu.ops.cfar import os_cfar_2d
+
+        rng = np.random.default_rng(41)
+        power = rng.exponential(
+            1.0, (2, cfg.doppler_fft_size, cfg.range_fft_size)
+        ).astype(np.float32)
+        power[0, 50, 100] = 900.0
+        want_hits, want_t = golden.os_cfar_2d(
+            power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train,
+            cfg.cfar_pfa,
+        )
+        got_hits, got_t = os_cfar_2d(jnp.asarray(power), cfg)
+        np.testing.assert_allclose(np.asarray(got_t), want_t, rtol=2e-4)
+        assert np.asarray(got_hits)[0, 50, 100]
+
+    def test_false_alarm_rate_bounded(self, cfg):
+        from radar_tpu.ops.cfar import os_cfar_2d
+
+        rng = np.random.default_rng(43)
+        power = rng.exponential(
+            1.0, (4, cfg.doppler_fft_size, cfg.range_fft_size)
+        ).astype(np.float32)
+        hits, _ = os_cfar_2d(jnp.asarray(power), cfg)
+        # pfa=1e-4 over 4*16384 cells -> ~6.5 expected false alarms
+        assert np.asarray(hits).sum() <= 60
+
+    def test_os_resists_interferer_in_training_ring(self, cfg):
+        """The OS advantage: a second strong target inside the training
+        ring biases CA's mean (masking the cell under test) but not the
+        3/4-order statistic."""
+        from radar_tpu.ops.cfar import os_cfar_2d
+
+        rng = np.random.default_rng(47)
+        power = rng.exponential(
+            1.0, (cfg.doppler_fft_size, cfg.range_fft_size)
+        ).astype(np.float32)
+        power[60, 60] = 400.0          # cell under test: modest target
+        power[60, 66] = 60000.0        # interferer inside the training ring
+        ca_hits, _ = ca_cfar_2d(jnp.asarray(power), cfg)
+        os_hits, _ = os_cfar_2d(jnp.asarray(power), cfg)
+        assert not bool(np.asarray(ca_hits)[60, 60])  # CA masked
+        assert bool(np.asarray(os_hits)[60, 60])      # OS detects
+
+    def test_pipeline_with_os_kind(self, cfg, targets):
+        from radar_tpu.config import RadarConfig as RC
+        from radar_tpu.models.rd_pipeline import RDPipeline
+        from radar_tpu.io.synthetic import synthesize_capture
+
+        os_cfg = RC(cfar_kind="os")
+        shorts = synthesize_capture(targets, 3, os_cfg, noise_std=2.0, seed=51)
+        pipe = RDPipeline(os_cfg, max_detections=8, rd_impl="fused")
+        base = pipe.prepare_base(jnp.asarray(shorts[0]))
+        out = pipe.detect(jnp.asarray(shorts[1:]), base)
+        assert np.asarray(out.num_hits).min() > 0
