@@ -132,11 +132,11 @@ def cmd_serve(args) -> int:
 
     from radar_tpu.io.live import udp_frame_batches
     from radar_tpu.models.rd_pipeline import RDPipeline, pack_detections
-    from radar_tpu.models.tracker import Tracker, group_peaks
+    from radar_tpu.models.tracker import EKFTracker, Tracker, group_peaks
 
     cfg = RadarConfig()
     pipe = RDPipeline(cfg, max_detections=args.max_detections)
-    tracker = Tracker(cfg)
+    tracker = EKFTracker(cfg) if args.tracker == "ekf" else Tracker(cfg)
     nb = max(1, args.serve_batch)
 
     def warmup():
@@ -213,7 +213,7 @@ def cmd_track(args) -> int:
 
     from radar_tpu.io.capture import read_capture
     from radar_tpu.models.rd_pipeline import RDPipeline
-    from radar_tpu.models.tracker import TrackerConfig, track_capture
+    from radar_tpu.models.tracker import track_capture
 
     from radar_tpu.models.tracker import materialize_result
 
@@ -222,7 +222,7 @@ def cmd_track(args) -> int:
     pipe = RDPipeline(cfg, max_detections=args.max_detections)
     base = pipe.prepare_base(capture[0])
     out = materialize_result(pipe.detect(capture[1:], base))
-    tracker = track_capture(out, cfg, TrackerConfig())
+    tracker = track_capture(out, cfg, kind=args.tracker)
     tracks = [t for t in tracker.tracks if t.confirmed]
     for t in tracks:
         print(json.dumps({
@@ -397,6 +397,8 @@ def main(argv=None) -> int:
                    help="stop after N frames (default: run until timeout)")
     s.add_argument("--timeout", type=float, default=5.0,
                    help="socket timeout in seconds")
+    s.add_argument("--tracker", choices=["alpha-beta", "ekf"],
+                   default="alpha-beta")
     s.add_argument("--serve-batch", type=int, default=8,
                    help="max frames per detection dispatch (frames already "
                         "received batch together with zero added wait)")
@@ -406,6 +408,10 @@ def main(argv=None) -> int:
     t = sub.add_parser("track", help="detect + multi-frame object tracking")
     t.add_argument("path")
     t.add_argument("--max-detections", type=int, default=16)
+    t.add_argument("--tracker", choices=["alpha-beta", "ekf"],
+                   default="alpha-beta",
+                   help="'ekf' = Cartesian constant-velocity EKF "
+                        "(tracks crossing targets)")
     t.set_defaults(fn=cmd_track)
 
     b = sub.add_parser("bench", help="benchmark over a capture file")

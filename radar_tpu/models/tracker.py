@@ -159,6 +159,210 @@ class Tracker:
         return [t for t in self.tracks if t.confirmed]
 
 
+# --------------------------------------------------------------------------
+# Extended Kalman tracker (Cartesian constant-velocity model)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class EKFConfig:
+    """Noise/gating parameters for :class:`EKFTracker`.
+
+    Measurement sigmas default to the pipeline's quantization: ~0.39 m
+    range bins, ~0.24 m/s Doppler bins, angle-FFT ~4 deg at boresight.
+    """
+
+    sigma_range_m: float = 0.4
+    sigma_velocity_mps: float = 0.25
+    sigma_azimuth_deg: float = 4.0
+    accel_std_mps2: float = 4.0        # white-acceleration process noise
+    init_tangential_vel_std: float = 8.0
+    gate_mahalanobis: float = 11.34    # chi-square 3 dof, 99%
+    confirm_hits: int = 2
+    max_misses: int = 3
+
+
+@dataclasses.dataclass
+class EKFTrack:
+    """Cartesian CV track: state [x, y, vx, vy] (x cross-range, y down-range)."""
+
+    track_id: int
+    state: np.ndarray
+    cov: np.ndarray
+    power: float
+    hits: int = 1
+    misses: int = 0
+    confirmed: bool = False
+    history: list = dataclasses.field(default_factory=list)
+
+    @property
+    def range_m(self) -> float:
+        return float(np.hypot(self.state[0], self.state[1]))
+
+    @property
+    def velocity_mps(self) -> float:
+        """Radial velocity (positive = receding), matching detections."""
+        r = max(self.range_m, 1e-6)
+        return float(
+            (self.state[0] * self.state[2] + self.state[1] * self.state[3]) / r
+        )
+
+    @property
+    def azimuth_deg(self) -> float:
+        return float(np.rad2deg(np.arctan2(self.state[0], self.state[1])))
+
+    @property
+    def speed_mps(self) -> float:
+        """Full (vector) ground speed — the EKF observable alpha-beta lacks."""
+        return float(np.hypot(self.state[2], self.state[3]))
+
+
+def _ekf_h(state: np.ndarray) -> np.ndarray:
+    x, y, vx, vy = state
+    r = max(np.hypot(x, y), 1e-6)
+    return np.array([r, (x * vx + y * vy) / r, np.arctan2(x, y)])
+
+
+def _ekf_jacobian(state: np.ndarray) -> np.ndarray:
+    x, y, vx, vy = state
+    r = max(np.hypot(x, y), 1e-6)
+    rdot = (x * vx + y * vy) / r
+    return np.array([
+        [x / r, y / r, 0.0, 0.0],
+        [vx / r - x * rdot / r**2, vy / r - y * rdot / r**2, x / r, y / r],
+        [y / r**2, -x / r**2, 0.0, 0.0],
+    ])
+
+
+class EKFTracker:
+    """EKF multi-object tracker over (range, Doppler, azimuth) detections.
+
+    Upgrades the alpha-beta :class:`Tracker` with a Cartesian
+    constant-velocity motion model: a crossing target (tangential motion,
+    near-zero Doppler, swinging azimuth) is a straight line in this state
+    space, where the polar alpha-beta filter sees three uncoupled changing
+    channels.  Association gates on the Mahalanobis distance of the full
+    innovation (range + radial velocity + azimuth, with the azimuth
+    residual wrapped), so gating tightens automatically as a track's
+    covariance converges.  Same ``update`` API and confirmed-track
+    interface as :class:`Tracker`.
+    """
+
+    def __init__(
+        self,
+        cfg: RadarConfig = DEFAULT_CONFIG,
+        params: EKFConfig = EKFConfig(),
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.frame_interval_s = cfg.num_chirps * cfg.chirp_interval_s
+        self.tracks: list[EKFTrack] = []
+        self._ids = itertools.count()
+        p = params
+        self._r_mat = np.diag([
+            p.sigma_range_m**2,
+            p.sigma_velocity_mps**2,
+            np.deg2rad(p.sigma_azimuth_deg) ** 2,
+        ])
+
+    def _predict_mats(self, dt: float):
+        f = np.eye(4)
+        f[0, 2] = f[1, 3] = dt
+        q = self.params.accel_std_mps2**2
+        q4, q3, q2 = q * dt**4 / 4, q * dt**3 / 2, q * dt**2
+        qm = np.array([
+            [q4, 0, q3, 0],
+            [0, q4, 0, q3],
+            [q3, 0, q2, 0],
+            [0, q3, 0, q2],
+        ])
+        return f, qm
+
+    @staticmethod
+    def _measurement(det: dict) -> np.ndarray:
+        return np.array([
+            det["range_m"],
+            det["velocity_mps"],
+            np.deg2rad(det["azimuth_deg"]),
+        ])
+
+    def _innovation(self, tr: EKFTrack, z: np.ndarray):
+        h = _ekf_jacobian(tr.state)
+        y = z - _ekf_h(tr.state)
+        y[2] = (y[2] + np.pi) % (2 * np.pi) - np.pi  # wrap azimuth residual
+        s = h @ tr.cov @ h.T + self._r_mat
+        return y, h, s
+
+    def update(self, detections: list[dict], dt: float | None = None) -> list[EKFTrack]:
+        """Advance one frame; returns currently confirmed tracks."""
+        p = self.params
+        dt = self.frame_interval_s if dt is None else dt
+        f, qm = self._predict_mats(dt)
+        for tr in self.tracks:
+            tr.state = f @ tr.state
+            tr.cov = f @ tr.cov @ f.T + qm
+
+        # gated greedy nearest-neighbor on Mahalanobis distance
+        pairs = []
+        cache = {}
+        for ti, tr in enumerate(self.tracks):
+            for di, det in enumerate(detections):
+                y, h, s = self._innovation(tr, self._measurement(det))
+                d2 = float(y @ np.linalg.solve(s, y))
+                if d2 <= p.gate_mahalanobis:
+                    pairs.append((d2, ti, di))
+                    cache[(ti, di)] = (y, h, s)
+        pairs.sort(key=lambda x: x[0])
+        used_t, used_d = set(), set()
+        for _, ti, di in pairs:
+            if ti in used_t or di in used_d:
+                continue
+            used_t.add(ti)
+            used_d.add(di)
+            tr = self.tracks[ti]
+            y, h, s = cache[(ti, di)]
+            k = tr.cov @ h.T @ np.linalg.inv(s)
+            tr.state = tr.state + k @ y
+            ikh = np.eye(4) - k @ h
+            # Joseph form: keeps the covariance PSD under roundoff
+            tr.cov = ikh @ tr.cov @ ikh.T + k @ self._r_mat @ k.T
+            tr.power = detections[di].get("power", tr.power)
+            tr.hits += 1
+            tr.misses = 0
+            if tr.hits >= p.confirm_hits:
+                tr.confirmed = True
+            tr.history.append((tr.range_m, tr.velocity_mps, tr.azimuth_deg))
+
+        survivors = []
+        for ti, tr in enumerate(self.tracks):
+            if ti in used_t:
+                survivors.append(tr)
+                continue
+            tr.misses += 1  # state already coasted by the predict step
+            if tr.misses <= p.max_misses:
+                survivors.append(tr)
+        self.tracks = survivors
+
+        for di, det in enumerate(detections):
+            if di in used_d:
+                continue
+            r, vr = det["range_m"], det["velocity_mps"]
+            az = np.deg2rad(det["azimuth_deg"])
+            sa, ca = np.sin(az), np.cos(az)
+            state = np.array([r * sa, r * ca, vr * sa, vr * ca])
+            pos_var = p.sigma_range_m**2 + (r * np.deg2rad(p.sigma_azimuth_deg)) ** 2
+            vel_var = p.sigma_velocity_mps**2 + p.init_tangential_vel_std**2
+            self.tracks.append(
+                EKFTrack(
+                    track_id=next(self._ids),
+                    state=state,
+                    cov=np.diag([pos_var, pos_var, vel_var, vel_var]),
+                    power=det.get("power", 0.0),
+                    history=[(r, vr, det["azimuth_deg"])],
+                )
+            )
+        return [t for t in self.tracks if t.confirmed]
+
+
 def materialize_result(rd_result):
     """Bulk device->host transfer of a batched RDResult.
 
@@ -221,10 +425,19 @@ def detections_from_result(rd_result, frame: int, group: bool = True) -> list[di
 
 
 def track_capture(rd_result, cfg: RadarConfig = DEFAULT_CONFIG,
-                  params: TrackerConfig = TrackerConfig()):
-    """Run the tracker over a whole batched RDResult; returns the tracker."""
+                  params: TrackerConfig | EKFConfig | None = None,
+                  kind: str = "alpha-beta"):
+    """Run a tracker over a whole batched RDResult; returns the tracker.
+
+    Args:
+      kind: 'alpha-beta' (polar, measured-Doppler rate) or 'ekf'
+        (Cartesian constant-velocity EKF — tracks crossing targets).
+    """
     rd_result = materialize_result(rd_result)
-    tracker = Tracker(cfg, params)
+    if kind == "ekf":
+        tracker = EKFTracker(cfg, params or EKFConfig())
+    else:
+        tracker = Tracker(cfg, params or TrackerConfig())
     n = rd_result.num_hits.shape[0]
     for f in range(n):
         tracker.update(detections_from_result(rd_result, f))

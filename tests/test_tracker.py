@@ -126,3 +126,96 @@ class TestPeakGrouping:
         # idempotent
         out2 = materialize_result(out)
         np.testing.assert_array_equal(out.range_bin, out2.range_bin)
+
+
+class TestEKFTracker:
+    def _make(self, cfg):
+        from radar_tpu.models.tracker import EKFConfig, EKFTracker
+
+        return EKFTracker(cfg, EKFConfig())
+
+    def test_radial_target_converges(self, cfg):
+        """Constant radial velocity: EKF locks on and predicts range."""
+        tr = self._make(cfg)
+        dt = cfg.num_chirps * cfg.chirp_interval_s
+        r0, v = 8.0, -3.0
+        for f in range(20):
+            r = r0 + v * f * dt
+            tr.update([{"range_m": round(r / 0.39) * 0.39,
+                        "velocity_mps": v, "azimuth_deg": 0.0,
+                        "power": 1e9}], dt)
+        (t,) = [x for x in tr.tracks if x.confirmed]
+        assert abs(t.range_m - (r0 + v * 19 * dt)) < 0.5
+        assert abs(t.velocity_mps - v) < 0.4
+        assert abs(t.azimuth_deg) < 3.0
+
+    def test_crossing_target_single_track(self, cfg):
+        """A target crossing the boresight (pure tangential motion: range
+        dips, Doppler flips sign, azimuth sweeps) stays ONE track in the
+        Cartesian model and its vector speed is recovered — the case the
+        polar alpha-beta filter fragments."""
+        import numpy as np
+        from radar_tpu.models.tracker import EKFTracker, EKFConfig
+
+        tr = EKFTracker(cfg, EKFConfig())
+        dt = cfg.num_chirps * cfg.chirp_interval_s
+        # Cartesian truth: crosses x = -2 .. +2 m at y = 6 m, 12 m/s
+        speed = 12.0
+        steps = 40
+        ids = set()
+        for f in range(steps):
+            x = -2.0 + speed * f * dt
+            y = 6.0
+            r = float(np.hypot(x, y))
+            vr = (x * speed) / r  # radial component of (vx=speed, vy=0)
+            az = float(np.rad2deg(np.arctan2(x, y)))
+            tr.update([{"range_m": r, "velocity_mps": vr,
+                        "azimuth_deg": az, "power": 1e9}], dt)
+            ids |= {t.track_id for t in tr.tracks if t.confirmed}
+        assert len(ids) == 1  # no fragmentation
+        (t,) = [x for x in tr.tracks if x.confirmed]
+        assert abs(t.speed_mps - speed) < 2.5
+        # final azimuth tracks the sweep
+        x_end = -2.0 + speed * (steps - 1) * dt
+        az_end = float(np.rad2deg(np.arctan2(x_end, 6.0)))
+        assert abs(t.azimuth_deg - az_end) < 4.0
+
+    def test_mahalanobis_gate_rejects_far_detection(self, cfg):
+        tr = self._make(cfg)
+        dt = cfg.num_chirps * cfg.chirp_interval_s
+        for _ in range(4):
+            tr.update([{"range_m": 5.0, "velocity_mps": 0.0,
+                        "azimuth_deg": 0.0, "power": 1e9}], dt)
+        n_before = len(tr.tracks)
+        tr.update([{"range_m": 14.0, "velocity_mps": 0.0,
+                    "azimuth_deg": 40.0, "power": 1e9}], dt)
+        # far detection spawns a NEW tentative track, never updates the old
+        assert len(tr.tracks) == n_before + 1
+        old = [t for t in tr.tracks if t.confirmed][0]
+        assert abs(old.range_m - 5.0) < 0.5
+
+    def test_coast_and_delete(self, cfg):
+        from radar_tpu.models.tracker import EKFConfig, EKFTracker
+
+        tr = EKFTracker(cfg, EKFConfig(max_misses=2))
+        dt = cfg.num_chirps * cfg.chirp_interval_s
+        for _ in range(3):
+            tr.update([{"range_m": 5.0, "velocity_mps": -2.0,
+                        "azimuth_deg": 10.0, "power": 1e9}], dt)
+        for _ in range(3):
+            tr.update([], dt)
+        assert not tr.tracks  # deleted after max_misses
+
+    def test_track_capture_kind_ekf(self, cfg, capture):
+        import jax.numpy as jnp
+        from radar_tpu.models.rd_pipeline import RDPipeline
+        from radar_tpu.models.tracker import track_capture
+
+        pipe = RDPipeline(cfg, max_detections=8)
+        base = pipe.prepare_base(jnp.asarray(capture[0]))
+        out = pipe.detect(jnp.asarray(capture[1:]), base)
+        tracker = track_capture(out, cfg, kind="ekf")
+        confirmed = [t for t in tracker.tracks if t.confirmed]
+        assert len(confirmed) == 2  # the two conftest targets
+        ranges = sorted(t.range_m for t in confirmed)
+        assert abs(ranges[0] - 3.0) < 0.8 and abs(ranges[1] - 8.0) < 0.8
