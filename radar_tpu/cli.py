@@ -21,6 +21,31 @@ import numpy as np
 from radar_tpu.config import RadarConfig
 
 
+def _build_cfg(args) -> RadarConfig:
+    """RadarConfig from the shared pipeline knobs (when the subcommand
+    defines them)."""
+    kw = {}
+    if getattr(args, "cfar_kind", None):
+        kw["cfar_kind"] = args.cfar_kind
+    if getattr(args, "dft_precision", None):
+        kw["dft_precision"] = args.dft_precision
+    return RadarConfig(**kw)
+
+
+def _add_pipeline_flags(sp) -> None:
+    sp.add_argument("--rd-impl", default="auto",
+                    choices=["auto", "fused", "fused-pallas", "planar",
+                             "mxu", "fft"],
+                    help="range-Doppler implementation (auto: fused on TPU)")
+    sp.add_argument("--cfar-kind", default=None, choices=["ca", "os"],
+                    help="cell-averaging (default) or ordered-statistic CFAR")
+    sp.add_argument("--dft-precision", default=None,
+                    choices=["highest", "default"],
+                    help="MXU matmul precision: 'highest' f32 (~8e-8 vs "
+                         "golden, the default) or 'default' bf16 pass "
+                         "(~9e-4, ~17%% faster)")
+
+
 def _parse_target(spec: str):
     from radar_tpu.io.synthetic import SceneTarget
 
@@ -65,7 +90,7 @@ def cmd_detect(args) -> int:
               "resumed)", file=sys.stderr)
         return 2
 
-    cfg = RadarConfig()
+    cfg = _build_cfg(args)
     capture = read_capture(args.path, cfg)
     start_frame = 1
     if args.resume and args.out:
@@ -83,7 +108,8 @@ def cmd_detect(args) -> int:
 
     records = []
     if args.full:
-        pipe = RDPipeline(cfg, max_detections=args.max_detections)
+        pipe = RDPipeline(cfg, max_detections=args.max_detections,
+                          rd_impl=args.rd_impl)
         base = pipe.prepare_base(capture[0])
         rd = jax.tree.map(np.asarray, pipe.detect(todo, base))
     for j in range(len(todo)):
@@ -134,8 +160,9 @@ def cmd_serve(args) -> int:
     from radar_tpu.models.rd_pipeline import RDPipeline, pack_detections
     from radar_tpu.models.tracker import EKFTracker, Tracker, group_peaks
 
-    cfg = RadarConfig()
-    pipe = RDPipeline(cfg, max_detections=args.max_detections)
+    cfg = _build_cfg(args)
+    pipe = RDPipeline(cfg, max_detections=args.max_detections,
+                      rd_impl=args.rd_impl)
     tracker = EKFTracker(cfg) if args.tracker == "ekf" else Tracker(cfg)
     nb = max(1, args.serve_batch)
 
@@ -217,9 +244,10 @@ def cmd_track(args) -> int:
 
     from radar_tpu.models.tracker import materialize_result
 
-    cfg = RadarConfig()
+    cfg = _build_cfg(args)
     capture = read_capture(args.path, cfg)
-    pipe = RDPipeline(cfg, max_detections=args.max_detections)
+    pipe = RDPipeline(cfg, max_detections=args.max_detections,
+                      rd_impl=args.rd_impl)
     base = pipe.prepare_base(capture[0])
     out = materialize_result(pipe.detect(capture[1:], base))
     tracker = track_capture(out, cfg, kind=args.tracker)
@@ -238,7 +266,7 @@ def cmd_track(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    cfg = RadarConfig()
+    cfg = _build_cfg(args)
     if args.native:
         from radar_tpu import native
 
@@ -265,7 +293,8 @@ def cmd_bench(args) -> int:
     from radar_tpu.utils.timing import StageTimings
 
     det = RangeDetector(cfg)
-    pipe = RDPipeline(cfg, max_detections=args.max_detections)
+    pipe = RDPipeline(cfg, max_detections=args.max_detections,
+                      rd_impl=args.rd_impl)
     streamer = FrameStreamer(args.path, batch=args.batch, cfg=cfg)
     base_rx0 = det.prepare_base(streamer.base_frame)
     base_cube = pipe.prepare_base(streamer.base_frame)
@@ -388,6 +417,7 @@ def main(argv=None) -> int:
     d.add_argument("--max-detections", type=int, default=16)
     d.add_argument("--resume", action="store_true",
                    help="append records after the last frame already in --out")
+    _add_pipeline_flags(d)
     d.set_defaults(fn=cmd_detect)
 
     s = sub.add_parser("serve", help="live UDP stream -> JSONL detections")
@@ -403,6 +433,7 @@ def main(argv=None) -> int:
                    help="max frames per detection dispatch (frames already "
                         "received batch together with zero added wait)")
     s.add_argument("--max-detections", type=int, default=16)
+    _add_pipeline_flags(s)
     s.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("track", help="detect + multi-frame object tracking")
@@ -412,6 +443,7 @@ def main(argv=None) -> int:
                    default="alpha-beta",
                    help="'ekf' = Cartesian constant-velocity EKF "
                         "(tracks crossing targets)")
+    _add_pipeline_flags(t)
     t.set_defaults(fn=cmd_track)
 
     b = sub.add_parser("bench", help="benchmark over a capture file")
@@ -425,6 +457,7 @@ def main(argv=None) -> int:
                    help="print the reference-format 4-bucket stage breakdown")
     b.add_argument("--profile", default=None, metavar="DIR",
                    help="export a jax.profiler trace to DIR")
+    _add_pipeline_flags(b)
     b.set_defaults(fn=cmd_bench)
 
     v = sub.add_parser("verify", help="TPU vs float64 golden, per frame")
