@@ -12,6 +12,7 @@
 
 #include "golden.h"
 
+#include <algorithm>
 #include <chrono>
 #include <cmath>
 #include <cstdio>
@@ -320,6 +321,70 @@ void radar_ca_cfar(const double* power, int d, int r, int guard_d,
     const double noise = (total[i] - inner[i]) / n_train;
     threshold[i] = alpha * noise;
     hits[i] = power[i] > threshold[i] ? 1 : 0;
+  }
+}
+
+double radar_os_cfar_alpha(int n_train, int k, double pfa) {
+  // Rohling's exponential-noise OS-CFAR Pfa, solved by bisection on
+  // log Pfa(alpha) = log k + lgamma(N+1) - lgamma(k+1) - lgamma(N-k+1)
+  //                + lgamma(alpha+N-k+1) + lgamma(k) - lgamma(alpha+N+1)
+  // (matches radar_tpu.golden.os_cfar_alpha bit-for-bit in double).
+  const double log_choose = std::log((double)k) + std::lgamma(n_train + 1.0) -
+                            std::lgamma(k + 1.0) -
+                            std::lgamma(n_train - k + 1.0);
+  const double target = std::log(pfa);
+  double lo = 1e-6, hi = 1e6;
+  for (int it = 0; it < 200; ++it) {
+    const double mid = 0.5 * (lo + hi);
+    const double a = mid + n_train - k + 1.0;
+    const double lp =
+        log_choose + std::lgamma(a) + std::lgamma((double)k) - std::lgamma(a + k);
+    if (lp > target) {
+      lo = mid;
+    } else {
+      hi = mid;
+    }
+  }
+  return 0.5 * (lo + hi);
+}
+
+void radar_os_cfar(const double* power, int d, int r, int guard_d,
+                   int guard_r, int train_d, int train_r, double pfa,
+                   double k_frac, int range_mode, double* threshold,
+                   uint8_t* hits) {
+  const int wd = guard_d + train_d, wr = guard_r + train_r;
+  // training ring size (window minus guard block)
+  const int n_train =
+      (2 * wd + 1) * (2 * wr + 1) - (2 * guard_d + 1) * (2 * guard_r + 1);
+  int k = (int)std::llround(k_frac * n_train);
+  if (k < 1) k = 1;
+  if (k > n_train) k = n_train;
+  const double alpha = radar_os_cfar_alpha(n_train, k, pfa);
+
+  std::vector<double> ring((size_t)n_train);
+  for (int i = 0; i < d; ++i) {
+    for (int j = 0; j < r; ++j) {
+      int m = 0;
+      for (int dd = -wd; dd <= wd; ++dd) {
+        for (int dr = -wr; dr <= wr; ++dr) {
+          if (std::abs(dd) <= guard_d && std::abs(dr) <= guard_r) continue;
+          const int id = ((i + dd) % d + d) % d;  // Doppler wraps
+          int jr = j + dr;
+          if (range_mode == 1) {
+            if (jr < 0) jr = -jr;
+            else if (jr >= r) jr = 2 * r - 2 - jr;
+          } else {
+            jr = (jr % r + r) % r;
+          }
+          ring[m++] = power[(size_t)id * r + jr];
+        }
+      }
+      std::nth_element(ring.begin(), ring.begin() + (k - 1), ring.end());
+      const double kth = ring[k - 1];
+      threshold[(size_t)i * r + j] = alpha * kth;
+      hits[(size_t)i * r + j] =
+          power[(size_t)i * r + j] > threshold[(size_t)i * r + j] ? 1 : 0;
+    }
   }
 }
 

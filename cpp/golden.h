@@ -90,6 +90,16 @@ void radar_ca_cfar(const double* power, int d, int r, int guard_d,
                    int guard_r, int train_d, int train_r, double pfa,
                    int range_mode, double* threshold, uint8_t* hits);
 
+// Ordered-statistic CFAR: threshold = alpha * k-th smallest training cell,
+// k = round(k_frac * n_train); alpha from Rohling's exponential-noise Pfa
+// (radar_os_cfar_alpha).  Same window geometry / edge conventions as
+// radar_ca_cfar.
+double radar_os_cfar_alpha(int n_train, int k, double pfa);
+void radar_os_cfar(const double* power, int d, int r, int guard_d,
+                   int guard_r, int train_d, int train_r, double pfa,
+                   double k_frac, int range_mode, double* threshold,
+                   uint8_t* hits);
+
 #ifdef __cplusplus
 }  // extern "C"
 #endif

@@ -153,22 +153,31 @@ def cmd_serve(args) -> int:
     many frames the stream delivered meanwhile — on a high-RTT transport
     this multiplies served fps by the batch size.  One JSONL record per
     frame, tracker updated in arrival order.
+
+    Multi-sensor: pass ``--port`` once per DCA1000 source.  Each source
+    keeps its own base frame and tracker; frames from all sources share
+    the compiled detection program, and records carry a ``source`` field.
     """
     import jax
 
-    from radar_tpu.io.live import udp_frame_batches
+    from radar_tpu.io.live import udp_frame_batches_multi
     from radar_tpu.models.rd_pipeline import RDPipeline, pack_detections
     from radar_tpu.models.tracker import EKFTracker, Tracker, group_peaks
 
     cfg = _build_cfg(args)
     pipe = RDPipeline(cfg, max_detections=args.max_detections,
                       rd_impl=args.rd_impl)
-    tracker = EKFTracker(cfg) if args.tracker == "ekf" else Tracker(cfg)
+    ports = args.port
+    multi = len(ports) > 1
+
+    def make_tracker():
+        return EKFTracker(cfg) if args.tracker == "ekf" else Tracker(cfg)
+
     nb = max(1, args.serve_batch)
 
     def warmup():
         # compile prepare_base + detect (shape-keyed) while the already-
-        # bound socket buffers incoming packets; without this the first
+        # bound sockets buffer incoming packets; without this the first
         # dispatch's compile stalls the receive loop into overflow
         warm = np.zeros((nb, cfg.shorts_per_frame), np.int16)
         b0 = jax.block_until_ready(pipe.prepare_base(warm[0]))
@@ -177,52 +186,65 @@ def cmd_serve(args) -> int:
         np.asarray(pack_detections(pipe.detect(warm, b0)))
         print(json.dumps({"event": "ready"}), flush=True)
 
-    batches = udp_frame_batches(
-        args.port, cfg, host=args.host,
+    batches = udp_frame_batches_multi(
+        ports, cfg, host=args.host,
         max_frames=None if args.max_frames < 0 else args.max_frames,
         timeout_s=args.timeout, max_batch=nb, on_bound=warmup,
     )
-    base = None
+    bases: dict[int, object] = {}
+    trackers: dict[int, object] = {}
     n = 0
     t_first = t_last = None
     for got in batches:
-        if base is None:
-            base = jax.block_until_ready(pipe.prepare_base(got[0]))
-            print(json.dumps({"event": "base_frame"}), flush=True)
-            got = got[1:]
-            if not got:
-                continue
+        todo: dict[int, list] = {}
+        for src, frame in got:
+            if src not in bases:
+                bases[src] = jax.block_until_ready(pipe.prepare_base(frame))
+                trackers[src] = make_tracker()
+                ev = {"event": "base_frame"}
+                if multi:
+                    ev["source"] = src
+                print(json.dumps(ev), flush=True)
+            else:
+                todo.setdefault(src, []).append(frame)
+        if not todo:
+            continue
         if t_first is None:
             t_first = time.perf_counter()
-        # pad to the static batch shape: one compiled program for all sizes
-        stack = np.zeros((nb, cfg.shorts_per_frame), np.int16)
-        stack[: len(got)] = np.stack(got)
-        # single packed transfer: per-leaf materialization costs one
-        # transport RTT each (see pack_detections)
-        out = np.asarray(pack_detections(pipe.detect(stack, base)))
-        for j in range(len(got)):
-            n += 1
-            dets = [
-                {
-                    "range_m": round(float(out[j, k, 0]), 4),
-                    "velocity_mps": round(float(out[j, k, 1]), 4),
-                    "azimuth_deg": round(float(out[j, k, 2]), 2),
-                    "power": float(out[j, k, 3]),
+        for src, frames_src in todo.items():
+            # pad to the static batch shape: one compiled program for all
+            # sizes and all sources
+            stack = np.zeros((nb, cfg.shorts_per_frame), np.int16)
+            stack[: len(frames_src)] = np.stack(frames_src)
+            # single packed transfer: per-leaf materialization costs one
+            # transport RTT each (see pack_detections)
+            out = np.asarray(pack_detections(pipe.detect(stack, bases[src])))
+            for j in range(len(frames_src)):
+                n += 1
+                dets = [
+                    {
+                        "range_m": round(float(out[j, k, 0]), 4),
+                        "velocity_mps": round(float(out[j, k, 1]), 4),
+                        "azimuth_deg": round(float(out[j, k, 2]), 2),
+                        "power": float(out[j, k, 3]),
+                    }
+                    for k in range(out.shape[1]) if out[j, k, 4] > 0.5
+                ]
+                dets = group_peaks(dets)
+                confirmed = trackers[src].update(dets)
+                rec = {
+                    "frame": n,
+                    "detections": dets,
+                    "tracks": [
+                        {"id": t.track_id, "range_m": round(t.range_m, 4),
+                         "velocity_mps": round(t.velocity_mps, 4),
+                         "azimuth_deg": round(t.azimuth_deg, 2)}
+                        for t in confirmed
+                    ],
                 }
-                for k in range(out.shape[1]) if out[j, k, 4] > 0.5
-            ]
-            dets = group_peaks(dets)
-            confirmed = tracker.update(dets)
-            print(json.dumps({
-                "frame": n,
-                "detections": dets,
-                "tracks": [
-                    {"id": t.track_id, "range_m": round(t.range_m, 4),
-                     "velocity_mps": round(t.velocity_mps, 4),
-                     "azimuth_deg": round(t.azimuth_deg, 2)}
-                    for t in confirmed
-                ],
-            }), flush=True)
+                if multi:
+                    rec["source"] = src
+                print(json.dumps(rec), flush=True)
         t_last = time.perf_counter()
     if t_first is not None and t_last is not None and t_last > t_first:
         dt = t_last - t_first
@@ -421,7 +443,9 @@ def main(argv=None) -> int:
     d.set_defaults(fn=cmd_detect)
 
     s = sub.add_parser("serve", help="live UDP stream -> JSONL detections")
-    s.add_argument("--port", type=int, required=True)
+    s.add_argument("--port", type=int, required=True, action="append",
+                   help="UDP port (repeat for multiple DCA1000 sources; "
+                        "each source gets its own base frame and tracker)")
     s.add_argument("--host", default="0.0.0.0")
     s.add_argument("--max-frames", type=int, default=-1,
                    help="stop after N frames (default: run until timeout)")

@@ -139,6 +139,94 @@ class PacketReassembler:
         return self._pop_frames()
 
 
+def udp_frame_batches_multi(
+    ports: list[int],
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    host: str = "0.0.0.0",
+    max_frames: int | None = None,
+    timeout_s: float | None = 5.0,
+    rcvbuf_bytes: int = 8 << 20,
+    max_batch: int = 8,
+    on_bound=None,
+) -> Iterator[list[tuple[int, np.ndarray]]]:
+    """Multi-source ingest: one UDP port per radar sensor (DCA1000 board),
+    each with its own reassembler, multiplexed into one stream of
+    ``(source_index, frame)`` batches.
+
+    Frames from different sources batch together freely (detection is
+    stateless per frame); the source index lets the caller keep per-sensor
+    state (base frames, trackers).  ``max_frames`` counts across all
+    sources; the timeout applies to the whole group (a stream ends when
+    NO source delivers within ``timeout_s``).  ``on_bound`` runs once
+    after every socket is bound.
+    """
+    import selectors
+
+    sel = selectors.DefaultSelector()
+    socks = []
+    reasms = [PacketReassembler(cfg) for _ in ports]
+    for i, port in enumerate(ports):
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            sock.setsockopt(
+                socket.SOL_SOCKET, getattr(socket, "SO_RCVBUFFORCE", 33),
+                rcvbuf_bytes,
+            )
+        except OSError:
+            sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, rcvbuf_bytes)
+        sock.bind((host, port))
+        sock.setblocking(False)
+        sel.register(sock, selectors.EVENT_READ, i)
+        socks.append(sock)
+    if on_bound is not None:
+        on_bound()
+
+    produced = 0
+    pending: list[tuple[int, np.ndarray]] = []
+    try:
+        while max_frames is None or produced < max_frames:
+            events = sel.select(timeout_s)
+            if not events:
+                # group timeout: flush every source's reorder-pending tail
+                for i, reasm in enumerate(reasms):
+                    pending.extend((i, f) for f in reasm.flush_frames())
+                while pending:
+                    n = max_batch if max_frames is None else min(
+                        max_batch, max_frames - produced
+                    )
+                    if n <= 0:
+                        return
+                    yield pending[:n]
+                    produced += len(pending[:n])
+                    del pending[:n]
+                return
+            for key, _ in events:
+                src = key.data
+                # drain this socket without waiting
+                while True:
+                    try:
+                        packet, _ = key.fileobj.recvfrom(65535)
+                    except (BlockingIOError, OSError):
+                        break
+                    pending.extend(
+                        (src, f) for f in reasms[src].feed(packet)
+                    )
+            while pending:
+                n = max_batch if max_frames is None else min(
+                    max_batch, max_frames - produced
+                )
+                if n <= 0:
+                    return
+                batch, pending = pending[:n], pending[n:]
+                yield batch
+                produced += len(batch)
+    finally:
+        for sock in socks:
+            sel.unregister(sock)
+            sock.close()
+        sel.close()
+
+
 def udp_frames(
     port: int,
     cfg: RadarConfig = DEFAULT_CONFIG,

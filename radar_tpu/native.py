@@ -109,6 +109,15 @@ def load() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int, dp,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.radar_os_cfar.argtypes = [
+            dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, dp, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.radar_os_cfar_alpha.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ]
+        lib.radar_os_cfar_alpha.restype = ctypes.c_double
         _lib = lib
     return _lib
 
@@ -211,6 +220,27 @@ def ca_cfar_2d(
     lib.radar_ca_cfar(
         _dptr(p), d, r, cfg.cfar_guard[0], cfg.cfar_guard[1],
         cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa,
+        1 if cfg.cfar_range_mode == "reflect" else 0, _dptr(thresh),
+        hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+    )
+    return hits.astype(bool), thresh
+
+
+def os_cfar_2d(
+    power: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native ordered-statistic CFAR (twin of golden.os_cfar_2d)."""
+    import ctypes as ct
+
+    lib = load()
+    p = np.ascontiguousarray(power, np.float64)
+    d, r = p.shape
+    thresh = np.empty((d, r), np.float64)
+    hits = np.empty((d, r), np.uint8)
+    lib.radar_os_cfar(
+        _dptr(p), d, r, cfg.cfar_guard[0], cfg.cfar_guard[1],
+        cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa,
+        cfg.cfar_os_k_frac,
         1 if cfg.cfar_range_mode == "reflect" else 0, _dptr(thresh),
         hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
     )

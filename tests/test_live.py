@@ -243,3 +243,47 @@ def test_timeout_flushes_reorder_pending_final_frame(cfg, capture):
     start = (lost * DEFAULT_PAYLOAD) % cfg.bytes_per_frame // 2
     want[start : start + DEFAULT_PAYLOAD // 2] = 0
     np.testing.assert_array_equal(frames[1], want)
+
+
+def test_serve_two_sources(cfg, capsys):
+    """Two UDP sources: per-source base frames and trackers, records tagged
+    with their source index."""
+    import time
+    import json as _json
+    from radar_tpu import cli
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+
+    cap_a = synthesize_capture(
+        [SceneTarget(range_m=4.0, velocity_mps=0.0, azimuth_deg=0.0,
+                     amplitude=3000.0)], 4, cfg, noise_std=2.0, seed=81)
+    cap_b = synthesize_capture(
+        [SceneTarget(range_m=9.0, velocity_mps=0.0, azimuth_deg=0.0,
+                     amplitude=3000.0)], 4, cfg, noise_std=2.0, seed=82)
+    port_a, port_b = _free_port(), _free_port()
+
+    def send():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for cap, port in [(cap_a, port_a), (cap_b, port_b)]:
+            for i, p in enumerate(make_packets(cap)):
+                tx.sendto(p, ("127.0.0.1", port))
+                if i % 64 == 63:
+                    time.sleep(0.001)
+        tx.close()
+
+    t = threading.Timer(0.5, send)
+    t.start()
+    rc = cli.main(["serve", "--port", str(port_a), "--port", str(port_b),
+                   "--host", "127.0.0.1", "--max-frames", "8",
+                   "--timeout", "15"])
+    t.join()
+    assert rc == 0
+    recs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.strip()]
+    bases = [r for r in recs if r.get("event") == "base_frame"]
+    assert sorted(b["source"] for b in bases) == [0, 1]
+    frames = [r for r in recs if "frame" in r]
+    assert frames and {r["source"] for r in frames} == {0, 1}
+    # each source's detections reflect ITS base frame and target
+    for r in frames:
+        want = 4.0 if r["source"] == 0 else 9.0
+        assert any(abs(d["range_m"] - want) < 1.0 for d in r["detections"])

@@ -98,3 +98,26 @@ def test_native_cfar_matches_numpy_golden(cfg):
     got_hits, got_thresh = native.ca_cfar_2d(power, cfg)
     np.testing.assert_allclose(got_thresh, want_thresh, rtol=1e-12)
     np.testing.assert_array_equal(got_hits, want_hits)
+
+
+def test_native_os_cfar_matches_golden(cfg):
+    rng = np.random.default_rng(53)
+    power = rng.exponential(
+        1.0, (cfg.doppler_fft_size, cfg.range_fft_size)
+    )
+    power[40, 70] = 700.0
+    want_hits, want_t = golden.os_cfar_2d(
+        power, cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa
+    )
+    got_hits, got_t = native.os_cfar_2d(power, cfg)
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-12)
+    np.testing.assert_array_equal(got_hits, want_hits)
+
+
+def test_native_os_alpha_matches_python():
+    from radar_tpu.golden import os_cfar_alpha
+
+    lib = native.load()
+    for n, k, pfa in [(248, 186, 1e-4), (80, 60, 1e-3), (16, 12, 1e-2)]:
+        assert abs(lib.radar_os_cfar_alpha(n, k, pfa)
+                   - os_cfar_alpha(n, k, pfa)) < 1e-9
