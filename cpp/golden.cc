@@ -27,6 +27,16 @@ double now_sec() {
   return std::chrono::duration<double>(clock::now().time_since_epoch()).count();
 }
 
+// numpy mode='reflect' index (edge sample not repeated), valid for ANY
+// offset via the 2*(n-1) period — a single-reflection formula reads out of
+// bounds once the window half-width reaches n.
+int reflect_index(int j, int n) {
+  if (n <= 1) return 0;
+  const int period = 2 * (n - 1);
+  int m = ((j % period) + period) % period;
+  return m < n ? m : period - m;
+}
+
 int next_pow2(int n) {
   int p = 1;
   while (p < n) p <<= 1;
@@ -293,8 +303,7 @@ void radar_ca_cfar(const double* power, int d, int r, int guard_d,
         for (int k = -half_r; k <= half_r; ++k) {
           int jr = j + k;
           if (range_mode == 1) {
-            if (jr < 0) jr = -jr;
-            else if (jr >= r) jr = 2 * r - 2 - jr;
+            jr = reflect_index(jr, r);
           } else {
             jr = (jr % r + r) % r;
           }
@@ -371,8 +380,7 @@ void radar_os_cfar(const double* power, int d, int r, int guard_d,
           const int id = ((i + dd) % d + d) % d;  // Doppler wraps
           int jr = j + dr;
           if (range_mode == 1) {
-            if (jr < 0) jr = -jr;
-            else if (jr >= r) jr = 2 * r - 2 - jr;
+            jr = reflect_index(jr, r);
           } else {
             jr = (jr % r + r) % r;
           }

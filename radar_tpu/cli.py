@@ -193,6 +193,7 @@ def cmd_serve(args) -> int:
     )
     bases: dict[int, object] = {}
     trackers: dict[int, object] = {}
+    frame_no: dict[int, int] = {}  # per-source frame sequence numbers
     n = 0
     t_first = t_last = None
     for got in batches:
@@ -221,6 +222,7 @@ def cmd_serve(args) -> int:
             out = np.asarray(pack_detections(pipe.detect(stack, bases[src])))
             for j in range(len(frames_src)):
                 n += 1
+                frame_no[src] = frame_no.get(src, 0) + 1
                 dets = [
                     {
                         "range_m": round(float(out[j, k, 0]), 4),
@@ -233,7 +235,7 @@ def cmd_serve(args) -> int:
                 dets = group_peaks(dets)
                 confirmed = trackers[src].update(dets)
                 rec = {
-                    "frame": n,
+                    "frame": frame_no[src],
                     "detections": dets,
                     "tracks": [
                         {"id": t.track_id, "range_m": round(t.range_m, 4),

@@ -342,7 +342,9 @@ def os_cfar_2d(
             )
     cells = np.stack(ring, axis=-1)
     n_train = cells.shape[-1]
-    k = max(1, min(n_train, int(round(k_frac * n_train))))
+    # half-away-from-zero (not Python's banker's round): matches the C++
+    # twin's llround so k is identical across implementations
+    k = max(1, min(n_train, int(np.floor(k_frac * n_train + 0.5))))
     kth = np.sort(cells, axis=-1)[..., k - 1]
     alpha = os_cfar_alpha(n_train, k, pfa)
     threshold = alpha * kth

@@ -256,6 +256,12 @@ class RDPipeline:
 
     def _cfar(self, power):
         if self.cfg.cfar_kind == "os":
+            if self.cfar_impl not in ("auto", "xla"):
+                raise ValueError(
+                    "OS-CFAR has no Pallas implementation; use "
+                    "cfar_impl='auto'/'xla' with cfar_kind='os' "
+                    f"(got {self.cfar_impl!r})"
+                )
             from radar_tpu.ops.cfar import os_cfar_2d
 
             return os_cfar_2d(power, self.cfg)

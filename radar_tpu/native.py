@@ -52,9 +52,14 @@ def _params(cfg: RadarConfig) -> _CRadarParams:
 
 
 def build_library(force: bool = False) -> Path:
-    """Build cpp/build/libradar_golden.so via make (idempotent)."""
-    if _LIB_PATH.exists() and not force:
-        return _LIB_PATH
+    """Build cpp/build/libradar_golden.so via make.
+
+    Always invokes make: the Makefile tracks golden.cc/golden.h deps, so an
+    up-to-date build is a no-op, while short-circuiting on the .so's mere
+    existence would load a stale library after a C ABI change (symbol
+    errors at best, shifted-argument corruption at worst).
+    """
+    del force  # kept for API compatibility; make decides staleness
     subprocess.run(
         ["make", "-C", str(_CPP_DIR)],
         check=True,

@@ -105,7 +105,10 @@ def os_cfar_2d(
         if not (abs(dd) <= gd and abs(dr) <= gr)
     ]
     n_train = len(offsets)
-    k = max(1, min(n_train, int(round(cfg.cfar_os_k_frac * n_train))))
+    # half-away-from-zero, matching golden.os_cfar_2d and the C++ llround
+    import math
+
+    k = max(1, min(n_train, int(math.floor(cfg.cfar_os_k_frac * n_train + 0.5))))
     alpha = jnp.float32(os_cfar_alpha(n_train, k, cfg.cfar_pfa))
 
     def one_map(p: jnp.ndarray) -> jnp.ndarray:

@@ -108,9 +108,9 @@ def fused_rd_planes(
         cfg.num_samples, cfg.range_fft_size, window
     )
     prec = resolve_precision(cfg.dft_precision)
-    # range DFT straight off the interleaved axis: (B, C, V, 2S) @ (R, 2S)
-    rng_re = jnp.einsum("bcvj,rj->bcvr", raw, a_re, precision=prec)
-    rng_im = jnp.einsum("bcvj,rj->bcvr", raw, a_im, precision=prec)
+    # range DFT straight off the interleaved axis: (..., C, V, 2S) @ (R, 2S)
+    rng_re = jnp.einsum("...cvj,rj->...cvr", raw, a_re, precision=prec)
+    rng_im = jnp.einsum("...cvj,rj->...cvr", raw, a_im, precision=prec)
     if base_cube is not None:
         b_re, b_im = _base_range_planes(base_cube, cfg, window)
         rng_re = rng_re - b_re
@@ -140,9 +140,9 @@ def doppler_from_range_planes(
     rng_im = rng_im.reshape(shape)
 
     f_dop = dft_matrix(k, cfg.doppler_fft_size, window, shift=True)
-    # (D, K) x (B, K, TX, V, R) -> (B, TX, V, D, R)
+    # (D, K) x (..., K, TX, V, R) -> (..., TX, V, D, R)
     dr, di = _cmatmul_planar(
-        f_dop.real, f_dop.imag, rng_re, rng_im, "dk,bktvr->btvdr",
+        f_dop.real, f_dop.imag, rng_re, rng_im, "dk,...ktvr->...tvdr",
         resolve_precision(cfg.dft_precision),
     )
     out = lead + (tx * v, cfg.doppler_fft_size, cfg.range_fft_size)

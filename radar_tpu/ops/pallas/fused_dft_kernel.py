@@ -59,9 +59,10 @@ def fused_rd_planes_pallas(
     """
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     r = cfg.range_fft_size
-    b = shorts.shape[0]
+    lead = shorts.shape[:-1]  # arbitrary lead dims, flattened for the grid
     rows = c * v
-    raw = shorts.reshape(b, rows, s2)
+    raw = shorts.reshape((-1, rows, s2))
+    b = raw.shape[0]
 
     a_re, a_im = interleaved_range_matrices(cfg.num_samples, r, window)
     a_re_t, a_im_t = a_re.T, a_im.T  # (2S, R) for the row-major dot
@@ -119,8 +120,8 @@ def fused_rd_planes_pallas(
         interpret=interpret,
     )(raw, a_re_t, a_im_t, b_re, b_im)
 
-    rng_re = rng_re.reshape(b, c, v, r)
-    rng_im = rng_im.reshape(b, c, v, r)
+    rng_re = rng_re.reshape(lead + (c, v, r))
+    rng_im = rng_im.reshape(lead + (c, v, r))
     if base_cube is None:
         rng_re = rng_re - jnp.mean(rng_re, axis=-3, keepdims=True)
         rng_im = rng_im - jnp.mean(rng_im, axis=-3, keepdims=True)

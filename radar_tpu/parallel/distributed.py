@@ -57,6 +57,16 @@ class DistributedRDPipeline:
         rd_impl: str = "fft",
         cfar_impl: str = "xla",
     ):
+        if rd_impl not in ("fft", "mxu", "planar", "fused"):
+            raise ValueError(
+                f"rd_impl {rd_impl!r} not supported by the sharded pipeline "
+                "(use 'fft', 'mxu', 'planar', or 'fused'; 'fused-pallas' is "
+                "single-device only)"
+            )
+        if cfar_impl not in ("xla", "pallas"):
+            raise ValueError(f"cfar_impl must be 'xla' or 'pallas', got {cfar_impl!r}")
+        if cfg.cfar_kind == "os" and cfar_impl == "pallas":
+            raise ValueError("OS-CFAR has no Pallas implementation")
         self.mesh = mesh if mesh is not None else build_mesh(num_rx=cfg.num_rx)
         self.cfg = cfg
         self.max_detections = max_detections
@@ -112,7 +122,42 @@ class DistributedRDPipeline:
         def local_step(shorts_local: jnp.ndarray, base_local: jnp.ndarray):
             # shorts_local: (B_local, S) int16; base_local: (rx_per, C, Smp)
             chan_idx = jax.lax.axis_index(CHAN_AXIS)
-            if rd_impl == "planar":
+            if rd_impl == "fused":
+                # interleave-aware DFT matmuls straight off the raw shorts,
+                # with this shard's RX group sliced BEFORE the contraction
+                # (see ops/fuseddft.py)
+                from radar_tpu.ops.dftmat import resolve_precision
+                from radar_tpu.ops.fuseddft import (
+                    _base_range_planes,
+                    doppler_from_range_planes,
+                    interleaved_range_matrices,
+                )
+
+                a_re, a_im = interleaved_range_matrices(
+                    cfg.num_samples, cfg.range_fft_size, True
+                )
+                prec = resolve_precision(cfg.dft_precision)
+                raw = shorts_local.reshape(
+                    shorts_local.shape[:-1]
+                    + (cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples)
+                ).astype(jnp.float32)
+                raw_l = jax.lax.dynamic_slice_in_dim(
+                    raw, chan_idx * rx_per, rx_per, axis=2
+                )
+                rng_re = jnp.einsum(
+                    "...cvj,rj->...cvr", raw_l, a_re, precision=prec
+                )
+                rng_im = jnp.einsum(
+                    "...cvj,rj->...cvr", raw_l, a_im, precision=prec
+                )
+                b_re, b_im = _base_range_planes(base_local, cfg, True)
+                dr, di = doppler_from_range_planes(
+                    rng_re - b_re, rng_im - b_im, cfg
+                )
+                rd_l = None
+                planes = (dr, di)
+                local_power = jnp.sum(dr * dr + di * di, axis=-3)
+            elif rd_impl == "planar":
                 # split-plane end-to-end (see RDPipeline._detect_planar)
                 from radar_tpu.ops.decode import decode_to_planes
                 from radar_tpu.ops.dftmat import range_doppler_planes
@@ -145,7 +190,11 @@ class DistributedRDPipeline:
                 planes = None
                 local_power = integrate_power(rd_l)
             power = jax.lax.psum(local_power, CHAN_AXIS)
-            if cfar_impl == "pallas":
+            if cfg.cfar_kind == "os":
+                from radar_tpu.ops.cfar import os_cfar_2d
+
+                hits, _ = os_cfar_2d(power, cfg)
+            elif cfar_impl == "pallas":
                 from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas
 
                 hits, _ = ca_cfar_2d_pallas(

@@ -87,14 +87,10 @@ print(json.dumps({
 
 
 def run_one(n: int, frames_per_shard: int) -> dict:
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = [
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "xla_force_host_platform_device_count" not in f
-    ]
-    flags.append(f"--xla_force_host_platform_device_count={n}")
-    env["XLA_FLAGS"] = " ".join(flags)
+    sys.path.insert(0, REPO)
+    from __graft_entry__ import cpu_mesh_env
+
+    env = cpu_mesh_env(n)
     proc = subprocess.run(
         [sys.executable, "-c", _WORKER, str(n), str(frames_per_shard)],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=900,

@@ -121,3 +121,20 @@ def test_native_os_alpha_matches_python():
     for n, k, pfa in [(248, 186, 1e-4), (80, 60, 1e-3), (16, 12, 1e-2)]:
         assert abs(lib.radar_os_cfar_alpha(n, k, pfa)
                    - os_cfar_alpha(n, k, pfa)) < 1e-9
+
+
+def test_os_cfar_half_integer_k_parity(cfg):
+    """cfar_train=(4,7) -> n_train=222, 0.75*222=166.5 exactly: all three
+    implementations must round k the same way (half away from zero)."""
+    from radar_tpu.config import RadarConfig as RC
+    from radar_tpu.ops.cfar import os_cfar_2d as os_xla
+    import jax.numpy as jnp
+
+    c = RC(cfar_train=(4, 7))
+    rng = np.random.default_rng(57)
+    power = rng.exponential(1.0, (c.doppler_fft_size, c.range_fft_size))
+    _, want = golden.os_cfar_2d(power, c.cfar_guard, c.cfar_train, c.cfar_pfa)
+    _, got_native = native.os_cfar_2d(power, c)
+    np.testing.assert_allclose(got_native, want, rtol=1e-12)
+    _, got_xla = os_xla(jnp.asarray(power.astype(np.float32)), c)
+    np.testing.assert_allclose(np.asarray(got_xla), want, rtol=2e-4)

@@ -153,3 +153,53 @@ def test_distributed_planar_matches_single_device(cfg, capture):
                                   np.asarray(want.angle_bin))
     np.testing.assert_allclose(np.asarray(got.power), np.asarray(want.power),
                                rtol=1e-5)
+
+
+def test_distributed_fused_matches_single_device(cfg, capture):
+    """Interleave-matmul fused path, sharded == single-device fused."""
+    mesh = build_mesh(n_devices=8, num_rx=cfg.num_rx)
+    dist = DistributedRDPipeline(
+        mesh=mesh, cfg=cfg, max_detections=8, rd_impl="fused"
+    )
+    single = RDPipeline(cfg, max_detections=8, rd_impl="fused",
+                        cfar_impl="xla")
+    frames = capture[1:9]
+    want = single.detect(
+        jnp.asarray(frames), single.prepare_base(jnp.asarray(capture[0]))
+    )
+    got = dist.detect(dist.shard_frames(frames), dist.prepare_base(capture[0]))
+    np.testing.assert_array_equal(np.asarray(got.range_bin),
+                                  np.asarray(want.range_bin))
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_array_equal(np.asarray(got.angle_bin),
+                                  np.asarray(want.angle_bin))
+    np.testing.assert_allclose(np.asarray(got.power), np.asarray(want.power),
+                               rtol=1e-5)
+
+
+def test_distributed_honors_cfar_kind(capture):
+    """cfar_kind='os' must change detections identically in the sharded and
+    single-device pipelines (it used to be silently ignored sharded)."""
+    from radar_tpu.config import RadarConfig as RC
+
+    os_cfg = RC(cfar_kind="os")
+    mesh = build_mesh(n_devices=4, num_rx=os_cfg.num_rx)
+    dist = DistributedRDPipeline(mesh=mesh, cfg=os_cfg, max_detections=8)
+    single = RDPipeline(os_cfg, max_detections=8, cfar_impl="xla")
+    frames = capture[1:2]
+    want = single.detect(
+        jnp.asarray(frames), single.prepare_base(jnp.asarray(capture[0]))
+    )
+    got = dist.detect(dist.shard_frames(frames), dist.prepare_base(capture[0]))
+    np.testing.assert_array_equal(np.asarray(got.num_hits),
+                                  np.asarray(want.num_hits))
+    np.testing.assert_array_equal(np.asarray(got.range_bin),
+                                  np.asarray(want.range_bin))
+
+
+def test_distributed_rejects_unknown_rd_impl(cfg):
+    mesh = build_mesh(n_devices=2, num_rx=cfg.num_rx)
+    with pytest.raises(ValueError, match="fused-pallas"):
+        DistributedRDPipeline(mesh=mesh, cfg=cfg, rd_impl="fused-pallas")
+    with pytest.raises(ValueError, match="rd_impl"):
+        DistributedRDPipeline(mesh=mesh, cfg=cfg, rd_impl="bogus")

@@ -303,3 +303,26 @@ def test_detect_donated_matches_and_consumes(cfg, targets):
     # than the input, nothing to alias) and leaves the buffer live; on TPU
     # the buffer is consumed.  Either way the call semantics must hold.
     assert buf.is_deleted() or jax.default_backend() != "tpu"
+
+
+@pytest.mark.parametrize("impl", ["fused", "fused-pallas", "planar"])
+def test_unbatched_frame_all_impls(cfg, targets, impl):
+    """A single unbatched (S,) frame must work on every rd_impl — the
+    fused paths briefly hardcoded one batch dim."""
+    shorts = synthesize_capture(targets, 2, cfg, noise_std=2.0, seed=71)
+    pipe = RDPipeline(cfg, max_detections=8, rd_impl=impl, cfar_impl="xla")
+    base = pipe.prepare_base(jnp.asarray(shorts[0]))
+    batched = pipe.detect(jnp.asarray(shorts[1:2]), base)
+    single = pipe.detect(jnp.asarray(shorts[1]), base)
+    np.testing.assert_array_equal(
+        np.asarray(batched.range_bin[0]), np.asarray(single.range_bin)
+    )
+
+
+def test_os_kind_rejects_pallas_impl(cfg):
+    from radar_tpu.config import RadarConfig as RC
+
+    pipe = RDPipeline(RC(cfar_kind="os"), max_detections=8,
+                      cfar_impl="pallas")
+    with pytest.raises(ValueError, match="OS-CFAR"):
+        pipe._cfar(jnp.zeros((2, 128, 128), jnp.float32))
