@@ -84,3 +84,23 @@ def test_rescale_no_int32_overflow():
         want = [c.rescale_peak_bin(int(b)) for b in bins]
         np.testing.assert_array_equal(np.asarray(rescaled), want)
         assert float(np.asarray(dist).min()) >= 0.0
+
+
+@pytest.mark.parametrize("c", CONFIGS, ids=lambda c: (
+    f"s{c.num_samples}-c{c.num_chirps}-rx{c.num_rx}-tx{c.num_tx}"
+))
+def test_fused_matches_mxu_across_configs(c):
+    """The interleave-matmul fused path must agree with the complex-cube
+    mxu path at every geometry, not just the reference's 100x128x4."""
+    tgt = SceneTarget(range_m=4.0, velocity_mps=1.5, azimuth_deg=12.0,
+                      amplitude=3000.0)
+    shorts = synthesize_capture([tgt], 3, c, noise_std=2.0, seed=9)
+    mxu = RDPipeline(c, max_detections=8, rd_impl="mxu", cfar_impl="xla")
+    fused = RDPipeline(c, max_detections=8, rd_impl="fused", cfar_impl="xla")
+    base = mxu.prepare_base(jnp.asarray(shorts[0]))
+    a = mxu.detect(jnp.asarray(shorts[1:]), base)
+    b = fused.detect(jnp.asarray(shorts[1:]), base)
+    np.testing.assert_array_equal(np.asarray(a.range_bin), np.asarray(b.range_bin))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
+                               rtol=2e-4, atol=1e-2)
