@@ -111,6 +111,17 @@ def main() -> None:
         f"map {4*cf.doppler_fft_size*cf.range_fft_size*args.batch/1e6:.0f} "
         f"MB f32/batch")
 
+    # the headline JSON line goes to stdout IMMEDIATELY: the extras below
+    # touch more compile paths and the transport; if any of them hangs or
+    # dies, the driver still has the result
+    result = {
+        "metric": "range-doppler-cfar-aoa detection rate (on-chip, frames resident in HBM)",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / 1000.0, 3),
+    }
+    print(json.dumps(result), flush=True)
+
     # ---- optional extras (stderr only; never allowed to kill the
     # headline JSON line) ----------------------------------------------------
     try:
@@ -199,14 +210,6 @@ def main() -> None:
                 "donated buffers are still consumed, bounding ring memory)")
     except Exception as e:  # transient transport failures are non-fatal
         log(f"optional bench sections skipped: {type(e).__name__}: {e}")
-
-    result = {
-        "metric": "range-doppler-cfar-aoa detection rate (on-chip, frames resident in HBM)",
-        "value": round(fps, 1),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(fps / 1000.0, 3),
-    }
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
