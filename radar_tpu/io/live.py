@@ -267,64 +267,8 @@ def udp_frame_batches(
     arriving meanwhile accumulate in the kernel buffer instead of being
     lost to a closed port.
     """
-    reasm = PacketReassembler(cfg)
-    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    # at 1000 fps the stream is 205 MB/s; a deep kernel buffer rides out
-    # scheduling hiccups (lost packets are zero-filled, not recovered).
-    # SO_RCVBUF is silently capped at net.core.rmem_max (~212 KB default =
-    # one frame); SO_RCVBUFFORCE (root) bypasses the cap.
-    try:
-        sock.setsockopt(
-            socket.SOL_SOCKET, getattr(socket, "SO_RCVBUFFORCE", 33),
-            rcvbuf_bytes,
-        )
-    except OSError:
-        sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, rcvbuf_bytes)
-    sock.bind((host, port))
-    if on_bound is not None:
-        on_bound()
-    produced = 0
-
-    def room() -> int:
-        if max_frames is None:
-            return max_batch
-        return min(max_batch, max_frames - produced)
-
-    try:
-        pending: list[np.ndarray] = []
-        while max_frames is None or produced < max_frames:
-            try:
-                sock.settimeout(timeout_s)
-                # 64 KiB = max UDP datagram; a short buffer would silently
-                # truncate packets from senders using larger payloads
-                packet, _ = sock.recvfrom(65535)
-            except socket.timeout:
-                # stream ended: drain reorder-pending packets so a final
-                # frame missing only a reordered tail isn't silently lost
-                pending.extend(reasm.flush_frames())
-                while pending:
-                    n = room()
-                    if n <= 0:
-                        return
-                    yield pending[:n]
-                    produced += len(pending[:n])
-                    del pending[:n]
-                return
-            pending.extend(reasm.feed(packet))
-            # greedy zero-wait drain: batch frames already in flight
-            while len(pending) < room():
-                try:
-                    sock.settimeout(0.0)
-                    packet, _ = sock.recvfrom(65535)
-                except (BlockingIOError, socket.timeout, OSError):
-                    break
-                pending.extend(reasm.feed(packet))
-            while len(pending) >= 1:
-                n = room()
-                if n <= 0:
-                    return
-                batch, pending = pending[:n], pending[n:]
-                yield batch
-                produced += len(batch)
-    finally:
-        sock.close()
+    for batch in udp_frame_batches_multi(
+        [port], cfg, host=host, max_frames=max_frames, timeout_s=timeout_s,
+        rcvbuf_bytes=rcvbuf_bytes, max_batch=max_batch, on_bound=on_bound,
+    ):
+        yield [frame for _, frame in batch]

@@ -29,7 +29,6 @@ import jax.numpy as jnp
 
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG, LIGHT_SPEED
 from radar_tpu.ops.aoa import angle_fft_spectrum
-from radar_tpu.ops.cfar import ca_cfar_2d
 from radar_tpu.ops.decode import decode_to_cube
 from radar_tpu.ops.preproc import mean_clutter_removal
 from radar_tpu.ops.rangefft import range_doppler
@@ -255,35 +254,27 @@ class RDPipeline:
         return self.topk_impl
 
     def _cfar(self, power):
-        if self.cfg.cfar_kind == "os":
-            if self.cfar_impl not in ("auto", "xla"):
-                raise ValueError(
-                    "OS-CFAR has no Pallas implementation; use "
-                    "cfar_impl='auto'/'xla' with cfar_kind='os' "
-                    f"(got {self.cfar_impl!r})"
-                )
-            from radar_tpu.ops.cfar import os_cfar_2d
+        from radar_tpu.ops.cfar import cfar_detect
 
-            return os_cfar_2d(power, self.cfg)
         impl = self.cfar_impl
         if impl == "auto":
             # measured on v5e: with the MXU DFT paths the fused XLA
             # reduce_window CFAR edges out the Pallas kernel (7.3 vs 7.6
             # ms/512 fused); the kernel exists to break the fft+reduce_window
             # 13x pathology, so auto picks it only alongside the FFT HLO
-            rd = self.rd_impl
-            if jax.default_backend() == "tpu":
-                impl = "pallas" if rd == "fft" else "xla"
-            else:
-                impl = "xla"
-        if impl == "xla":
-            return ca_cfar_2d(power, self.cfg)
-        from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas
-
+            # (and OS-CFAR exists only in XLA)
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and self.rd_impl == "fft"
+                and self.cfg.cfar_kind != "os"
+            )
+            impl = "pallas" if use_pallas else "xla"
         interpret = (
             impl == "pallas-interpret" or jax.default_backend() != "tpu"
         )
-        return ca_cfar_2d_pallas(power, self.cfg, interpret=interpret)
+        if impl == "pallas-interpret":
+            impl = "pallas"
+        return cfar_detect(power, self.cfg, impl, interpret=interpret)
 
     # -- base frame --------------------------------------------------------
     @partial(jax.jit, static_argnums=0)

@@ -130,3 +130,28 @@ def os_cfar_2d(
     flat = power.reshape((-1, d_sz, r_sz))
     threshold = jax.lax.map(one_map, flat).reshape(lead + (d_sz, r_sz))
     return power > threshold, threshold
+
+
+def cfar_detect(
+    power: jnp.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    impl: str = "xla",
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single dispatch point for the CFAR family: ``cfg.cfar_kind``
+    ('ca'/'os') crossed with ``impl`` ('xla' or 'pallas'; CA only).
+
+    Both the local pipeline and the shard_map pipeline route through this,
+    so kind/impl validation and dispatch live in exactly one place.
+    """
+    if cfg.cfar_kind == "os":
+        if impl != "xla":
+            raise ValueError(
+                f"OS-CFAR has no Pallas implementation (impl={impl!r})"
+            )
+        return os_cfar_2d(power, cfg)
+    if impl == "xla":
+        return ca_cfar_2d(power, cfg)
+    from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas
+
+    return ca_cfar_2d_pallas(power, cfg, interpret=interpret)

@@ -33,7 +33,6 @@ from radar_tpu.models.rd_pipeline import (
     integrate_power,
     virtualize_cube,
 )
-from radar_tpu.ops.cfar import ca_cfar_2d
 from radar_tpu.ops.decode import decode_to_cube
 from radar_tpu.ops.rangefft import range_doppler
 from radar_tpu.parallel.mesh import CHAN_AXIS, DATA_AXIS, build_mesh
@@ -190,18 +189,12 @@ class DistributedRDPipeline:
                 planes = None
                 local_power = integrate_power(rd_l)
             power = jax.lax.psum(local_power, CHAN_AXIS)
-            if cfg.cfar_kind == "os":
-                from radar_tpu.ops.cfar import os_cfar_2d
+            from radar_tpu.ops.cfar import cfar_detect
 
-                hits, _ = os_cfar_2d(power, cfg)
-            elif cfar_impl == "pallas":
-                from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas
-
-                hits, _ = ca_cfar_2d_pallas(
-                    power, cfg, interpret=jax.default_backend() != "tpu"
-                )
-            else:
-                hits, _ = ca_cfar_2d(power, cfg)
+            hits, _ = cfar_detect(
+                power, cfg, cfar_impl,
+                interpret=jax.default_backend() != "tpu",
+            )
 
             def snaps(top_idx):
                 if planes is not None:
