@@ -125,7 +125,7 @@ def main() -> None:
     # ---- optional extras (stderr only; never allowed to kill the
     # headline JSON line) ----------------------------------------------------
     try:
-        # bf16-MXU-pass speed mode (cfg default is full-f32 'highest')
+        # 1-bf16-pass speed mode (cfg default is 3-pass 'high', ~8e-6)
         cfg_fast = RadarConfig(dft_precision="default")
         p = RDPipeline(cfg_fast, 16, rd_impl="fused", cfar_impl="xla")
         base_fast = p.prepare_base(capture[0])

@@ -40,10 +40,10 @@ def _add_pipeline_flags(sp) -> None:
     sp.add_argument("--cfar-kind", default=None, choices=["ca", "os"],
                     help="cell-averaging (default) or ordered-statistic CFAR")
     sp.add_argument("--dft-precision", default=None,
-                    choices=["highest", "default"],
-                    help="MXU matmul precision: 'highest' f32 (~8e-8 vs "
-                         "golden, the default) or 'default' bf16 pass "
-                         "(~9e-4, ~17%% faster)")
+                    choices=["high", "highest", "default"],
+                    help="MXU matmul precision: 'high' 3-pass (~8e-6 vs "
+                         "golden, the default), 'highest' f32 (~8e-8), or "
+                         "'default' 1 bf16 pass (~9e-4, fastest)")
 
 
 def _parse_target(spec: str):

@@ -61,12 +61,12 @@ class RadarConfig:
     # OS-CFAR order statistic as a fraction of the training-cell count
     # (k = round(frac * N); 0.75 is the standard choice).
     cfar_os_k_frac: float = 0.75
-    # MXU matmul precision for the DFT paths.  'highest' (default):
-    # full-f32 passes, ~8e-8 relative vs float64 golden.  'default': the
-    # TPU's single bf16 MXU pass — ~9e-4 relative (inside the 1e-3
-    # BASELINE gate but with little margin) for ~17% more throughput
-    # (measured 69.7k vs 59.6k fps full-pipeline on v5e).
-    dft_precision: str = "highest"
+    # MXU matmul precision for the DFT paths.  'high' (default): 3 bf16
+    # MXU passes, ~8e-6 relative vs float64 golden — two orders inside the
+    # 1e-3 BASELINE gate at ~12% less cost than full f32.  'highest':
+    # f32-exact 6-pass, ~8e-8.  'default': the TPU's single bf16 pass,
+    # ~9e-4 (rides the gate) for the max-throughput mode.
+    dft_precision: str = "high"
     # Angle processing
     num_angle_bins: int = 64                  # angle-FFT size
     angle_grid_deg: Tuple[float, float, int] = (-90.0, 90.0, 181)  # Capon scan

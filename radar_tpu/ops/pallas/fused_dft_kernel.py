@@ -87,6 +87,10 @@ def fused_rd_planes_pallas(
     from radar_tpu.ops.dftmat import resolve_precision
 
     prec = resolve_precision(cfg.dft_precision)
+    if prec == jax.lax.Precision.HIGH:
+        # Mosaic's dot rejects HIGH ("Unsupported dot precision"); use the
+        # strictly-more-accurate exact-f32 passes instead
+        prec = jax.lax.Precision.HIGHEST
 
     def kernel(raw_ref, a_re_ref, a_im_ref, b_re_ref, b_im_ref,
                out_re_ref, out_im_ref):
