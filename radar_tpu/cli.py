@@ -121,6 +121,7 @@ def cmd_detect(args) -> int:
                     "velocity_mps": round(float(rd.velocity_mps[j, k]), 4),
                     "azimuth_deg": round(float(rd.azimuth_deg[j, k]), 2),
                     "power": float(rd.power[j, k]),
+                    "range_m_interp": round(float(rd.range_m_interp[j, k]), 4),
                 }
                 for k in range(rd.valid.shape[1])
                 if bool(rd.valid[j, k])
@@ -229,6 +230,7 @@ def cmd_serve(args) -> int:
                         "velocity_mps": round(float(out[j, k, 1]), 4),
                         "azimuth_deg": round(float(out[j, k, 2]), 2),
                         "power": float(out[j, k, 3]),
+                        "range_m_interp": round(float(out[j, k, 5]), 4),
                     }
                     for k in range(out.shape[1]) if out[j, k, 4] > 0.5
                 ]

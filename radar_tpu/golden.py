@@ -375,6 +375,27 @@ def angle_bin_to_deg(bin_idx: np.ndarray, num_bins: int, cfg: RadarConfig) -> np
     return np.rad2deg(np.arcsin(np.clip(sin_theta, -1.0, 1.0)))
 
 
+def parabolic_bin_offset(
+    p_minus: np.ndarray, p_center: np.ndarray, p_plus: np.ndarray
+) -> np.ndarray:
+    """Sub-bin peak offset in [-0.5, 0.5] from three log-power samples.
+
+    Classic 3-point parabolic (quadratic) interpolation on dB values —
+    for windowed spectra the log-domain fit is far more accurate than the
+    linear-power fit.  Degenerate (flat or edge-clamped) neighborhoods
+    return 0.
+    """
+    eps = 1e-30
+    lm = np.log(np.maximum(p_minus, eps))
+    lc = np.log(np.maximum(p_center, eps))
+    lp = np.log(np.maximum(p_plus, eps))
+    denom = lm - 2.0 * lc + lp
+    offset = np.where(
+        np.abs(denom) > 1e-12, 0.5 * (lm - lp) / np.where(denom == 0, 1, denom), 0.0
+    )
+    return np.clip(offset, -0.5, 0.5)
+
+
 def aoa_2d(
     snapshot: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG
 ) -> tuple[float, float]:

@@ -223,6 +223,7 @@ class DistributedRDPipeline:
             velocity_mps=P(DATA_AXIS, None),
             azimuth_deg=P(DATA_AXIS, None),
             angle_bin=P(DATA_AXIS, None),
+            range_m_interp=P(DATA_AXIS, None),
         )
         # check_vma=False: the AoA outputs derive from an all_gather over
         # 'chan' (identical on every chan member), but the VMA checker can't

@@ -326,3 +326,43 @@ def test_os_kind_rejects_pallas_impl(cfg):
                       cfar_impl="pallas")
     with pytest.raises(ValueError, match="OS-CFAR"):
         pipe._cfar(jnp.zeros((2, 128, 128), jnp.float32))
+
+
+def test_range_interpolation_beats_bin_quantization(cfg):
+    """A target placed OFF the ~39 cm range grid: the parabolic sub-bin
+    estimate must land much closer to truth than the quantized bin."""
+    from statistics import median
+
+    r_true = 5.17  # between bins (bin width c*Fs/R/(2*mu) ~= 0.3915 m)
+    shorts = synthesize_capture(
+        [SceneTarget(range_m=r_true, velocity_mps=0.0, azimuth_deg=0.0,
+                     amplitude=3000.0)],
+        6, cfg, noise_std=2.0, seed=91,
+    )
+    pipe = RDPipeline(cfg, max_detections=4, rd_impl="fused", cfar_impl="xla")
+    base = pipe.prepare_base(jnp.asarray(shorts[0]))
+    out = pipe.detect(jnp.asarray(shorts[1:]), base)
+    # strongest detection per frame
+    err_q = [abs(float(out.range_m[f, 0]) - r_true) for f in range(5)]
+    err_i = [abs(float(out.range_m_interp[f, 0]) - r_true) for f in range(5)]
+    assert median(err_i) < 0.06               # few-cm accuracy
+    assert median(err_i) < 0.5 * median(err_q)  # beats quantization
+
+
+def test_range_interp_matches_golden_offset():
+    """The jnp interpolation math is the twin of golden.parabolic_bin_offset."""
+    from radar_tpu.golden import parabolic_bin_offset
+    from radar_tpu.models.rd_pipeline import interp_range_bins
+
+    cfg = RadarConfig()
+    rng = np.random.default_rng(93)
+    power = rng.exponential(1.0, (1, cfg.doppler_fft_size,
+                                  cfg.range_fft_size)).astype(np.float32)
+    power[0, 30, 50:53] = [100.0, 400.0, 250.0]
+    top_idx = np.array([[30 * cfg.range_fft_size + 51]], np.int32)
+    got = interp_range_bins(jnp.asarray(power), jnp.asarray(top_idx),
+                            jnp.asarray([[30]]), jnp.asarray([[51]]), cfg)
+    off = parabolic_bin_offset(np.float64(100.0), 400.0, 250.0)
+    scale = cfg.sample_rate_hz / cfg.range_fft_size
+    want = (51 + off) * scale * 3e8 / (2 * cfg.slope_hz_per_s)
+    np.testing.assert_allclose(float(got[0, 0]), want, rtol=1e-5)
