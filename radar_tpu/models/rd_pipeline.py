@@ -47,6 +47,7 @@ class RDResult(NamedTuple):
     azimuth_deg: jnp.ndarray     # float32 (B, K) via angle-FFT
     angle_bin: jnp.ndarray       # int32 (B, K) argmax angle-FFT bin
     range_m_interp: jnp.ndarray  # float32 (B, K) sub-bin parabolic range
+    velocity_mps_interp: jnp.ndarray  # float32 (B, K) sub-bin velocity
 
 
 # --------------------------------------------------------------------------
@@ -162,26 +163,12 @@ def aoa_from_snapshots(snaps: jnp.ndarray, cfg: RadarConfig):
     return azimuth, angle_bin
 
 
-def interp_range_bins(power, top_idx, d_bin, r_bin, cfg: RadarConfig):
-    """Sub-bin range via 3-point log-parabolic peak interpolation.
-
-    The reference quantizes range to the FFT grid (~39 cm at defaults,
-    acceleration.cu:522); a windowed spectral peak's true position is
-    recoverable to a few mm from the two neighbor cells (twin of
-    golden.parabolic_bin_offset).
-
-    Args:
-      power: (..., D, R); top_idx/d_bin/r_bin: (..., K).
-    """
-    r_size = power.shape[-1]
-    flat = power.reshape(power.shape[:-2] + (-1,))
-    # clamp neighbors into the same Doppler row; clamped-equal neighbors
-    # degrade gracefully to offset 0 via the denominator guard
-    idx_m = top_idx - jnp.where(r_bin > 0, 1, 0)
-    idx_p = top_idx + jnp.where(r_bin < r_size - 1, 1, 0)
+def _parabolic_offset(flat, idx_m, idx_c, idx_p):
+    """Sub-bin offset in [-0.5, 0.5] from three log-power samples gathered
+    at flat cell indices (twin of golden.parabolic_bin_offset)."""
     eps = 1e-30
     lm = jnp.log(jnp.maximum(jnp.take_along_axis(flat, idx_m, axis=-1), eps))
-    lc = jnp.log(jnp.maximum(jnp.take_along_axis(flat, top_idx, axis=-1), eps))
+    lc = jnp.log(jnp.maximum(jnp.take_along_axis(flat, idx_c, axis=-1), eps))
     lp = jnp.log(jnp.maximum(jnp.take_along_axis(flat, idx_p, axis=-1), eps))
     denom = lm - 2.0 * lc + lp
     offset = jnp.where(
@@ -189,10 +176,49 @@ def interp_range_bins(power, top_idx, d_bin, r_bin, cfg: RadarConfig):
         0.5 * (lm - lp) / jnp.where(denom == 0, 1.0, denom),
         0.0,
     )
-    offset = jnp.clip(offset, -0.5, 0.5)
-    bin_f = r_bin.astype(jnp.float32) + offset
+    return jnp.clip(offset, -0.5, 0.5)
+
+
+def interp_cell_physics(power, top_idx, d_bin, r_bin, cfg: RadarConfig):
+    """Sub-bin (range, velocity) via 3-point log-parabolic interpolation.
+
+    The reference quantizes range to the FFT grid (~39 cm at defaults,
+    acceleration.cu:522); a windowed spectral peak's true position is
+    recoverable to a few mm from the two neighbor cells.  Range neighbors
+    clamp at the map edges (degrading gracefully to offset 0); Doppler
+    neighbors wrap (circular axis).
+
+    Args:
+      power: (..., D, R); top_idx/d_bin/r_bin: (..., K).
+
+    Returns:
+      (range_m_interp, velocity_mps_interp), float32 (..., K).
+    """
+    d_size, r_size = power.shape[-2], power.shape[-1]
+    flat = power.reshape(power.shape[:-2] + (-1,))
+
+    r_off = _parabolic_offset(
+        flat,
+        top_idx - jnp.where(r_bin > 0, 1, 0),
+        top_idx,
+        top_idx + jnp.where(r_bin < r_size - 1, 1, 0),
+    )
+    bin_r = r_bin.astype(jnp.float32) + r_off
     scale = cfg.sample_rate_hz / cfg.range_fft_size
-    return bin_f * jnp.float32(scale * LIGHT_SPEED / (2.0 * cfg.slope_hz_per_s))
+    range_m = bin_r * jnp.float32(
+        scale * LIGHT_SPEED / (2.0 * cfg.slope_hz_per_s)
+    )
+
+    d_off = _parabolic_offset(
+        flat,
+        ((d_bin - 1) % d_size) * r_size + r_bin,
+        top_idx,
+        ((d_bin + 1) % d_size) * r_size + r_bin,
+    )
+    bin_d = (d_bin - d_size // 2).astype(jnp.float32) + d_off
+    dopp_hz = bin_d / jnp.float32(d_size * cfg.slow_time_interval_s)
+    velocity = dopp_hz * jnp.float32(cfg.wavelength_m / 2.0)
+    return range_m, velocity
 
 
 def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig,
@@ -207,7 +233,9 @@ def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig,
         power, hits, k, topk_impl
     )
     range_m, velocity = cell_physics(d_bin, r_bin, cfg)
-    range_interp = interp_range_bins(power, top_idx, d_bin, r_bin, cfg)
+    range_interp, vel_interp = interp_cell_physics(
+        power, top_idx, d_bin, r_bin, cfg
+    )
     snaps = mimo_compensate(rd_snaps(top_idx), d_bin, cfg)
     azimuth, angle_bin = aoa_from_snapshots(snaps, cfg)
     return RDResult(
@@ -221,6 +249,7 @@ def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig,
         azimuth_deg=azimuth,
         angle_bin=angle_bin,
         range_m_interp=range_interp,
+        velocity_mps_interp=vel_interp,
     )
 
 

@@ -224,6 +224,7 @@ class DistributedRDPipeline:
             azimuth_deg=P(DATA_AXIS, None),
             angle_bin=P(DATA_AXIS, None),
             range_m_interp=P(DATA_AXIS, None),
+            velocity_mps_interp=P(DATA_AXIS, None),
         )
         # check_vma=False: the AoA outputs derive from an all_gather over
         # 'chan' (identical on every chan member), but the VMA checker can't

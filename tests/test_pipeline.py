@@ -349,10 +349,31 @@ def test_range_interpolation_beats_bin_quantization(cfg):
     assert median(err_i) < 0.5 * median(err_q)  # beats quantization
 
 
+def test_velocity_interpolation_beats_bin_quantization(cfg):
+    """Velocity off the Doppler grid (~0.24 m/s bins): sub-bin estimate
+    closer to truth than the quantized bin."""
+    from statistics import median
+
+    v_true = 2.31  # between Doppler bins
+    shorts = synthesize_capture(
+        [SceneTarget(range_m=5.0, velocity_mps=v_true, azimuth_deg=0.0,
+                     amplitude=3000.0)],
+        6, cfg, noise_std=2.0, seed=95,
+    )
+    pipe = RDPipeline(cfg, max_detections=4, rd_impl="fused", cfar_impl="xla")
+    base = pipe.prepare_base(jnp.asarray(shorts[0]))
+    out = pipe.detect(jnp.asarray(shorts[1:]), base)
+    err_q = [abs(float(out.velocity_mps[f, 0]) - v_true) for f in range(5)]
+    err_i = [abs(float(out.velocity_mps_interp[f, 0]) - v_true)
+             for f in range(5)]
+    assert median(err_i) < 0.05
+    assert median(err_i) < 0.6 * median(err_q)
+
+
 def test_range_interp_matches_golden_offset():
     """The jnp interpolation math is the twin of golden.parabolic_bin_offset."""
     from radar_tpu.golden import parabolic_bin_offset
-    from radar_tpu.models.rd_pipeline import interp_range_bins
+    from radar_tpu.models.rd_pipeline import interp_cell_physics
 
     cfg = RadarConfig()
     rng = np.random.default_rng(93)
@@ -360,8 +381,8 @@ def test_range_interp_matches_golden_offset():
                                   cfg.range_fft_size)).astype(np.float32)
     power[0, 30, 50:53] = [100.0, 400.0, 250.0]
     top_idx = np.array([[30 * cfg.range_fft_size + 51]], np.int32)
-    got = interp_range_bins(jnp.asarray(power), jnp.asarray(top_idx),
-                            jnp.asarray([[30]]), jnp.asarray([[51]]), cfg)
+    got, _ = interp_cell_physics(jnp.asarray(power), jnp.asarray(top_idx),
+                                 jnp.asarray([[30]]), jnp.asarray([[51]]), cfg)
     off = parabolic_bin_offset(np.float64(100.0), 400.0, 250.0)
     scale = cfg.sample_rate_hz / cfg.range_fft_size
     want = (51 + off) * scale * 3e8 / (2 * cfg.slope_hz_per_s)
