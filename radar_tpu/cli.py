@@ -122,6 +122,8 @@ def cmd_detect(args) -> int:
                     "azimuth_deg": round(float(rd.azimuth_deg[j, k]), 2),
                     "power": float(rd.power[j, k]),
                     "range_m_interp": round(float(rd.range_m_interp[j, k]), 4),
+                    "velocity_mps_interp":
+                        round(float(rd.velocity_mps_interp[j, k]), 4),
                 }
                 for k in range(rd.valid.shape[1])
                 if bool(rd.valid[j, k])
@@ -231,6 +233,7 @@ def cmd_serve(args) -> int:
                         "azimuth_deg": round(float(out[j, k, 2]), 2),
                         "power": float(out[j, k, 3]),
                         "range_m_interp": round(float(out[j, k, 5]), 4),
+                        "velocity_mps_interp": round(float(out[j, k, 6]), 4),
                     }
                     for k in range(out.shape[1]) if out[j, k, 4] > 0.5
                 ]

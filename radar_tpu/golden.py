@@ -382,8 +382,10 @@ def parabolic_bin_offset(
 
     Classic 3-point parabolic (quadratic) interpolation on dB values —
     for windowed spectra the log-domain fit is far more accurate than the
-    linear-power fit.  Degenerate (flat or edge-clamped) neighborhoods
-    return 0.
+    linear-power fit.  Flat neighborhoods return 0; NOTE a neighbor equal
+    to the center (e.g. an edge-clamped gather) collapses the parabola to
+    ±0.5, so callers must mask edge cells themselves (the pipeline zeroes
+    the offset at range-map edges).
     """
     eps = 1e-30
     lm = np.log(np.maximum(p_minus, eps))

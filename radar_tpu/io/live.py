@@ -202,11 +202,13 @@ def udp_frame_batches_multi(
                 return
             for key, _ in events:
                 src = key.data
-                # drain this socket without waiting
+                # drain this socket without waiting; only EWOULDBLOCK ends
+                # the drain — a genuine socket error must propagate, not
+                # busy-spin through select() forever
                 while True:
                     try:
                         packet, _ = key.fileobj.recvfrom(65535)
-                    except (BlockingIOError, OSError):
+                    except BlockingIOError:
                         break
                     pending.extend(
                         (src, f) for f in reasms[src].feed(packet)

@@ -203,6 +203,10 @@ def interp_cell_physics(power, top_idx, d_bin, r_bin, cfg: RadarConfig):
         top_idx,
         top_idx + jnp.where(r_bin < r_size - 1, 1, 0),
     )
+    # a clamped neighbor equals the center sample, collapsing the parabola
+    # to a spurious ±0.5; edge cells have no sub-bin information -> 0
+    at_edge = (r_bin == 0) | (r_bin == r_size - 1)
+    r_off = jnp.where(at_edge, 0.0, r_off)
     bin_r = r_bin.astype(jnp.float32) + r_off
     scale = cfg.sample_rate_hz / cfg.range_fft_size
     range_m = bin_r * jnp.float32(
@@ -255,9 +259,9 @@ def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig,
 
 @jax.jit
 def pack_detections(out: RDResult) -> jnp.ndarray:
-    """Pack the serving-relevant RDResult fields into ONE (B, K, 6) f32
+    """Pack the serving-relevant RDResult fields into ONE (B, K, 7) f32
     array: [range_m, velocity_mps, azimuth_deg, power, valid,
-    range_m_interp].
+    range_m_interp, velocity_mps_interp].
 
     Serving materializes results every dispatch; on remote-TPU transports
     each materialized leaf costs a full round trip (~27 ms on the dev
@@ -272,6 +276,7 @@ def pack_detections(out: RDResult) -> jnp.ndarray:
             out.power,
             out.valid.astype(jnp.float32),
             out.range_m_interp,
+            out.velocity_mps_interp,
         ],
         axis=-1,
     )

@@ -34,6 +34,8 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+from __graft_entry__ import cpu_mesh_env  # noqa: E402
 
 _WORKER = r"""
 import json, time
@@ -87,9 +89,6 @@ print(json.dumps({
 
 
 def run_one(n: int, frames_per_shard: int) -> dict:
-    sys.path.insert(0, REPO)
-    from __graft_entry__ import cpu_mesh_env
-
     env = cpu_mesh_env(n)
     proc = subprocess.run(
         [sys.executable, "-c", _WORKER, str(n), str(frames_per_shard)],

@@ -387,3 +387,24 @@ def test_range_interp_matches_golden_offset():
     scale = cfg.sample_rate_hz / cfg.range_fft_size
     want = (51 + off) * scale * 3e8 / (2 * cfg.slope_hz_per_s)
     np.testing.assert_allclose(float(got[0, 0]), want, rtol=1e-5)
+
+
+def test_range_interp_zero_offset_at_map_edges():
+    """Edge range cells have no sub-bin information: a clamped neighbor
+    must NOT produce the spurious ±0.5 offset the raw parabola gives."""
+    from radar_tpu.models.rd_pipeline import interp_cell_physics
+
+    cfg = RadarConfig()
+    r_size = cfg.range_fft_size
+    power = np.ones((1, cfg.doppler_fft_size, r_size), np.float32)
+    power[0, 10, 0] = 500.0     # peak at range bin 0
+    power[0, 20, r_size - 1] = 500.0  # peak at the last bin
+    top = np.array([[10 * r_size + 0, 20 * r_size + r_size - 1]], np.int32)
+    rng, _ = interp_cell_physics(
+        jnp.asarray(power), jnp.asarray(top),
+        jnp.asarray([[10, 20]]), jnp.asarray([[0, r_size - 1]]), cfg,
+    )
+    scale = cfg.sample_rate_hz / cfg.range_fft_size * 3e8 / (2 * cfg.slope_hz_per_s)
+    np.testing.assert_allclose(np.asarray(rng)[0], [0.0, (r_size - 1) * scale],
+                               rtol=1e-6)
+    assert float(rng[0, 0]) >= 0.0  # never negative range
