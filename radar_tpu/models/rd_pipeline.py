@@ -44,7 +44,7 @@ class RDResult(NamedTuple):
     valid: jnp.ndarray           # bool (B, K) detection passed CFAR
     range_m: jnp.ndarray         # float32 (B, K) bin-quantized (~39 cm grid)
     velocity_mps: jnp.ndarray    # float32 (B, K)
-    azimuth_deg: jnp.ndarray     # float32 (B, K) via angle-FFT
+    azimuth_deg: jnp.ndarray     # float32 (B, K) angle-FFT + sub-bin interp
     angle_bin: jnp.ndarray       # int32 (B, K) argmax angle-FFT bin
     range_m_interp: jnp.ndarray  # float32 (B, K) sub-bin parabolic range
     velocity_mps_interp: jnp.ndarray  # float32 (B, K) sub-bin velocity
@@ -151,12 +151,25 @@ def gather_snapshots(rd: jnp.ndarray, top_idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def aoa_from_snapshots(snaps: jnp.ndarray, cfg: RadarConfig):
-    """Angle-FFT AoA per detection.  snaps: complex64 (..., K, rx)."""
+    """Angle-FFT AoA per detection with sub-bin peak interpolation.
+
+    snaps: complex64 (..., K, rx).  The angle axis is circular (the
+    angle-FFT spans the full sin-space period), so the parabola's
+    neighbors wrap.  The 3-point log fit interpolates in sin(theta) —
+    where the FFT grid is uniform — before the arcsin.
+    """
     spec = angle_fft_spectrum(snaps, cfg)
     aspec = spec.real * spec.real + spec.imag * spec.imag
     angle_bin = jnp.argmax(aspec, axis=-1).astype(jnp.int32)
     n = cfg.num_angle_bins
-    sin_theta = (angle_bin - n // 2).astype(jnp.float32) / jnp.float32(
+    flat = aspec
+    off = _parabolic_offset(
+        flat,
+        ((angle_bin - 1) % n)[..., None],
+        angle_bin[..., None],
+        ((angle_bin + 1) % n)[..., None],
+    )[..., 0]
+    sin_theta = (angle_bin.astype(jnp.float32) + off - n // 2) / jnp.float32(
         n * cfg.rx_spacing_wavelengths
     )
     azimuth = jnp.rad2deg(jnp.arcsin(jnp.clip(sin_theta, -1.0, 1.0)))

@@ -224,3 +224,31 @@ class TestElevation:
         """With the default 1D ULA, has_elevation is False and the 2D scan
         returns boresight elevation (sanity guard, not a capability)."""
         assert not cfg.has_elevation
+
+
+def test_azimuth_interpolation_beats_grid(cfg):
+    """An off-grid azimuth: the sub-bin interpolated estimate lands closer
+    to truth than the raw angle-FFT bin."""
+    from statistics import median
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+    from radar_tpu.models.rd_pipeline import RDPipeline
+    from radar_tpu import golden
+
+    az_true = 17.3  # between 64-bin angle-FFT grid points
+    shorts = synthesize_capture(
+        [SceneTarget(range_m=5.0, velocity_mps=0.0, azimuth_deg=az_true,
+                     amplitude=3000.0)],
+        6, cfg, noise_std=2.0, seed=97,
+    )
+    pipe = RDPipeline(cfg, max_detections=4, rd_impl="fused", cfar_impl="xla")
+    base = pipe.prepare_base(jnp.asarray(shorts[0]))
+    out = pipe.detect(jnp.asarray(shorts[1:]), base)
+    err_i, err_q = [], []
+    for f in range(5):
+        err_i.append(abs(float(out.azimuth_deg[f, 0]) - az_true))
+        quant = golden.angle_bin_to_deg(
+            int(out.angle_bin[f, 0]), cfg.num_angle_bins, cfg
+        )
+        err_q.append(abs(float(quant) - az_true))
+    assert median(err_i) < 1.0
+    assert median(err_i) < 0.7 * median(err_q)
