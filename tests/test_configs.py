@@ -104,3 +104,30 @@ def test_fused_matches_mxu_across_configs(c):
     np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
     np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
                                rtol=2e-4, atol=1e-2)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fused_matches_mxu_random_geometry(seed):
+    """Fuzz: random (even-sample) geometries through fused vs mxu — the
+    interleave-matmul construction must hold for arbitrary shapes, not
+    just the curated CONFIGS list."""
+    rng = np.random.RandomState(seed + 100)
+    num_tx = int(rng.choice([1, 2]))
+    c = RadarConfig(
+        num_samples=int(rng.choice([24, 48, 72, 100, 160])),
+        num_chirps=int(rng.choice([16, 32, 48, 64])) * num_tx,
+        num_rx=int(rng.choice([2, 4])),
+        num_tx=num_tx,
+    )
+    tgt = SceneTarget(range_m=3.5, velocity_mps=1.0, azimuth_deg=8.0,
+                      amplitude=3000.0)
+    shorts = synthesize_capture([tgt], 2, c, noise_std=2.0, seed=seed)
+    mxu = RDPipeline(c, max_detections=4, rd_impl="mxu", cfar_impl="xla")
+    fused = RDPipeline(c, max_detections=4, rd_impl="fused", cfar_impl="xla")
+    base = mxu.prepare_base(jnp.asarray(shorts[0]))
+    a = mxu.detect(jnp.asarray(shorts[1:]), base)
+    b = fused.detect(jnp.asarray(shorts[1:]), base)
+    np.testing.assert_array_equal(np.asarray(a.range_bin), np.asarray(b.range_bin))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
+                               rtol=2e-4, atol=1e-2)
