@@ -398,6 +398,24 @@ def parabolic_bin_offset(
     return np.clip(offset, -0.5, 0.5)
 
 
+def angle_fft_azimuth(
+    rx_snapshot: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG
+) -> float:
+    """Interpolated angle-FFT azimuth (float64 twin of the pipeline's
+    aoa_from_snapshots): argmax of the fftshifted angle spectrum, 3-point
+    log-parabolic sub-bin offset (wrapping neighbors — the spectrum spans
+    the full sin-space period), interpolation in sin(theta), then arcsin.
+    """
+    n = cfg.num_angle_bins
+    spec = np.abs(angle_fft(rx_snapshot, n, cfg)) ** 2
+    b = int(np.argmax(spec))
+    off = float(parabolic_bin_offset(
+        spec[(b - 1) % n], spec[b], spec[(b + 1) % n]
+    ))
+    sin_theta = (b + off - n // 2) / (n * cfg.rx_spacing_wavelengths)
+    return float(np.rad2deg(np.arcsin(np.clip(sin_theta, -1.0, 1.0))))
+
+
 def aoa_2d(
     snapshot: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG
 ) -> tuple[float, float]:

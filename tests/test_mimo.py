@@ -252,3 +252,22 @@ def test_azimuth_interpolation_beats_grid(cfg):
         err_q.append(abs(float(quant) - az_true))
     assert median(err_i) < 1.0
     assert median(err_i) < 0.7 * median(err_q)
+
+
+def test_azimuth_interp_matches_golden_twin(cfg):
+    """The jitted interpolated azimuth equals the float64 golden twin to
+    f32 tolerance on a random snapshot."""
+    from radar_tpu import golden
+    from radar_tpu.models.rd_pipeline import aoa_from_snapshots
+
+    rng = np.random.default_rng(99)
+    snap = (rng.standard_normal(cfg.num_rx)
+            + 1j * rng.standard_normal(cfg.num_rx))
+    steer = np.exp(1j * 2 * np.pi * cfg.rx_spacing_wavelengths
+                   * np.sin(np.deg2rad(21.7)) * np.arange(cfg.num_rx))
+    snap = 5.0 * steer + 0.3 * snap
+    want = golden.angle_fft_azimuth(snap, cfg)
+    got, _ = aoa_from_snapshots(
+        jnp.asarray(snap, jnp.complex64)[None, None], cfg
+    )
+    assert abs(float(got[0, 0]) - want) < 0.05
