@@ -207,7 +207,9 @@ def main() -> None:
                 f"overlap), c/(a+b) = {t_c/(t_a+t_b):.2f}")
             log("ingest: (XLA may warn the donation is unusable for "
                 "aliasing — outputs are far smaller than the input; the "
-                "donated buffers are still consumed, bounding ring memory)")
+                "donated buffers are still consumed, bounding ring memory. "
+                "The dev relay's bandwidth drifts run to run, so a and c "
+                "are same-run comparisons with ~+-30% tolerance)")
     except Exception as e:  # transient transport failures are non-fatal
         log(f"optional bench sections skipped: {type(e).__name__}: {e}")
 

@@ -55,7 +55,7 @@ fps_shard = int(__import__("sys").argv[2])
 cfg = RadarConfig()  # FULL reference geometry: 128 x 100 x 4
 mesh = build_mesh(n_devices=n, num_rx=cfg.num_rx)
 pipe = DistributedRDPipeline(mesh=mesh, cfg=cfg, max_detections=16,
-                             rd_impl="planar")
+                             rd_impl="fused")
 data = mesh.shape["data"]
 frames = data * fps_shard
 
