@@ -359,12 +359,15 @@ double radar_os_cfar_alpha(int n_train, int k, double pfa) {
 
 void radar_os_cfar(const double* power, int d, int r, int guard_d,
                    int guard_r, int train_d, int train_r, double pfa,
-                   double k_frac, int range_mode, double* threshold,
-                   uint8_t* hits) {
+                   double k_frac, int stride, int range_mode,
+                   double* threshold, uint8_t* hits) {
   const int wd = guard_d + train_d, wr = guard_r + train_r;
-  // training ring size (window minus guard block)
-  const int n_train =
+  if (stride < 1) stride = 1;
+  // training ring size (window minus guard block), decimated by stride in
+  // the deterministic (dd, dr) ring order — identical to the Python twins
+  const int n_full =
       (2 * wd + 1) * (2 * wr + 1) - (2 * guard_d + 1) * (2 * guard_r + 1);
+  const int n_train = (n_full + stride - 1) / stride;
   int k = (int)std::llround(k_frac * n_train);
   if (k < 1) k = 1;
   if (k > n_train) k = n_train;
@@ -373,10 +376,11 @@ void radar_os_cfar(const double* power, int d, int r, int guard_d,
   std::vector<double> ring((size_t)n_train);
   for (int i = 0; i < d; ++i) {
     for (int j = 0; j < r; ++j) {
-      int m = 0;
+      int m = 0, pos = 0;
       for (int dd = -wd; dd <= wd; ++dd) {
         for (int dr = -wr; dr <= wr; ++dr) {
           if (std::abs(dd) <= guard_d && std::abs(dr) <= guard_r) continue;
+          if (pos++ % stride != 0) continue;
           const int id = ((i + dd) % d + d) % d;  // Doppler wraps
           int jr = j + dr;
           if (range_mode == 1) {

@@ -97,8 +97,8 @@ void radar_ca_cfar(const double* power, int d, int r, int guard_d,
 double radar_os_cfar_alpha(int n_train, int k, double pfa);
 void radar_os_cfar(const double* power, int d, int r, int guard_d,
                    int guard_r, int train_d, int train_r, double pfa,
-                   double k_frac, int range_mode, double* threshold,
-                   uint8_t* hits);
+                   double k_frac, int stride, int range_mode,
+                   double* threshold, uint8_t* hits);
 
 #ifdef __cplusplus
 }  // extern "C"

@@ -61,6 +61,13 @@ class RadarConfig:
     # OS-CFAR order statistic as a fraction of the training-cell count
     # (k = round(frac * N); 0.75 is the standard choice).
     cfar_os_k_frac: float = 0.75
+    # OS-CFAR training-ring decimation: keep every stride-th training cell
+    # (deterministic ring order).  The per-cell sort is the OS cost driver;
+    # alpha is recomputed for the decimated cell count so Pfa holds, at a
+    # fraction-of-a-dB detection loss.  Measured full-pipeline on v5e:
+    # stride 1 = 118 fps, 2 = 2,700 fps, 4 = 5,000 fps (the 248-cell sort
+    # is pathologically slow in XLA; 124 already escapes it).
+    cfar_os_stride: int = 1
     # MXU matmul precision for the DFT paths.  'high' (default): 3 bf16
     # MXU passes, ~8e-6 relative vs float64 golden — two orders inside the
     # 1e-3 BASELINE gate at ~12% less cost than full f32.  'highest':

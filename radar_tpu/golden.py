@@ -317,12 +317,16 @@ def os_cfar_2d(
     pfa: float,
     k_frac: float = 0.75,
     range_mode: str = "reflect",
+    stride: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """2D ordered-statistic CFAR: threshold = alpha_os * k-th smallest
     training cell.  Robust to clutter edges and multiple targets inside
     the training ring, where CA-CFAR's mean is biased (the classic CA
     masking problem).  Same window geometry and edge conventions as
     :func:`ca_cfar_2d` (Doppler wraps, range per ``range_mode``).
+    ``stride`` keeps every stride-th ring cell (deterministic order) and
+    recomputes alpha for the decimated count — the sort is the cost
+    driver, and the twins decimate identically.
     """
     gd, gr = guard
     td, tr = train
@@ -333,13 +337,17 @@ def os_cfar_2d(
 
     d_sz, r_sz = power.shape[-2], power.shape[-1]
     ring = []
+    m = 0
     for dd in range(-wd, wd + 1):
         for dr in range(-wr, wr + 1):
             if abs(dd) <= gd and abs(dr) <= gr:
                 continue  # guard region (incl. the cell under test)
-            ring.append(
-                padded[..., wd + dd : wd + dd + d_sz, wr + dr : wr + dr + r_sz]
-            )
+            if m % stride == 0:
+                ring.append(
+                    padded[..., wd + dd : wd + dd + d_sz,
+                           wr + dr : wr + dr + r_sz]
+                )
+            m += 1
     cells = np.stack(ring, axis=-1)
     n_train = cells.shape[-1]
     # half-away-from-zero (not Python's banker's round): matches the C++

@@ -103,7 +103,7 @@ def os_cfar_2d(
         for dd in range(-wd, wd + 1)
         for dr in range(-wr, wr + 1)
         if not (abs(dd) <= gd and abs(dr) <= gr)
-    ]
+    ][:: cfg.cfar_os_stride]
     n_train = len(offsets)
     # half-away-from-zero, matching golden.os_cfar_2d and the C++ llround
     import math

@@ -275,3 +275,32 @@ class TestOSCFAR:
         base = pipe.prepare_base(jnp.asarray(shorts[0]))
         out = pipe.detect(jnp.asarray(shorts[1:]), base)
         assert np.asarray(out.num_hits).min() > 0
+
+
+def test_os_cfar_stride_parity_and_pfa(cfg):
+    """Decimated OS-CFAR: all three twins agree at stride 4, and the
+    recomputed alpha keeps the false-alarm rate bounded."""
+    from radar_tpu.config import RadarConfig as RC
+    from radar_tpu.ops.cfar import os_cfar_2d
+    from radar_tpu import native
+
+    c = RC(cfar_os_stride=4)
+    rng = np.random.default_rng(59)
+    power = rng.exponential(
+        1.0, (c.doppler_fft_size, c.range_fft_size)
+    ).astype(np.float64)
+    power[50, 100] = 900.0
+    want_hits, want_t = golden.os_cfar_2d(
+        power, c.cfar_guard, c.cfar_train, c.cfar_pfa, stride=4
+    )
+    got_hits, got_t = native.os_cfar_2d(power, c)
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-12)
+    np.testing.assert_array_equal(got_hits, want_hits)
+    _, t_xla = os_cfar_2d(jnp.asarray(power.astype(np.float32)), c)
+    np.testing.assert_allclose(np.asarray(t_xla), want_t, rtol=2e-4)
+    assert bool(np.asarray(got_hits)[50, 100])
+    # pure-noise false alarms still bounded at the decimated alpha
+    noise = rng.exponential(1.0, (c.doppler_fft_size, c.range_fft_size))
+    h, _ = golden.os_cfar_2d(noise, c.cfar_guard, c.cfar_train, c.cfar_pfa,
+                             stride=4)
+    assert h.sum() <= 30
