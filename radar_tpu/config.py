@@ -62,11 +62,12 @@ class RadarConfig:
     # (k = round(frac * N); 0.75 is the standard choice).
     cfar_os_k_frac: float = 0.75
     # OS-CFAR training-ring decimation: keep every stride-th training cell
-    # (deterministic ring order).  The per-cell sort is the OS cost driver;
-    # alpha is recomputed for the decimated cell count so Pfa holds, at a
-    # fraction-of-a-dB detection loss.  Measured full-pipeline on v5e:
-    # stride 1 = 118 fps, 2 = 2,700 fps, 4 = 5,000 fps (the 248-cell sort
-    # is pathologically slow in XLA; 124 already escapes it).
+    # (deterministic ring order).  Alpha is recomputed for the decimated
+    # cell count so Pfa holds, at a fraction-of-a-dB detection loss.
+    # Measured full-pipeline on v5e: stride 1 = 118 fps, 2 = 2,700 fps,
+    # 4 = 5,000 fps.  (Isolated measurement attributes the stride-1 cost
+    # to constructing the 248-slice ring gather under lax.map, not the
+    # sort itself — see ROADMAP for the exact-mode restructure.)
     cfar_os_stride: int = 1
     # MXU matmul precision for the DFT paths.  'high' (default): 3 bf16
     # MXU passes, ~8e-6 relative vs float64 golden — two orders inside the
@@ -84,6 +85,28 @@ class RadarConfig:
     # enables elevation estimation (ops.aoa.aoa_2d_from_snapshots).
     tx_positions_wl: Tuple[Tuple[float, float], ...] | None = None
     elevation_grid_deg: Tuple[float, float, int] = (-30.0, 30.0, 61)
+
+    def __post_init__(self):
+        """Validate enum-like and count fields: an invalid value must fail
+        HERE, not produce three silently different detectors across the
+        golden/XLA/C++ twins (e.g. a negative cfar_os_stride means three
+        different Python-slice/modulo/clamp interpretations)."""
+        def _check(name, value, allowed):
+            if value not in allowed:
+                raise ValueError(f"{name} must be one of {allowed}, got {value!r}")
+
+        _check("cfar_kind", self.cfar_kind, ("ca", "os"))
+        _check("cfar_range_mode", self.cfar_range_mode, ("reflect", "wrap"))
+        _check("dft_precision", self.dft_precision,
+               ("high", "highest", "default"))
+        if not isinstance(self.cfar_os_stride, int) or self.cfar_os_stride < 1:
+            raise ValueError(
+                f"cfar_os_stride must be a positive int, got {self.cfar_os_stride!r}"
+            )
+        if not 0.0 < self.cfar_os_k_frac <= 1.0:
+            raise ValueError(
+                f"cfar_os_k_frac must be in (0, 1], got {self.cfar_os_k_frac!r}"
+            )
 
     # ---- derived sizes --------------------------------------------------
     @property

@@ -162,9 +162,8 @@ def aoa_from_snapshots(snaps: jnp.ndarray, cfg: RadarConfig):
     aspec = spec.real * spec.real + spec.imag * spec.imag
     angle_bin = jnp.argmax(aspec, axis=-1).astype(jnp.int32)
     n = cfg.num_angle_bins
-    flat = aspec
     off = _parabolic_offset(
-        flat,
+        aspec,
         ((angle_bin - 1) % n)[..., None],
         angle_bin[..., None],
         ((angle_bin + 1) % n)[..., None],

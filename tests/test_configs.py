@@ -131,3 +131,20 @@ def test_fused_matches_mxu_random_geometry(seed):
     np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
     np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
                                rtol=2e-4, atol=1e-2)
+
+
+def test_invalid_knob_values_rejected():
+    """Enum/count knobs fail at construction, not as three silently
+    different detectors across the golden/XLA/C++ twins."""
+    with pytest.raises(ValueError, match="cfar_os_stride"):
+        RadarConfig(cfar_os_stride=-2)
+    with pytest.raises(ValueError, match="cfar_os_stride"):
+        RadarConfig(cfar_os_stride=0)
+    with pytest.raises(ValueError, match="cfar_kind"):
+        RadarConfig(cfar_kind="osca")
+    with pytest.raises(ValueError, match="cfar_range_mode"):
+        RadarConfig(cfar_range_mode="clamp")
+    with pytest.raises(ValueError, match="dft_precision"):
+        RadarConfig(dft_precision="bf16")
+    with pytest.raises(ValueError, match="cfar_os_k_frac"):
+        RadarConfig(cfar_os_k_frac=0.0)
