@@ -73,7 +73,7 @@ def main() -> None:
         f"(x{n_batches} batches/run) ...")
     capture = synthesize_capture(targets, args.batch + 1, cfg, noise_std=5.0, seed=0)
 
-    pipe = RDPipeline(cfg, max_detections=16)  # auto: MXU DFT + Pallas CFAR
+    pipe = RDPipeline(cfg, max_detections=16)  # auto: fused DFT + XLA CFAR
     base = pipe.prepare_base(capture[0])
     batch_dev = jax.device_put(capture[1:])
     fence(batch_dev)

@@ -167,10 +167,14 @@ def udp_frame_batches_multi(
     reasms = [PacketReassembler(cfg) for _ in ports]
     for i, port in enumerate(ports):
         sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # SO_RCVBUFFORCE (Linux, root) bypasses rmem_max; only attempt it
+        # where the constant exists — a hardcoded option number could set
+        # an unrelated option on other platforms without raising
         try:
+            if not hasattr(socket, "SO_RCVBUFFORCE"):
+                raise OSError("SO_RCVBUFFORCE unavailable")
             sock.setsockopt(
-                socket.SOL_SOCKET, getattr(socket, "SO_RCVBUFFORCE", 33),
-                rcvbuf_bytes,
+                socket.SOL_SOCKET, socket.SO_RCVBUFFORCE, rcvbuf_bytes
             )
         except OSError:
             sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, rcvbuf_bytes)

@@ -433,6 +433,16 @@ def track_capture(rd_result, cfg: RadarConfig = DEFAULT_CONFIG,
       kind: 'alpha-beta' (polar, measured-Doppler rate) or 'ekf'
         (Cartesian constant-velocity EKF — tracks crossing targets).
     """
+    if kind not in ("alpha-beta", "ekf"):
+        raise ValueError(
+            f"tracker kind must be 'alpha-beta' or 'ekf', got {kind!r}"
+        )
+    want_cls = EKFConfig if kind == "ekf" else TrackerConfig
+    if params is not None and not isinstance(params, want_cls):
+        raise ValueError(
+            f"params for kind={kind!r} must be {want_cls.__name__}, "
+            f"got {type(params).__name__}"
+        )
     rd_result = materialize_result(rd_result)
     if kind == "ekf":
         tracker = EKFTracker(cfg, params or EKFConfig())

@@ -135,15 +135,30 @@ def aoa_2d_from_snapshots(
       (azimuth_deg, elevation_deg) float32 (..., K).
     """
     az, el, steer = _steering_grid_2d(cfg)
-    a = jnp.asarray(steer)  # (n_az, n_el, V)
-    spec = jnp.einsum("aev,...kv->...kae", a, snaps)
-    power = spec.real * spec.real + spec.imag * spec.imag
-    flat = power.reshape(power.shape[:-2] + (-1,))
-    idx = jnp.argmax(flat, axis=-1)
+    n_el = el.shape[0]
+    # chunk the azimuth axis so only a (.., K, chunk*n_el) slab of the
+    # spectrum is live at once: the full (.., K, 181, 61) complex grid is
+    # ~720 MB on a 512-frame serving batch.  Chunking the MAJOR axis of
+    # the az*n_el flat index with a strict > running max reproduces the
+    # global argmax's first-occurrence tie-breaking exactly.
+    az_chunk = 24
+    best_p = best_i = None
+    for s in range(0, steer.shape[0], az_chunk):
+        a = jnp.asarray(steer[s : s + az_chunk])  # (chunk, n_el, V)
+        spec = jnp.einsum("aev,...kv->...kae", a, snaps)
+        p = spec.real * spec.real + spec.imag * spec.imag
+        flat = p.reshape(p.shape[:-2] + (-1,))
+        pm = jnp.max(flat, axis=-1)
+        pi = jnp.argmax(flat, axis=-1) + s * n_el
+        if best_p is None:
+            best_p, best_i = pm, pi
+        else:
+            take = pm > best_p
+            best_i = jnp.where(take, pi, best_i)
+            best_p = jnp.where(take, pm, best_p)
     az_t = jnp.asarray(az, jnp.float32)
     el_t = jnp.asarray(el, jnp.float32)
-    n_el = el.shape[0]
-    return az_t[idx // n_el], el_t[idx % n_el]
+    return az_t[best_i // n_el], el_t[best_i % n_el]
 
 
 def music_spectrum(

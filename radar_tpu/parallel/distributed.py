@@ -90,12 +90,26 @@ class DistributedRDPipeline:
         return NamedSharding(self.mesh, P(CHAN_AXIS, None, None))
 
     def shard_frames(self, shorts) -> jax.Array:
-        return jax.device_put(jnp.asarray(shorts), self.frame_sharding)
+        """Host frames -> global array sharded over 'data'.  Works both
+        single-process and multi-host (every process passes the same host
+        batch; see parallel.multihost.host_to_global)."""
+        from radar_tpu.parallel.multihost import host_to_global
+
+        return host_to_global(shorts, self.frame_sharding)
 
     def prepare_base(self, frame0_shorts) -> jax.Array:
         """Decode frame 0 to a full cube, shard RX over 'chan'."""
         cube = decode_to_cube(jnp.asarray(frame0_shorts), self.cfg)
-        return jax.device_put(cube, self.base_sharding)
+        if jax.process_count() == 1:
+            # device->device reshard; never round-trips the complex cube
+            # through the host (c64 transfers are unsupported on some
+            # dev transports)
+            return jax.device_put(cube, self.base_sharding)
+        import numpy as np
+
+        from radar_tpu.parallel.multihost import host_to_global
+
+        return host_to_global(np.asarray(cube), self.base_sharding)
 
     # -- the sharded program --------------------------------------------------
     def _build_detect(self):

@@ -203,3 +203,89 @@ def test_distributed_rejects_unknown_rd_impl(cfg):
         DistributedRDPipeline(mesh=mesh, cfg=cfg, rd_impl="fused-pallas")
     with pytest.raises(ValueError, match="rd_impl"):
         DistributedRDPipeline(mesh=mesh, cfg=cfg, rd_impl="bogus")
+
+
+def test_two_process_distributed(tmp_path):
+    """The multi-host story executed for real: two OS processes, each with
+    4 virtual CPU devices, joined by jax.distributed into one 8-device
+    mesh running the SAME shard_map program — cross-process psum /
+    all_gather via gloo (DCN stand-in).  Detections must match a
+    single-process run of the identical mesh bit-for-bit on indices and
+    to float tolerance on physics (collective reduction order may differ
+    across transports)."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from __graft_entry__ import cpu_mesh_env
+
+    import socket
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    out_npz = tmp_path / "rank0.npz"
+    env = cpu_mesh_env(4)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "radar_tpu.parallel.multihost",
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", "2",
+                "--process-id", str(i),
+                "--out", str(out_npz),
+            ],
+            env=env,
+            cwd=str(__import__("pathlib").Path(__file__).parents[1]),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so}\n{se[-3000:]}"
+    assert "multihost worker OK: 2 processes" in outs[0][0]
+
+    got = np.load(out_npz)
+    assert int(got["num_processes"]) == 2
+    mesh_shape = (int(got["mesh_data"]), int(got["mesh_chan"]))
+    assert mesh_shape[0] * mesh_shape[1] == 8
+
+    # single-process reference: same geometry, same 8-device mesh, same
+    # program, in THIS process
+    from radar_tpu.config import RadarConfig
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+
+    cfg2 = RadarConfig(num_samples=32, num_chirps=16)
+    mesh = build_mesh(n_devices=8, num_rx=cfg2.num_rx)
+    assert (mesh.shape["data"], mesh.shape["chan"]) == mesh_shape
+    pipe = DistributedRDPipeline(
+        mesh=mesh, cfg=cfg2, max_detections=4, rd_impl="fused"
+    )
+    capture = synthesize_capture(
+        [SceneTarget(range_m=3.0, velocity_mps=1.0, azimuth_deg=15.0)],
+        num_frames=mesh.shape["data"] * 2 + 1,
+        cfg=cfg2,
+        seed=0,
+    )
+    base = pipe.prepare_base(capture[0])
+    want = pipe.detect(pipe.shard_frames(capture[1:]), base)
+
+    np.testing.assert_array_equal(got["num_hits"], np.asarray(want.num_hits))
+    np.testing.assert_array_equal(got["range_bin"], np.asarray(want.range_bin))
+    np.testing.assert_array_equal(
+        got["doppler_bin"], np.asarray(want.doppler_bin)
+    )
+    np.testing.assert_array_equal(got["valid"], np.asarray(want.valid))
+    np.testing.assert_array_equal(got["angle_bin"], np.asarray(want.angle_bin))
+    np.testing.assert_allclose(got["power"], np.asarray(want.power), rtol=1e-5)
+    np.testing.assert_allclose(
+        got["range_m"], np.asarray(want.range_m), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        got["azimuth_deg"], np.asarray(want.azimuth_deg), rtol=1e-4, atol=1e-4
+    )

@@ -219,3 +219,22 @@ class TestEKFTracker:
         assert len(confirmed) == 2  # the two conftest targets
         ranges = sorted(t.range_m for t in confirmed)
         assert abs(ranges[0] - 3.0) < 0.8 and abs(ranges[1] - 8.0) < 0.8
+
+    def test_track_capture_validates_kind_and_params(self, cfg, capture):
+        import jax.numpy as jnp
+        import pytest
+
+        from radar_tpu.models.rd_pipeline import RDPipeline
+        from radar_tpu.models.tracker import (
+            EKFConfig, TrackerConfig, track_capture,
+        )
+
+        pipe = RDPipeline(cfg, max_detections=8)
+        base = pipe.prepare_base(jnp.asarray(capture[0]))
+        out = pipe.detect(jnp.asarray(capture[1:3]), base)
+        with pytest.raises(ValueError, match="kind"):
+            track_capture(out, cfg, kind="EKF")  # typo'd case
+        with pytest.raises(ValueError, match="EKFConfig"):
+            track_capture(out, cfg, params=TrackerConfig(), kind="ekf")
+        with pytest.raises(ValueError, match="TrackerConfig"):
+            track_capture(out, cfg, params=EKFConfig(), kind="alpha-beta")
