@@ -157,6 +157,22 @@ def main() -> None:
             log(f"variant rd={rd} cfar={cfi}: {1000*dt:.2f} ms/{args.batch} "
                 f"frames = {args.batch/dt:.0f} fps")
 
+        # exact (stride-1) OS-CFAR via the Pallas rank-selection kernel:
+        # the full 248-cell ring, no decimation (golden truth
+        # radar_tpu/golden.py:313; upgraded detector for the reference's
+        # argmax at acceleration.cu:522)
+        cfg_os = RadarConfig(cfar_kind="os")
+        p = RDPipeline(cfg_os, 16)  # auto: fused DFT + Pallas OS kernel
+        base_os = p.prepare_base(capture[0])
+        fence(p.detect(batch_dev, base_os))
+        t0 = time.perf_counter()
+        outs = [p.detect(batch_dev, base_os) for _ in range(n_batches)]
+        fence([o.power for o in outs])
+        dt = (time.perf_counter() - t0) / n_batches
+        log(f"variant cfar_kind=os stride=1 (exact rank-selection Pallas "
+            f"kernel): {1000*dt:.2f} ms/{args.batch} = {args.batch/dt:.0f} "
+            f"fps")
+
         # reference-parity range-only pipeline
         rdet = RangeDetector(cfg)
         base_rx0 = rdet.prepare_base(capture[0])

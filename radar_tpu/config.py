@@ -64,10 +64,11 @@ class RadarConfig:
     # OS-CFAR training-ring decimation: keep every stride-th training cell
     # (deterministic ring order).  Alpha is recomputed for the decimated
     # cell count so Pfa holds, at a fraction-of-a-dB detection loss.
-    # Measured full-pipeline on v5e: stride 1 = 118 fps, 2 = 2,700 fps,
-    # 4 = 5,000 fps.  (Isolated measurement attributes the stride-1 cost
-    # to constructing the 248-slice ring gather under lax.map, not the
-    # sort itself — see ROADMAP for the exact-mode restructure.)
+    # With the Pallas rank-selection kernel (ops/pallas/oscfar_kernel.py)
+    # the EXACT stride-1 mode runs the full ring at 12,000+ fps for the
+    # CFAR stage on v5e, so decimation is now an accuracy/latency knob
+    # rather than a necessity (the XLA gather+sort fallback still pays
+    # ~118 fps full-pipeline at stride 1).
     cfar_os_stride: int = 1
     # MXU matmul precision for the DFT paths.  'high' (default): 3 bf16
     # MXU passes, ~8e-6 relative vs float64 golden — two orders inside the

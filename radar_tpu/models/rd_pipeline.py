@@ -342,16 +342,19 @@ class RDPipeline:
 
         impl = self.cfar_impl
         if impl == "auto":
-            # measured on v5e: with the MXU DFT paths the fused XLA
-            # reduce_window CFAR edges out the Pallas kernel (7.3 vs 7.6
-            # ms/512 fused); the kernel exists to break the fft+reduce_window
-            # 13x pathology, so auto picks it only alongside the FFT HLO
-            # (and OS-CFAR exists only in XLA)
-            use_pallas = (
-                jax.default_backend() == "tpu"
-                and self.rd_impl == "fft"
-                and self.cfg.cfar_kind != "os"
-            )
+            # measured on v5e: for CA the fused XLA reduce_window CFAR
+            # edges out the Pallas kernel next to the MXU DFT paths (7.3
+            # vs 7.6 ms/512 fused); the CA kernel exists to break the
+            # fft+reduce_window 13x pathology, so auto picks it only
+            # alongside the FFT HLO.  For OS the Pallas rank-selection
+            # kernel IS the production path (42 vs 4,327 ms/512 at
+            # stride 1) — auto always picks it on TPU.
+            if self.cfg.cfar_kind == "os":
+                use_pallas = jax.default_backend() == "tpu"
+            else:
+                use_pallas = (
+                    jax.default_backend() == "tpu" and self.rd_impl == "fft"
+                )
             impl = "pallas" if use_pallas else "xla"
         interpret = (
             impl == "pallas-interpret" or jax.default_backend() != "tpu"

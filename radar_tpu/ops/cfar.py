@@ -85,8 +85,11 @@ def os_cfar_2d(
     temporary is n_train * D * R * 4 B (~16 MB at defaults), so frames
     are processed through ``lax.map`` rather than one broadcast sort.
     Constructing that ring gather is the measured cost driver at full
-    ring size — ``cfg.cfar_os_stride`` decimates it (118 -> 2,700+ fps
-    at stride 2 on v5e).
+    ring size (118 fps full-pipeline at stride 1 on v5e) —
+    ``cfg.cfar_os_stride`` decimates it.  This XLA form is the portable
+    verification path; the TPU production path is the Pallas
+    rank-selection kernel (``ops.pallas.oscfar_kernel``, 12,000+ fps at
+    stride 1), which ``cfar_detect``/``RDPipeline`` select automatically.
 
     Args:
       power: float32 (..., doppler, range).
@@ -148,11 +151,11 @@ def cfar_detect(
     so kind/impl validation and dispatch live in exactly one place.
     """
     if cfg.cfar_kind == "os":
-        if impl != "xla":
-            raise ValueError(
-                f"OS-CFAR has no Pallas implementation (impl={impl!r})"
-            )
-        return os_cfar_2d(power, cfg)
+        if impl == "xla":
+            return os_cfar_2d(power, cfg)
+        from radar_tpu.ops.pallas.oscfar_kernel import os_cfar_2d_pallas
+
+        return os_cfar_2d_pallas(power, cfg, interpret=interpret)
     if impl == "xla":
         return ca_cfar_2d(power, cfg)
     from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas

@@ -1,0 +1,199 @@
+"""Pallas OS-CFAR threshold kernel: exact rank selection without a sort.
+
+Contract identical to ``radar_tpu.ops.cfar.os_cfar_2d`` and the float64
+golden (``radar_tpu.golden.os_cfar_2d``): threshold = alpha_os * (k-th
+smallest training-ring cell), Doppler axis wraps, range axis reflect or
+wrap per ``cfg.cfar_range_mode``, ring decimated by ``cfg.cfar_os_stride``
+in the same deterministic (dd, dr) order as both twins.
+
+Why a kernel: the XLA formulation materializes a ~248-deep training-ring
+tensor in HBM and SORTS it per cell — measured 118 fps full-pipeline at
+stride 1 (the exact mode) vs the 1,000 fps north star, and batched
+reformulations exhaust HBM.  The k-th order statistic needs *selection*,
+not a sort, and selection is a counting problem:
+
+* For non-negative IEEE-754 floats (power maps are sums of squares), the
+  float ordering equals the ordering of their raw bits as int32.  The
+  k-th smallest value is therefore the smallest bit pattern ``t`` with
+  ``count(ring <= t) >= k`` — found EXACTLY by a 31-step binary search
+  over the bit space, where each step is one vectorized
+  compare-and-count over the ring axis.
+* The ring tensor for one Doppler tile lives entirely in VMEM
+  (``(n_ring, d_tile, R)`` f32, ~4 MB at defaults), built once per tile
+  with static-offset slices of the padded map; the 31 counting passes
+  then run at VPU/VMEM speed with zero HBM traffic.
+
+Measured on v5e (512-frame batch, default 128x128 maps, 248-cell ring):
+CFAR stage 41.8 ms/512 = 12,200 fps; FULL pipeline with exact stride-1
+OS-CFAR 49.3 ms/512 = 10,380 fps vs 118 fps for the XLA gather+sort —
+and bit-identical thresholds to jnp.sort on the same f32 ring
+(tests/test_pallas.py::TestPallasOSCFAR::test_bit_exact_vs_xla_sort).
+
+The reference detects with a bare argmax (acceleration.cu:522); the CFAR
+family is the north-star extension, golden truth radar_tpu/golden.py:313.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Largest finite float32 bit pattern: the binary search converges from
+# [0, MAX_FINITE_BITS] in ceil(log2(0x7F7FFFFF)) = 31 iterations.
+_MAX_FINITE_BITS = 0x7F7FFFFF
+_SEARCH_ITERS = 31
+
+
+def ring_offsets(cfg) -> list[tuple[int, int]]:
+    """Training-ring offsets in the shared deterministic order, decimated
+    by ``cfg.cfar_os_stride`` (identical to golden.os_cfar_2d:341-350 and
+    ops.cfar.os_cfar_2d)."""
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    wd, wr = gd + td, gr + tr
+    return [
+        (dd, dr)
+        for dd in range(-wd, wd + 1)
+        for dr in range(-wr, wr + 1)
+        if not (abs(dd) <= gd and abs(dr) <= gr)
+    ][:: cfg.cfar_os_stride]
+
+
+def _os_kernel(
+    padded_ref,  # (1, D + 2*wd, R + 2*wr) f32, one padded map
+    thresh_ref,  # (1, d_tile, R) f32 threshold tile
+    ring,        # VMEM scratch (n_pad, d_tile, R) f32
+    *,
+    offsets,
+    wd: int,
+    wr: int,
+    d_tile: int,
+    r_size: int,
+    k: int,
+    n_pad: int,
+    alpha: float,
+):
+    d0 = pl.program_id(1) * d_tile
+    # One sublane-aligned dynamic load of the tile + halo (Mosaic requires
+    # dynamic sublane starts provably 8-aligned: d0 is a d_tile multiple);
+    # the per-offset windows are then STATIC slices of the loaded value —
+    # register relayouts, no alignment constraint.
+    d_blk = -(-(d_tile + 2 * wd) // 8) * 8
+    blk = padded_ref[0, pl.ds(d0, d_blk), :]
+    for j, (dd, dr) in enumerate(offsets):
+        ring[j] = blk[wd + dd : wd + dd + d_tile, wr + dr : wr + dr + r_size]
+    for j in range(len(offsets), n_pad):
+        ring[j] = jnp.full((d_tile, r_size), jnp.inf, jnp.float32)
+
+    # Exact k-th smallest via bit-space binary search: smallest t with
+    # count(ring <= t) >= k.  Non-negative f32 order == int32 bit order;
+    # the inf pads (0x7F800000) always rank above MAX_FINITE_BITS.
+    rb = pltpu.bitcast(ring[:], jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + jax.lax.shift_right_logical(hi - lo, 1)
+        cnt = jnp.sum((rb <= mid[None]).astype(jnp.int32), axis=0)
+        ge = cnt >= k
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo = jnp.zeros((d_tile, r_size), jnp.int32)
+    hi = jnp.full((d_tile, r_size), _MAX_FINITE_BITS, jnp.int32)
+    lo, hi = jax.lax.fori_loop(0, _SEARCH_ITERS, body, (lo, hi))
+    kth = pltpu.bitcast(lo, jnp.float32)
+    thresh_ref[0] = jnp.float32(alpha) * kth
+
+
+def _pick_d_tile(d_size: int, r_size: int, n_pad: int) -> int:
+    """Largest Doppler tile whose ring scratch + count temporaries stay
+    within a conservative VMEM budget (~10 MB of the 16 MB/core): the ring
+    is n_pad*d_tile*R f32 and the compare materializes an equal-size i32."""
+    budget = 10 << 20
+    d_tile = d_size
+    while d_tile > 1 and n_pad * d_tile * r_size * 8 > budget:
+        d_tile //= 2
+    return max(1, d_tile)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def os_cfar_2d_pallas(
+    power: jnp.ndarray,
+    cfg,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """OS-CFAR via the Pallas rank-selection kernel.
+
+    Args:
+      power: float32 (..., doppler, range) NON-NEGATIVE power map (the
+        bit-order trick requires it; RD power is a sum of squares).
+
+    Returns:
+      (hits bool, threshold float32), shapes of ``power``.
+    """
+    from radar_tpu.golden import os_cfar_alpha
+
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    wd, wr = gd + td, gr + tr
+    offsets = ring_offsets(cfg)
+    n_train = len(offsets)
+    import math
+
+    # half-away-from-zero, matching golden.os_cfar_2d and the C++ llround
+    k = max(1, min(n_train, int(math.floor(cfg.cfar_os_k_frac * n_train + 0.5))))
+    alpha = float(os_cfar_alpha(n_train, k, cfg.cfar_pfa))
+    n_pad = -(-n_train // 8) * 8  # sublane-multiple ring depth
+
+    lead = power.shape[:-2]
+    d_size, r_size = power.shape[-2], power.shape[-1]
+    x = power.reshape((-1, d_size, r_size)).astype(jnp.float32)
+    b = x.shape[0]
+    x = jnp.pad(x, ((0, 0), (wd, wd), (0, 0)), mode="wrap")
+    x = jnp.pad(x, ((0, 0), (0, 0), (wr, wr)), mode=cfg.cfar_range_mode)
+
+    d_tile = _pick_d_tile(d_size, r_size, n_pad)
+    n_tiles = -(-d_size // d_tile)
+    if n_tiles * d_tile != d_size:
+        raise ValueError(
+            f"doppler size {d_size} not divisible by tile {d_tile} "
+            "(FFT sizes are powers of two; custom sizes must divide evenly)"
+        )
+    if n_tiles > 1 and d_tile % 8:
+        d_tile, n_tiles = d_size, 1  # tiny maps: single tile, d0 = 0
+    # the kernel's aligned block load reads d_blk rows from tile start; pad
+    # junk rows at the bottom so the LAST tile's load stays in bounds
+    d_blk = -(-(d_tile + 2 * wd) // 8) * 8
+    rows_needed = (n_tiles - 1) * d_tile + d_blk
+    if rows_needed > x.shape[-2]:
+        x = jnp.pad(x, ((0, 0), (0, rows_needed - x.shape[-2]), (0, 0)))
+
+    kernel = functools.partial(
+        _os_kernel,
+        offsets=tuple(offsets),
+        wd=wd, wr=wr, d_tile=d_tile, r_size=r_size,
+        k=k, n_pad=n_pad, alpha=alpha,
+    )
+    thresh = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, d_size, r_size), jnp.float32),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, x.shape[-2], r_size + 2 * wr),
+                lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, d_tile, r_size), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((n_pad, d_tile, r_size), jnp.float32)],
+        interpret=interpret,
+    )(x)
+    thresh = thresh.reshape(lead + (d_size, r_size))
+    return power > thresh, thresh

@@ -64,8 +64,6 @@ class DistributedRDPipeline:
             )
         if cfar_impl not in ("xla", "pallas"):
             raise ValueError(f"cfar_impl must be 'xla' or 'pallas', got {cfar_impl!r}")
-        if cfg.cfar_kind == "os" and cfar_impl == "pallas":
-            raise ValueError("OS-CFAR has no Pallas implementation")
         self.mesh = mesh if mesh is not None else build_mesh(num_rx=cfg.num_rx)
         self.cfg = cfg
         self.max_detections = max_detections

@@ -207,3 +207,89 @@ def test_range_detector_pallas_impl_matches(cfg, capture):
     np.testing.assert_allclose(
         np.asarray(oa.peak_magnitude), np.asarray(ob.peak_magnitude), rtol=1e-6
     )
+
+
+class TestPallasOSCFAR:
+    """The Pallas rank-selection OS-CFAR (exact k-th order statistic via
+    bit-space binary search) vs the float64 golden and the XLA sort path."""
+
+    def _power(self, cfg, frames=2, seed=47):
+        rng = np.random.default_rng(seed)
+        p = rng.gamma(
+            2.0, 100.0, (frames, cfg.doppler_fft_size, cfg.range_fft_size)
+        ).astype(np.float32)
+        p[0, 50, 100] = 9e5
+        return p
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {},
+            {"cfar_os_stride": 3},
+            {"cfar_range_mode": "wrap"},
+            {"cfar_os_k_frac": 0.9},
+            {"cfar_guard": (1, 1), "cfar_train": (2, 3)},
+        ],
+    )
+    def test_matches_golden(self, kw):
+        from radar_tpu.ops.pallas.oscfar_kernel import os_cfar_2d_pallas
+
+        cfg = RadarConfig(cfar_kind="os", **kw)
+        power = self._power(cfg)
+        want_hits, want_t = golden.os_cfar_2d(
+            power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train,
+            cfg.cfar_pfa, cfg.cfar_os_k_frac, cfg.cfar_range_mode,
+            cfg.cfar_os_stride,
+        )
+        got_hits, got_t = os_cfar_2d_pallas(
+            jnp.asarray(power), cfg, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got_t), want_t, rtol=2e-4)
+        np.testing.assert_array_equal(np.asarray(got_hits), want_hits)
+
+    def test_bit_exact_vs_xla_sort(self):
+        """Selection by counting and selection by sorting must agree to the
+        BIT on the same f32 ring (both pick the k-th smallest f32)."""
+        from radar_tpu.ops.cfar import os_cfar_2d
+        from radar_tpu.ops.pallas.oscfar_kernel import os_cfar_2d_pallas
+
+        cfg = RadarConfig(cfar_kind="os")
+        power = self._power(cfg, frames=3, seed=11)
+        _, want = os_cfar_2d(jnp.asarray(power), cfg)
+        _, got = os_cfar_2d_pallas(jnp.asarray(power), cfg, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_small_single_tile_geometry(self):
+        cfg = RadarConfig(
+            cfar_kind="os", cfar_guard=(1, 1), cfar_train=(2, 2),
+            num_samples=16, num_chirps=16,
+        )
+        rng = np.random.default_rng(5)
+        power = rng.exponential(1.0, (2, 16, 16)).astype(np.float32)
+        from radar_tpu.ops.pallas.oscfar_kernel import os_cfar_2d_pallas
+
+        _, want = golden.os_cfar_2d(
+            power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train,
+            cfg.cfar_pfa, cfg.cfar_os_k_frac, cfg.cfar_range_mode,
+        )
+        _, got = os_cfar_2d_pallas(jnp.asarray(power), cfg, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4)
+
+    def test_pipeline_dispatch(self, targets):
+        """cfar_impl='pallas-interpret' with cfar_kind='os' must produce the
+        same detections as the XLA OS path through the full pipeline."""
+        from radar_tpu.io.synthetic import synthesize_capture
+        from radar_tpu.models.rd_pipeline import RDPipeline
+
+        cfg = RadarConfig(cfar_kind="os")
+        cap = synthesize_capture(targets, 3, cfg, noise_std=5.0, seed=3)
+        a = RDPipeline(cfg, 16, cfar_impl="xla", rd_impl="fft")
+        b = RDPipeline(cfg, 16, cfar_impl="pallas-interpret", rd_impl="fft")
+        base = a.prepare_base(jnp.asarray(cap[0]))
+        oa = a.detect(jnp.asarray(cap[1:]), base)
+        ob = b.detect(jnp.asarray(cap[1:]), base)
+        np.testing.assert_array_equal(np.asarray(oa.valid), np.asarray(ob.valid))
+        np.testing.assert_array_equal(
+            np.asarray(oa.range_bin), np.asarray(ob.range_bin)
+        )
+        np.testing.assert_array_equal(np.asarray(oa.num_hits), np.asarray(ob.num_hits))

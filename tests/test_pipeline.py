@@ -319,13 +319,23 @@ def test_unbatched_frame_all_impls(cfg, targets, impl):
     )
 
 
-def test_os_kind_rejects_pallas_impl(cfg):
+def test_os_kind_pallas_impl_matches_xla(cfg):
+    """OS-CFAR's Pallas rank-selection kernel is a first-class impl: the
+    pipeline dispatch must produce the same hit map as the XLA sort path
+    (kernel-level bit-exactness is tested in test_pallas.py)."""
     from radar_tpu.config import RadarConfig as RC
 
-    pipe = RDPipeline(RC(cfar_kind="os"), max_detections=8,
-                      cfar_impl="pallas")
-    with pytest.raises(ValueError, match="OS-CFAR"):
-        pipe._cfar(jnp.zeros((2, 128, 128), jnp.float32))
+    rng = np.random.default_rng(9)
+    power = jnp.asarray(
+        rng.gamma(2.0, 100.0, (2, 128, 128)).astype(np.float32)
+    )
+    a = RDPipeline(RC(cfar_kind="os"), max_detections=8, cfar_impl="xla")
+    b = RDPipeline(RC(cfar_kind="os"), max_detections=8,
+                   cfar_impl="pallas-interpret")
+    hits_a, thr_a = a._cfar(power)
+    hits_b, thr_b = b._cfar(power)
+    np.testing.assert_array_equal(np.asarray(hits_a), np.asarray(hits_b))
+    np.testing.assert_array_equal(np.asarray(thr_a), np.asarray(thr_b))
 
 
 def test_range_interpolation_beats_bin_quantization(cfg):
