@@ -34,9 +34,10 @@ def _build_cfg(args) -> RadarConfig:
 
 def _add_pipeline_flags(sp) -> None:
     sp.add_argument("--rd-impl", default="auto",
-                    choices=["auto", "fused", "fused-pallas", "planar",
-                             "mxu", "fft"],
-                    help="range-Doppler implementation (auto: fused on TPU)")
+                    choices=["auto", "mega", "mega-interpret", "fused",
+                             "fused-pallas", "planar", "mxu", "fft"],
+                    help="range-Doppler implementation (auto: the mega "
+                         "Pallas kernel on TPU)")
     sp.add_argument("--cfar-kind", default=None, choices=["ca", "os"],
                     help="cell-averaging (default) or ordered-statistic CFAR")
     sp.add_argument("--dft-precision", default=None,

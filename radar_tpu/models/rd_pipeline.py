@@ -313,16 +313,20 @@ class RDPipeline:
     reusing a stale compilation.
 
     Attributes:
-      cfar_impl: 'auto' (Pallas kernel on TPU, XLA elsewhere), 'xla',
-        'pallas', or 'pallas-interpret' (for CPU tests of the kernel).
-      rd_impl: 'auto' (fused on TPU, FFT elsewhere), 'fft', 'mxu'
+      cfar_impl: 'auto' (Pallas kernel on TPU, XLA elsewhere; under
+        rd_impl 'mega' with cfar_kind 'ca', auto fuses CFAR INTO the
+        mega kernel as band-matrix matmuls), 'xla', 'pallas', or
+        'pallas-interpret' (for CPU tests of the kernel).
+      rd_impl: 'auto' (mega on TPU, FFT elsewhere), 'fft', 'mxu'
         (complex-cube MXU DFT), 'planar' (split re/im f32 planes from
         decode through power — the complex RD cube never materializes in
-        HBM), or 'fused' (de-interleave + transpose + window folded into
-        the DFT matmuls themselves; see ops/fuseddft.py).
-      topk_impl: 'auto' (lax.top_k — measured on-par with the Pallas
-        iterative kernel at K=16, and XLA fuses it into the tail),
-        'xla', 'pallas', or 'pallas-interpret'.
+        HBM), 'fused' (de-interleave + transpose + window folded into
+        the DFT matmuls themselves; see ops/fuseddft.py), or 'mega'
+        (the whole shorts -> power [+ CFAR] prefix as one Pallas kernel,
+        ops/pallas/megakernel.py).
+      topk_impl: 'auto' (the Pallas iterative kernel on TPU — in the mega
+        program it beats lax.top_k 0.52 vs 0.79 ms/512 at K=16; lax.top_k
+        elsewhere), 'xla', 'pallas', or 'pallas-interpret'.
     """
 
     cfg: RadarConfig = DEFAULT_CONFIG
@@ -334,7 +338,7 @@ class RDPipeline:
 
     def _topk_impl(self) -> str:
         if self.topk_impl == "auto":
-            return "xla"
+            return "pallas" if jax.default_backend() == "tpu" else "xla"
         return self.topk_impl
 
     def _cfar(self, power):
@@ -455,8 +459,9 @@ class RDPipeline:
         cfg = self.cfg
         impl = self.rd_impl
         if impl == "auto":
-            impl = "fused" if jax.default_backend() == "tpu" else "fft"
-        if impl in ("planar", "fused", "fused-pallas"):
+            impl = "mega" if jax.default_backend() == "tpu" else "fft"
+        if impl in ("planar", "fused", "fused-pallas", "mega",
+                    "mega-interpret"):
             return self._detect_planar(shorts, base_cube, impl=impl)
         rd = self.rd_cube(shorts, base_cube)  # (B, rx, D, R)
         power = integrate_power(rd)
@@ -497,9 +502,46 @@ class RDPipeline:
         'fused' folds the decode/transpose work into the DFT matmuls
         (ops/fuseddft.py) instead of running separate layout passes;
         'fused-pallas' runs the range stage as the explicit Pallas kernel
-        (ops/pallas/fused_dft_kernel.py)."""
+        (ops/pallas/fused_dft_kernel.py); 'mega' (the TPU auto default)
+        runs raw shorts -> range DFT -> Doppler DFT -> power -> CA-CFAR
+        threshold as ONE Pallas kernel — neither the range planes nor the
+        RD planes ever reach HBM — and recomputes the K per-frame AoA
+        snapshots from the raw frames (ops/pallas/megakernel.py).  The
+        in-kernel CFAR covers ``cfar_kind='ca'`` with ``cfar_impl='auto'``;
+        other CFAR configurations run on the kernel's power output via
+        the normal dispatch."""
         cfg = self.cfg
         base = base_cube if self.use_base_frame else None
+        if impl in ("mega", "mega-interpret"):
+            from radar_tpu.ops.pallas.megakernel import (
+                power_cfar_from_shorts_pallas,
+                power_from_shorts_pallas,
+                snapshots_from_shorts,
+            )
+
+            interpret = (
+                impl == "mega-interpret" or jax.default_backend() != "tpu"
+            )
+            if cfg.cfar_kind == "ca" and self.cfar_impl == "auto":
+                power, thresh = power_cfar_from_shorts_pallas(
+                    shorts, base, cfg, interpret=interpret
+                )
+                hits = power > thresh
+            else:
+                power = power_from_shorts_pallas(
+                    shorts, base, cfg, interpret=interpret
+                )
+                hits, _ = self._cfar(power)
+            return assemble_result(
+                power,
+                lambda top_idx: snapshots_from_shorts(
+                    shorts, base, top_idx, cfg
+                ),
+                hits,
+                self.max_detections,
+                cfg,
+                topk_impl=self._topk_impl(),
+            )
         if impl == "fused":
             from radar_tpu.ops.fuseddft import fused_rd_planes
 

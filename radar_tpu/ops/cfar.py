@@ -145,7 +145,7 @@ def cfar_detect(
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Single dispatch point for the CFAR family: ``cfg.cfar_kind``
-    ('ca'/'os') crossed with ``impl`` ('xla' or 'pallas'; CA only).
+    ('ca'/'os') crossed with ``impl`` ('xla' or 'pallas').
 
     Both the local pipeline and the shard_map pipeline route through this,
     so kind/impl validation and dispatch live in exactly one place.

@@ -83,6 +83,37 @@ def _base_range_planes(base_cube, cfg: RadarConfig, window: bool):
     )
 
 
+def fused_range_planes(
+    shorts: jnp.ndarray,
+    base_cube: jnp.ndarray | None,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    window: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw int16 frames -> clutter-removed range planes (..., C, V, R).
+
+    The range front-end of :func:`fused_rd_planes`, exposed separately
+    for stage-level verification (the production TPU path runs the same
+    math inside the Pallas mega-kernel, ``ops.pallas.megakernel``).
+    """
+    c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
+    raw = shorts.reshape(shorts.shape[:-1] + (c, v, s2)).astype(jnp.float32)
+    a_re, a_im = interleaved_range_matrices(
+        cfg.num_samples, cfg.range_fft_size, window
+    )
+    prec = resolve_precision(cfg.dft_precision)
+    # range DFT straight off the interleaved axis: (..., C, V, 2S) @ (R, 2S)
+    rng_re = jnp.einsum("...cvj,rj->...cvr", raw, a_re, precision=prec)
+    rng_im = jnp.einsum("...cvj,rj->...cvr", raw, a_im, precision=prec)
+    if base_cube is not None:
+        b_re, b_im = _base_range_planes(base_cube, cfg, window)
+        rng_re = rng_re - b_re
+        rng_im = rng_im - b_im
+    else:
+        rng_re = rng_re - jnp.mean(rng_re, axis=-3, keepdims=True)
+        rng_im = rng_im - jnp.mean(rng_im, axis=-3, keepdims=True)
+    return rng_re, rng_im
+
+
 def fused_rd_planes(
     shorts: jnp.ndarray,
     base_cube: jnp.ndarray | None,
@@ -102,22 +133,7 @@ def fused_rd_planes(
       Doppler fftshifted — identical contract to
       ``dftmat.range_doppler_planes`` after virtualization.
     """
-    c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
-    raw = shorts.reshape(shorts.shape[:-1] + (c, v, s2)).astype(jnp.float32)
-    a_re, a_im = interleaved_range_matrices(
-        cfg.num_samples, cfg.range_fft_size, window
-    )
-    prec = resolve_precision(cfg.dft_precision)
-    # range DFT straight off the interleaved axis: (..., C, V, 2S) @ (R, 2S)
-    rng_re = jnp.einsum("...cvj,rj->...cvr", raw, a_re, precision=prec)
-    rng_im = jnp.einsum("...cvj,rj->...cvr", raw, a_im, precision=prec)
-    if base_cube is not None:
-        b_re, b_im = _base_range_planes(base_cube, cfg, window)
-        rng_re = rng_re - b_re
-        rng_im = rng_im - b_im
-    else:
-        rng_re = rng_re - jnp.mean(rng_re, axis=-3, keepdims=True)
-        rng_im = rng_im - jnp.mean(rng_im, axis=-3, keepdims=True)
+    rng_re, rng_im = fused_range_planes(shorts, base_cube, cfg, window)
     return doppler_from_range_planes(rng_re, rng_im, cfg, window)
 
 

@@ -1,0 +1,194 @@
+"""Parity tests for the raw->power(+CFAR) Pallas mega-kernel.
+
+``rd_impl='mega'`` collapses the whole shorts -> range DFT -> Doppler DFT
+-> power -> CA-CFAR-threshold prefix into one Pallas kernel
+(ops/pallas/megakernel.py) and recomputes AoA snapshots from the raw
+frames.  These tests run the kernel in interpret mode on CPU and check
+it against the fused XLA path (itself golden-verified in
+test_pipeline.py): detections exact, power to f32 roundoff, the
+band-matrix CFAR threshold against ``ca_cfar_2d``.
+
+Reference contract being upgraded: the single argmax detector at
+/root/reference/acceleration.cu:522 with every intermediate materialized
+(acceleration.cu:435-519).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radar_tpu.config import RadarConfig
+from radar_tpu.io.synthetic import synthesize_capture
+from radar_tpu.models.rd_pipeline import RDPipeline
+
+
+def _assert_same_detections(a, b):
+    np.testing.assert_array_equal(np.asarray(a.range_bin), np.asarray(b.range_bin))
+    np.testing.assert_array_equal(np.asarray(a.doppler_bin), np.asarray(b.doppler_bin))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.angle_bin), np.asarray(b.angle_bin))
+    np.testing.assert_array_equal(np.asarray(a.num_hits), np.asarray(b.num_hits))
+
+
+@pytest.mark.parametrize("use_base", [True, False])
+def test_mega_matches_fused(cfg, targets, use_base):
+    """Power-only mega kernel + XLA CFAR vs the fused XLA path."""
+    shorts = synthesize_capture(targets, 4, cfg, noise_std=2.0, seed=51)
+    fused = RDPipeline(cfg, max_detections=8, rd_impl="fused",
+                       cfar_impl="xla", use_base_frame=use_base)
+    mega = RDPipeline(cfg, max_detections=8, rd_impl="mega",
+                      cfar_impl="xla", use_base_frame=use_base)
+    base = fused.prepare_base(jnp.asarray(shorts[0])) if use_base else None
+    a = fused.detect(jnp.asarray(shorts[1:]), base)
+    b = mega.detect(jnp.asarray(shorts[1:]), base)
+    _assert_same_detections(a, b)
+    np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
+                               rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(a.azimuth_deg),
+                               np.asarray(b.azimuth_deg),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_mega_fused_cfar_threshold(cfg, targets):
+    """In-kernel band-matrix CFAR (cfar_impl='auto') == ca_cfar_2d."""
+    from radar_tpu.ops.cfar import ca_cfar_2d
+    from radar_tpu.ops.pallas.megakernel import power_cfar_from_shorts_pallas
+
+    shorts = synthesize_capture(targets, 4, cfg, noise_std=2.0, seed=52)
+    pipe = RDPipeline(cfg, max_detections=8, rd_impl="mega")
+    base = pipe.prepare_base(jnp.asarray(shorts[0]))
+    power, thresh = power_cfar_from_shorts_pallas(
+        jnp.asarray(shorts[1:]), base, cfg, interpret=True
+    )
+    hits_want, thresh_want = ca_cfar_2d(power, cfg)
+    # both are f32 window sums over ~1e11-peak cells; sequential f32
+    # accumulation-order noise leaves ~7e-4 relative near strong targets
+    # (the BASELINE gate is 1e-3)
+    np.testing.assert_allclose(np.asarray(thresh), np.asarray(thresh_want),
+                               rtol=1e-3)
+    # reassociation may flip only razor-edge cells
+    differ = int(jnp.sum((power > thresh) != hits_want))
+    assert differ <= 4
+
+    # and the full pipeline with the fused CFAR finds the same targets
+    xla = RDPipeline(cfg, max_detections=8, rd_impl="mega", cfar_impl="xla")
+    a = xla.detect(jnp.asarray(shorts[1:]), base)
+    b = pipe.detect(jnp.asarray(shorts[1:]), base)
+    _assert_same_detections(a, b)
+
+
+def test_mega_cfar_range_wrap(targets):
+    """Band-matrix CFAR honors cfar_range_mode='wrap'."""
+    from radar_tpu.ops.cfar import ca_cfar_2d
+    from radar_tpu.ops.pallas.megakernel import power_cfar_from_shorts_pallas
+
+    cfg2 = RadarConfig(cfar_range_mode="wrap")
+    shorts = synthesize_capture(targets, 3, cfg2, noise_std=2.0, seed=53)
+    pipe = RDPipeline(cfg2, max_detections=8, rd_impl="mega")
+    base = pipe.prepare_base(jnp.asarray(shorts[0]))
+    power, thresh = power_cfar_from_shorts_pallas(
+        jnp.asarray(shorts[1:]), base, cfg2, interpret=True
+    )
+    _, thresh_want = ca_cfar_2d(power, cfg2)
+    np.testing.assert_allclose(np.asarray(thresh), np.asarray(thresh_want),
+                               rtol=1e-3)
+
+
+def test_mega_mimo(targets):
+    """TDM-MIMO (num_tx=2): in-kernel demux must match the fused path."""
+    cfg2 = RadarConfig(num_tx=2)
+    shorts = synthesize_capture(targets, 3, cfg2, noise_std=2.0, seed=54)
+    fused = RDPipeline(cfg2, max_detections=8, rd_impl="fused",
+                       cfar_impl="xla")
+    mega = RDPipeline(cfg2, max_detections=8, rd_impl="mega",
+                      cfar_impl="xla")
+    base = fused.prepare_base(jnp.asarray(shorts[0]))
+    a = fused.detect(jnp.asarray(shorts[1:]), base)
+    b = mega.detect(jnp.asarray(shorts[1:]), base)
+    _assert_same_detections(a, b)
+    np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
+                               rtol=2e-4, atol=1e-2)
+
+
+def test_mega_os_cfar_falls_back(cfg, targets):
+    """cfar_kind='os' under mega: power-only kernel + OS-CFAR dispatch."""
+    cfg_os = RadarConfig(cfar_kind="os", cfar_os_stride=8)
+    shorts = synthesize_capture(targets, 3, cfg_os, noise_std=2.0, seed=55)
+    fused = RDPipeline(cfg_os, max_detections=8, rd_impl="fused",
+                       cfar_impl="xla")
+    mega = RDPipeline(cfg_os, max_detections=8, rd_impl="mega",
+                      cfar_impl="xla")
+    base = fused.prepare_base(jnp.asarray(shorts[0]))
+    a = fused.detect(jnp.asarray(shorts[1:]), base)
+    b = mega.detect(jnp.asarray(shorts[1:]), base)
+    _assert_same_detections(a, b)
+
+
+@pytest.mark.parametrize("precision", ["highest", "default"])
+def test_mega_precision_variants(cfg, targets, precision):
+    """The kernel honors cfg.dft_precision; the strong target survives
+    even at 1-pass bf16."""
+    cfg_p = RadarConfig(dft_precision=precision)
+    shorts = synthesize_capture(targets, 3, cfg_p, noise_std=2.0, seed=56)
+    mega = RDPipeline(cfg_p, max_detections=8, rd_impl="mega",
+                      cfar_impl="xla")
+    base = mega.prepare_base(jnp.asarray(shorts[0]))
+    out = mega.detect(jnp.asarray(shorts[1:]), base)
+    assert int(np.asarray(out.num_hits).min()) > 0
+    if precision == "highest":
+        fused = RDPipeline(cfg_p, max_detections=8, rd_impl="fused",
+                           cfar_impl="xla")
+        _assert_same_detections(fused.detect(jnp.asarray(shorts[1:]), base),
+                                out)
+
+
+def test_mega_unbatched(cfg, targets):
+    """A single unbatched frame keeps its scalar leading shape."""
+    shorts = synthesize_capture(targets, 2, cfg, noise_std=2.0, seed=57)
+    mega = RDPipeline(cfg, max_detections=8, rd_impl="mega",
+                      cfar_impl="xla")
+    base = mega.prepare_base(jnp.asarray(shorts[0]))
+    out = mega.detect(jnp.asarray(shorts[1]), base)
+    assert out.range_bin.shape == (8,)
+    assert int(np.asarray(out.num_hits)) > 0
+
+
+def test_snapshots_from_shorts_matches_gather(cfg, targets):
+    """snapshots_from_shorts == gathering from materialized RD planes."""
+    from radar_tpu.models.rd_pipeline import gather_snapshots
+    from radar_tpu.ops.fuseddft import fused_rd_planes
+    from radar_tpu.ops.pallas.megakernel import snapshots_from_shorts
+
+    shorts = synthesize_capture(targets, 3, cfg, noise_std=2.0, seed=58)
+    pipe = RDPipeline(cfg, max_detections=8, rd_impl="fused")
+    base = pipe.prepare_base(jnp.asarray(shorts[0]))
+    x = jnp.asarray(shorts[1:])
+    dr, di = fused_rd_planes(x, base, cfg)
+    power = jnp.sum(dr * dr + di * di, axis=-3)
+    flat = power.reshape(power.shape[0], -1)
+    top_idx = jax.lax.top_k(flat, 8)[1].astype(jnp.int32)
+    want = jax.lax.complex(gather_snapshots(dr, top_idx),
+                           gather_snapshots(di, top_idx))
+    got = snapshots_from_shorts(x, base, top_idx, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-2 * float(jnp.abs(want).max()))
+
+
+def test_snapshots_from_shorts_mean_clutter(cfg, targets):
+    """Mean-clutter mode of the snapshot recompute matches the planes."""
+    from radar_tpu.models.rd_pipeline import gather_snapshots
+    from radar_tpu.ops.fuseddft import fused_rd_planes
+    from radar_tpu.ops.pallas.megakernel import snapshots_from_shorts
+
+    shorts = synthesize_capture(targets, 3, cfg, noise_std=2.0, seed=59)
+    x = jnp.asarray(shorts[1:])
+    dr, di = fused_rd_planes(x, None, cfg)
+    power = jnp.sum(dr * dr + di * di, axis=-3)
+    flat = power.reshape(power.shape[0], -1)
+    top_idx = jax.lax.top_k(flat, 8)[1].astype(jnp.int32)
+    want = jax.lax.complex(gather_snapshots(dr, top_idx),
+                           gather_snapshots(di, top_idx))
+    got = snapshots_from_shorts(x, None, top_idx, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-2 * float(jnp.abs(want).max()))
