@@ -47,6 +47,29 @@ def _add_pipeline_flags(sp) -> None:
                          "'default' 1 bf16 pass (~9e-4, fastest)")
 
 
+def _add_refine_flag(sp) -> None:
+    sp.add_argument("--refine", default=None, choices=["capon", "2d"],
+                    help="high-resolution AoA on confirmed detections: "
+                         "'capon' replaces the angle-FFT azimuth with the "
+                         "MVDR estimate (RDPipeline.capon_refine); '2d' "
+                         "adds joint azimuth/elevation (refine_2d; needs "
+                         "an elevated TX for non-degenerate elevation)")
+
+
+def _refined_azimuth(pipe, shorts, base, d_bin, r_bin, refine):
+    """(azimuth_deg, elevation_deg|None) np arrays for detected cells."""
+    import jax.numpy as jnp
+
+    d_bin = jnp.asarray(np.asarray(d_bin, np.int32))
+    r_bin = jnp.asarray(np.asarray(r_bin, np.int32))
+    shorts = jnp.asarray(shorts)
+    if refine == "capon":
+        az = pipe.capon_refine(shorts, base, d_bin, r_bin)
+        return np.asarray(az), None
+    az, el = pipe.refine_2d(shorts, base, d_bin, r_bin)
+    return np.asarray(az), np.asarray(el)
+
+
 def _parse_target(spec: str):
     from radar_tpu.io.synthetic import SceneTarget
 
@@ -175,7 +198,13 @@ def cmd_serve(args) -> int:
     multi = len(ports) > 1
 
     def make_tracker():
-        return EKFTracker(cfg) if args.tracker == "ekf" else Tracker(cfg)
+        if args.tracker == "ekf":
+            from radar_tpu.models.tracker import EKFConfig
+
+            params = (EKFConfig(sigma_azimuth_deg=1.0) if args.refine
+                      else EKFConfig())
+            return EKFTracker(cfg, params)
+        return Tracker(cfg)
 
     nb = max(1, args.serve_batch)
 
@@ -224,6 +253,13 @@ def cmd_serve(args) -> int:
             # single packed transfer: per-leaf materialization costs one
             # transport RTT each (see pack_detections)
             out = np.asarray(pack_detections(pipe.detect(stack, bases[src])))
+            elev = None
+            if args.refine:
+                az, elev = _refined_azimuth(
+                    pipe, stack, bases[src], out[..., 7], out[..., 8],
+                    args.refine,
+                )
+                out[..., 2] = az
             for j in range(len(frames_src)):
                 n += 1
                 frame_no[src] = frame_no.get(src, 0) + 1
@@ -235,6 +271,10 @@ def cmd_serve(args) -> int:
                         "power": float(out[j, k, 3]),
                         "range_m_interp": round(float(out[j, k, 5]), 4),
                         "velocity_mps_interp": round(float(out[j, k, 6]), 4),
+                        **(
+                            {"elevation_deg": round(float(elev[j, k]), 2)}
+                            if elev is not None else {}
+                        ),
                     }
                     for k in range(out.shape[1]) if out[j, k, 4] > 0.5
                 ]
@@ -280,7 +320,18 @@ def cmd_track(args) -> int:
                       rd_impl=args.rd_impl)
     base = pipe.prepare_base(capture[0])
     out = materialize_result(pipe.detect(capture[1:], base))
-    tracker = track_capture(out, cfg, kind=args.tracker)
+    params = None
+    if args.refine:
+        az, _ = _refined_azimuth(pipe, capture[1:], base, out.doppler_bin,
+                                 out.range_bin, args.refine)
+        out = out._replace(azimuth_deg=az)
+        if args.tracker == "ekf":
+            # the refined azimuth is sharper than the 4-element angle-FFT
+            # grid; tighten the EKF's measurement noise accordingly
+            from radar_tpu.models.tracker import EKFConfig
+
+            params = EKFConfig(sigma_azimuth_deg=1.0)
+    tracker = track_capture(out, cfg, kind=args.tracker, params=params)
     tracks = [t for t in tracker.tracks if t.confirmed]
     for t in tracks:
         print(json.dumps({
@@ -295,24 +346,96 @@ def cmd_track(args) -> int:
     return 0
 
 
+def _print_native_report(t: dict) -> None:
+    n = t["frames"]
+    print("CPU Timing (native golden model)")
+    print(
+        f"Total Time for {n} frames {1000*t['total']:.5f} ms "
+        f"averaged {n/t['total']:.5f} FPS"
+    )
+    print(f"Total FFT time {1000*t['fft']:.5f} ms averaged "
+          f"{1000*t['fft']/n:.5f} ms/frame")
+    print(f"Total Reshape + Extension time {1000*t['preprocess']:.5f} ms "
+          f"averaged {1000*t['preprocess']/n:.5f} ms/frame")
+    print(f"Total findMax time {1000*t['findmax']:.5f} ms averaged "
+          f"{1000*t['findmax']/n:.5f} ms/frame")
+
+
+def _cmd_bench_compare(args, cfg) -> int:
+    """One-shot native-golden <-> TPU comparative benchmark with the
+    per-frame verification loop ENABLED — the working version of the
+    reference's ``main()`` (cudaBenchMarking.cpp:397-449 runs cpuTiming
+    then cudaTiming; the CPU<->GPU comparison loop is written but
+    commented out at :410-419 with a 1e-5 m gate).  Exit code reflects
+    the verification gate."""
+    import jax
+
+    from radar_tpu import native
+    from radar_tpu.io.capture import read_capture
+    from radar_tpu.models.range_detector import RangeDetector
+    from radar_tpu.utils.timing import StageTimings, fence, time_fn
+
+    # ---- pass 1: native C++ float64 golden (reference cpuTiming) --------
+    dists, t = native.process_capture(args.path, cfg)
+    _print_native_report(t)
+    n = t["frames"]
+
+    # ---- pass 2: TPU pipeline, same capture (reference cudaTiming) ------
+    capture = read_capture(args.path, cfg)
+    det = RangeDetector(cfg)
+    base = det.prepare_base(capture[0])
+    batch = jax.device_put(np.asarray(capture[1:]))
+    fence(det.detect(batch, base))  # compile + warm
+    t0 = time.perf_counter()
+    out = det.detect(batch, base)
+    fence(out)
+    total = time.perf_counter() - t0
+    padded = det.preprocess(batch, base)
+    spec = det.fft_stage(padded)
+    st = StageTimings(
+        preprocess=time_fn(det.preprocess, batch, base, iters=5),
+        fft=time_fn(det.fft_stage, padded, iters=5),
+        detect=time_fn(det.detect_stage, spec, iters=5),
+        total=total,
+        frames=n,
+    )
+    print(f"TPU Timing (range-parity, batch={n})")
+    print(st.report())
+
+    # ---- pass 3: per-frame verification, ENABLED ------------------------
+    got = jax.tree.map(np.asarray, out)
+    fail_rel = 0
+    within_ref_gate = 0
+    for i in range(n):
+        cpu_d = float(dists[i])
+        tpu_d = float(got.distance_m[i])
+        if abs(tpu_d - cpu_d) < 1e-5:  # the reference's own (disabled) gate
+            within_ref_gate += 1
+        if abs(tpu_d - cpu_d) > max(1e-3 * cpu_d, 1e-9):
+            fail_rel += 1
+            print(f"FRAME {i+1} MISMATCH: native {cpu_d:.6f} m vs "
+                  f"tpu {tpu_d:.6f} m")
+        if args.per_frame:
+            print(f"frame[{i+1}] native {cpu_d:.6f} m | tpu {tpu_d:.6f} m | "
+                  f"inner {1000*total/n:.3f} ms/frame")
+    print(f"verification: {n - fail_rel}/{n} frames within 1e-3 relative "
+          f"(gate: PASS)" if fail_rel == 0 else
+          f"verification: {fail_rel}/{n} frames FAILED the 1e-3 gate")
+    print(f"reference 1e-5 m absolute gate (cudaBenchMarking.cpp:414): "
+          f"{within_ref_gate}/{n} frames within "
+          f"(bin-exact matches are identical after quantization)")
+    return 1 if fail_rel else 0
+
+
 def cmd_bench(args) -> int:
     cfg = _build_cfg(args)
+    if args.compare:
+        return _cmd_bench_compare(args, cfg)
     if args.native:
         from radar_tpu import native
 
-        dists, t = native.process_capture(args.path, cfg)
-        n = t["frames"]
-        print("CPU Timing (native golden model)")
-        print(
-            f"Total Time for {n} frames {1000*t['total']:.5f} ms "
-            f"averaged {n/t['total']:.5f} FPS"
-        )
-        print(f"Total FFT time {1000*t['fft']:.5f} ms averaged "
-              f"{1000*t['fft']/n:.5f} ms/frame")
-        print(f"Total Reshape + Extension time {1000*t['preprocess']:.5f} ms "
-              f"averaged {1000*t['preprocess']/n:.5f} ms/frame")
-        print(f"Total findMax time {1000*t['findmax']:.5f} ms averaged "
-              f"{1000*t['findmax']/n:.5f} ms/frame")
+        _, t = native.process_capture(args.path, cfg)
+        _print_native_report(t)
         return 0
 
     import jax
@@ -466,6 +589,7 @@ def main(argv=None) -> int:
                         "received batch together with zero added wait)")
     s.add_argument("--max-detections", type=int, default=16)
     _add_pipeline_flags(s)
+    _add_refine_flag(s)
     s.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("track", help="detect + multi-frame object tracking")
@@ -476,6 +600,7 @@ def main(argv=None) -> int:
                    help="'ekf' = Cartesian constant-velocity EKF "
                         "(tracks crossing targets)")
     _add_pipeline_flags(t)
+    _add_refine_flag(t)
     t.set_defaults(fn=cmd_track)
 
     b = sub.add_parser("bench", help="benchmark over a capture file")
@@ -487,6 +612,16 @@ def main(argv=None) -> int:
     b.add_argument("--max-detections", type=int, default=16)
     b.add_argument("--stages", action="store_true",
                    help="print the reference-format 4-bucket stage breakdown")
+    b.add_argument("--compare", action="store_true",
+                   help="one-shot native-golden + TPU run on the same "
+                        "capture with the per-frame verification loop "
+                        "enabled (the reference main() with "
+                        "cudaBenchMarking.cpp:410-419 un-commented); exit "
+                        "code reflects the gate")
+    b.add_argument("--per-frame", action="store_true",
+                   help="with --compare: print one line per frame "
+                        "(native/TPU distance + inner ms, the always-on "
+                        "per-frame line at acceleration.cu:533)")
     b.add_argument("--profile", default=None, metavar="DIR",
                    help="export a jax.profiler trace to DIR")
     _add_pipeline_flags(b)

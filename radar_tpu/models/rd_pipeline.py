@@ -271,14 +271,16 @@ def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig,
 
 @jax.jit
 def pack_detections(out: RDResult) -> jnp.ndarray:
-    """Pack the serving-relevant RDResult fields into ONE (B, K, 7) f32
+    """Pack the serving-relevant RDResult fields into ONE (B, K, 9) f32
     array: [range_m, velocity_mps, azimuth_deg, power, valid,
-    range_m_interp, velocity_mps_interp].
+    range_m_interp, velocity_mps_interp, doppler_bin, range_bin].
 
     Serving materializes results every dispatch; on remote-TPU transports
     each materialized leaf costs a full round trip (~27 ms on the dev
     relay), so ten RDResult leaves turn a 1 ms detection into a 270 ms
-    one.  One packed array = one transfer.
+    one.  One packed array = one transfer.  The trailing bin columns feed
+    the optional Capon/2D AoA refinement dispatch (``cli serve
+    --refine``) without a second result transfer.
     """
     return jnp.stack(
         [
@@ -289,6 +291,8 @@ def pack_detections(out: RDResult) -> jnp.ndarray:
             out.valid.astype(jnp.float32),
             out.range_m_interp,
             out.velocity_mps_interp,
+            out.doppler_bin.astype(jnp.float32),
+            out.range_bin.astype(jnp.float32),
         ],
         axis=-1,
     )
@@ -346,20 +350,14 @@ class RDPipeline:
 
         impl = self.cfar_impl
         if impl == "auto":
-            # measured on v5e: for CA the fused XLA reduce_window CFAR
-            # edges out the Pallas kernel next to the MXU DFT paths (7.3
-            # vs 7.6 ms/512 fused); the CA kernel exists to break the
-            # fft+reduce_window 13x pathology, so auto picks it only
-            # alongside the FFT HLO.  For OS the Pallas rank-selection
-            # kernel IS the production path (42 vs 4,327 ms/512 at
-            # stride 1) — auto always picks it on TPU.
-            if self.cfg.cfar_kind == "os":
-                use_pallas = jax.default_backend() == "tpu"
-            else:
-                use_pallas = (
-                    jax.default_backend() == "tpu" and self.rd_impl == "fft"
-                )
-            impl = "pallas" if use_pallas else "xla"
+            # measured on v5e (round 3): the band-matrix CA kernel beats
+            # XLA's reduce_window standalone (0.81 vs 1.03 ms/512) — auto
+            # picks it on TPU for every pipeline (under rd_impl='mega'
+            # the same formulation runs fused inside the mega kernel and
+            # this dispatch is bypassed entirely).  For OS the Pallas
+            # rank-selection kernel IS the production path (42 vs
+            # 4,327 ms/512 at stride 1).
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         interpret = (
             impl == "pallas-interpret" or jax.default_backend() != "tpu"
         )

@@ -14,6 +14,8 @@ kernel for the same contract lives in ``radar_tpu.ops.pallas.cfar_kernel``.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +49,61 @@ def cfar_alpha(guard: tuple[int, int], train: tuple[int, int], pfa: float) -> tu
     wd, wr = gd + td, gr + tr
     n_train = (2 * wd + 1) * (2 * wr + 1) - (2 * gd + 1) * (2 * gr + 1)
     return n_train * (pfa ** (-1.0 / n_train) - 1.0), n_train
+
+
+# ---------------------------------------------------------------------------
+# box sums as banded matrices (the MXU formulation)
+#
+# A wrap/reflect box sum along one axis is a linear map with a constant
+# banded 0/1/2 matrix, so the 2D CA-CFAR window becomes
+# threshold = (Td @ p @ Sr^T - Gd @ p @ Gr^T) * alpha/n — four matmuls per
+# map on the MXU instead of a (2w+1)^2-tap sliding window on the VPU.
+# Consumed by the mega kernel (ops/pallas/megakernel.py) and the
+# standalone Pallas CFAR kernel (ops/pallas/cfar_kernel.py).
+
+
+@functools.lru_cache(maxsize=None)
+def band_wrap(n: int, w: int):
+    """Circulant 0/1 matrix: B[i, j] = 1 iff j is within +-w of i mod n."""
+    import numpy as np
+
+    i = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    d = np.abs(i - j)
+    return (np.minimum(d, n - d) <= w).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def band_reflect(n: int, w: int):
+    """Reflect-padded box matrix: B[i, j] = multiplicity of column j in the
+    width-(2w+1) window at i under numpy 'reflect' (edge not repeated)."""
+    import numpy as np
+
+    m = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for p in range(i - w, i + w + 1):
+            q = p
+            if q < 0:
+                q = -q
+            if q >= n:
+                q = 2 * n - 2 - q
+            m[i, q] += 1.0
+    return m
+
+
+def cfar_band_matrices(cfg: RadarConfig, d_size: int, r_size: int):
+    """(Td, Sr, Gd, Gr) f32 box matrices for ``ca_cfar_2d``'s contract:
+    Doppler wraps, range per ``cfg.cfar_range_mode``."""
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    wd, wr = gd + td, gr + tr
+    mk_r = band_wrap if cfg.cfar_range_mode == "wrap" else band_reflect
+    return (
+        band_wrap(d_size, wd),
+        mk_r(r_size, wr),
+        band_wrap(d_size, gd),
+        mk_r(r_size, gr),
+    )
 
 
 def ca_cfar_2d(

@@ -49,12 +49,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
-from radar_tpu.ops.cfar import cfar_alpha
+from radar_tpu.ops.cfar import cfar_alpha, cfar_band_matrices
 from radar_tpu.ops.dftmat import dft_matrix, resolve_precision
 
 
@@ -93,50 +92,6 @@ def _make_dot(precision: str):
         return _DOT(a[0], b[0], precision=prec)
 
     return dot1, (lambda x: (x,))
-
-
-# ---------------------------------------------------------------------------
-# CFAR band matrices (box sums as MXU matmuls)
-
-
-@functools.lru_cache(maxsize=None)
-def _band_wrap(n: int, w: int) -> np.ndarray:
-    """Circulant 0/1 matrix: B[i, j] = 1 iff j is within +-w of i mod n."""
-    i = np.arange(n)[:, None]
-    j = np.arange(n)[None, :]
-    d = np.abs(i - j)
-    return (np.minimum(d, n - d) <= w).astype(np.float32)
-
-
-@functools.lru_cache(maxsize=None)
-def _band_reflect(n: int, w: int) -> np.ndarray:
-    """Reflect-padded box matrix: B[i, j] = multiplicity of column j in the
-    width-(2w+1) window at i under numpy 'reflect' (edge not repeated)."""
-    m = np.zeros((n, n), np.float32)
-    for i in range(n):
-        for p in range(i - w, i + w + 1):
-            q = p
-            if q < 0:
-                q = -q
-            if q >= n:
-                q = 2 * n - 2 - q
-            m[i, q] += 1.0
-    return m
-
-
-def cfar_band_matrices(cfg: RadarConfig, d_size: int, r_size: int):
-    """(Td, Sr, Gd, Gr) f32 box matrices for ``ca_cfar_2d``'s contract:
-    Doppler wraps, range per ``cfg.cfar_range_mode``."""
-    gd, gr = cfg.cfar_guard
-    td, tr = cfg.cfar_train
-    wd, wr = gd + td, gr + tr
-    mk_r = _band_wrap if cfg.cfar_range_mode == "wrap" else _band_reflect
-    return (
-        _band_wrap(d_size, wd),
-        mk_r(r_size, wr),
-        _band_wrap(d_size, gd),
-        mk_r(r_size, gr),
-    )
 
 
 # ---------------------------------------------------------------------------

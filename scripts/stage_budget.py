@@ -94,9 +94,12 @@ def main() -> None:
         fence(run(shorts, base))
         return (time.perf_counter() - t0) / iters
 
-    # fixed overhead of the harness itself (dispatch + fence + empty loop)
+    # fixed overhead of the harness itself (dispatch + fence), warmed so
+    # compile time does not pollute it; amortized /iters in every line
+    noop = jax.jit(lambda s: jnp.float32(0))
+    fence(noop(shorts))
     t0 = time.perf_counter()
-    fence(jax.jit(lambda s: jnp.float32(0))(shorts))
+    fence(noop(shorts))
     fixed = time.perf_counter() - t0
 
     # ---- prefix programs of the shipped mega path -------------------------
