@@ -175,13 +175,13 @@ def aoa_from_snapshots(snaps: jnp.ndarray, cfg: RadarConfig):
     return azimuth, angle_bin
 
 
-def _parabolic_offset(flat, idx_m, idx_c, idx_p):
-    """Sub-bin offset in [-0.5, 0.5] from three log-power samples gathered
-    at flat cell indices (twin of golden.parabolic_bin_offset)."""
+def _parabolic_core(pm, pc, pp):
+    """Sub-bin offset in [-0.5, 0.5] from three power samples
+    (twin of golden.parabolic_bin_offset)."""
     eps = 1e-30
-    lm = jnp.log(jnp.maximum(jnp.take_along_axis(flat, idx_m, axis=-1), eps))
-    lc = jnp.log(jnp.maximum(jnp.take_along_axis(flat, idx_c, axis=-1), eps))
-    lp = jnp.log(jnp.maximum(jnp.take_along_axis(flat, idx_p, axis=-1), eps))
+    lm = jnp.log(jnp.maximum(pm, eps))
+    lc = jnp.log(jnp.maximum(pc, eps))
+    lp = jnp.log(jnp.maximum(pp, eps))
     denom = lm - 2.0 * lc + lp
     offset = jnp.where(
         jnp.abs(denom) > 1e-12,
@@ -189,6 +189,15 @@ def _parabolic_offset(flat, idx_m, idx_c, idx_p):
         0.0,
     )
     return jnp.clip(offset, -0.5, 0.5)
+
+
+def _parabolic_offset(flat, idx_m, idx_c, idx_p):
+    """`_parabolic_core` on samples gathered at flat cell indices."""
+    return _parabolic_core(
+        jnp.take_along_axis(flat, idx_m, axis=-1),
+        jnp.take_along_axis(flat, idx_c, axis=-1),
+        jnp.take_along_axis(flat, idx_p, axis=-1),
+    )
 
 
 def interp_cell_physics(power, top_idx, d_bin, r_bin, cfg: RadarConfig):

@@ -97,6 +97,53 @@ def _make_dot(precision: str):
 # ---------------------------------------------------------------------------
 # the kernel
 
+# The box-sum matmuls run at HIGHEST (true f32) precision: the box sums
+# cancel in (total - inner), so bf16-split passes leave ~5e-4 relative
+# threshold error near strong peaks; exact f32 multiplies keep it at f32
+# accumulation-order noise (~1e-7).  Only 8 small (D, D)x(D, R) products
+# per frame — MXU cost is negligible.
+
+
+def _mm_band(a_f32, x):
+    return _DOT(a_f32, x, precision=jax.lax.Precision.HIGHEST)
+
+
+def _mm_band_r(x, a_f32):
+    return jax.lax.dot_general(
+        x, a_f32,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _frame_maps(raw_f, art, ait, fr, fi, br_ref, bi_ref, *, dot, split,
+                cv, s2, kc, tvr, d_size, tv, r_size, mean_clutter, tx):
+    """One frame's (dr, di, p) from its raw int16 block, all in VMEM;
+    art/ait/fr/fi arrive pre-split at the configured precision.
+    """
+    raw = split(raw_f.reshape(cv, s2).astype(jnp.float32))
+    zr = dot(raw, art)            # (C*V, R) range planes
+    zi = dot(raw, ait)
+    if not mean_clutter:
+        zr = zr - br_ref[:]
+        zi = zi - bi_ref[:]
+    xr = zr.reshape(kc, tvr)      # TDM demux: contiguous reshape
+    xi = zi.reshape(kc, tvr)
+    if mean_clutter:
+        # chirp-mean clutter removal == subtracting the mean over ALL
+        # chirps (Kc x TX) per (v, r) cell, matching fuseddft.py
+        mr = jnp.mean(xr.reshape(kc * tx, tvr // tx), axis=0)
+        mi = jnp.mean(xi.reshape(kc * tx, tvr // tx), axis=0)
+        xr = xr - jnp.tile(mr, tx)[None, :]
+        xi = xi - jnp.tile(mi, tx)[None, :]
+    xr = split(xr)
+    xi = split(xi)
+    dr = dot(fr, xr) - dot(fi, xi)   # (D, TV*R) Doppler planes
+    di = dot(fr, xi) + dot(fi, xr)
+    p = (dr * dr + di * di).reshape(d_size, tv, r_size).sum(axis=1)
+    return dr, di, p
+
 
 def _mega_kernel(
     raw_ref, art_ref, ait_ref, fr_ref, fi_ref, br_ref, bi_ref,
@@ -118,47 +165,16 @@ def _mega_kernel(
     fr = split(fr_ref[:])
     fi = split(fi_ref[:])
 
-    # The box-sum matmuls run at HIGHEST (true f32) precision: the box
-    # sums cancel in (total - inner), so bf16-split passes leave ~5e-4
-    # relative threshold error near strong peaks; exact f32 multiplies
-    # keep it at f32 accumulation-order noise (~1e-7).  Only 8 small
-    # (D, D)x(D, R) products per frame — MXU cost is negligible.
-    def mm_band(a_f32, x):
-        return _DOT(a_f32, x, precision=jax.lax.Precision.HIGHEST)
-
-    def mm_band_r(x, a_f32):
-        return jax.lax.dot_general(
-            x, a_f32,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
     for f in range(rows):
-        raw = split(raw_ref[f].reshape(cv, s2).astype(jnp.float32))
-        zr = dot(raw, art)            # (C*V, R) range planes
-        zi = dot(raw, ait)
-        if not mean_clutter:
-            zr = zr - br_ref[:]
-            zi = zi - bi_ref[:]
-        xr = zr.reshape(kc, tvr)      # TDM demux: contiguous reshape
-        xi = zi.reshape(kc, tvr)
-        if mean_clutter:
-            # chirp-mean clutter removal == subtracting the mean over ALL
-            # chirps (Kc x TX) per (v, r) cell, matching fuseddft.py
-            mr = jnp.mean(xr.reshape(kc * tx, tvr // tx), axis=0)
-            mi = jnp.mean(xi.reshape(kc * tx, tvr // tx), axis=0)
-            xr = xr - jnp.tile(mr, tx)[None, :]
-            xi = xi - jnp.tile(mi, tx)[None, :]
-        xr = split(xr)
-        xi = split(xi)
-        dr = dot(fr, xr) - dot(fi, xi)   # (D, TV*R) Doppler planes
-        di = dot(fr, xi) + dot(fi, xr)
-        p = (dr * dr + di * di).reshape(d_size, tv, r_size).sum(axis=1)
+        _, _, p = _frame_maps(
+            raw_ref[f], art, ait, fr, fi, br_ref, bi_ref, dot=dot,
+            split=split, cv=cv, s2=s2, kc=kc, tvr=tvr, d_size=d_size,
+            tv=tv, r_size=r_size, mean_clutter=mean_clutter, tx=tx,
+        )
         out_ref[f] = p
         if with_cfar:
-            tot = mm_band_r(mm_band(td, p), sr)
-            inn = mm_band_r(mm_band(gd, p), gr)
+            tot = _mm_band_r(_mm_band(td, p), sr)
+            inn = _mm_band_r(_mm_band(gd, p), gr)
             th_ref[f] = (tot - inn) * coef
 
 

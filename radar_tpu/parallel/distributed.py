@@ -56,11 +56,11 @@ class DistributedRDPipeline:
         rd_impl: str = "fft",
         cfar_impl: str = "xla",
     ):
-        if rd_impl not in ("fft", "mxu", "planar", "fused"):
+        if rd_impl not in ("fft", "mxu", "planar", "fused", "mega"):
             raise ValueError(
                 f"rd_impl {rd_impl!r} not supported by the sharded pipeline "
-                "(use 'fft', 'mxu', 'planar', or 'fused'; 'fused-pallas' is "
-                "single-device only)"
+                "(use 'fft', 'mxu', 'planar', 'fused', or 'mega'; "
+                "'fused-pallas' is single-device only)"
             )
         if cfar_impl not in ("xla", "pallas"):
             raise ValueError(f"cfar_impl must be 'xla' or 'pallas', got {cfar_impl!r}")
@@ -74,6 +74,14 @@ class DistributedRDPipeline:
             raise ValueError(
                 f"chan mesh axis ({self.chan_size}) must divide num_rx "
                 f"({cfg.num_rx})"
+            )
+        if rd_impl == "mega" and self.chan_size != 1:
+            # the mega kernel integrates power over all RX in VMEM, so the
+            # RX axis cannot be split across chips; run it pure-DP
+            # (build_mesh(num_rx=1) gives a data-only mesh)
+            raise ValueError(
+                "rd_impl='mega' needs a data-only mesh (chan=1): the kernel "
+                f"integrates all RX in VMEM, got chan={self.chan_size}"
             )
         self.rx_per_shard = cfg.num_rx // self.chan_size
         self._detect = self._build_detect()
@@ -133,6 +141,37 @@ class DistributedRDPipeline:
         def local_step(shorts_local: jnp.ndarray, base_local: jnp.ndarray):
             # shorts_local: (B_local, S) int16; base_local: (rx_per, C, Smp)
             chan_idx = jax.lax.axis_index(CHAN_AXIS)
+            if rd_impl == "mega":
+                # pure-DP (chan=1, enforced at construction): each device
+                # runs the full Pallas mega kernel on its frame shard —
+                # zero collectives, the production multi-chip layout
+                from radar_tpu.ops.cfar import cfar_detect as _cfar_detect
+                from radar_tpu.ops.pallas.megakernel import (
+                    power_cfar_from_shorts_pallas,
+                    power_from_shorts_pallas,
+                    snapshots_from_shorts,
+                )
+
+                interpret = jax.default_backend() != "tpu"
+                if cfg.cfar_kind == "ca":
+                    power, th = power_cfar_from_shorts_pallas(
+                        shorts_local, base_local, cfg, interpret=interpret
+                    )
+                    hits = power > th
+                else:
+                    power = power_from_shorts_pallas(
+                        shorts_local, base_local, cfg, interpret=interpret
+                    )
+                    hits, _ = _cfar_detect(
+                        power, cfg, cfar_impl, interpret=interpret
+                    )
+                return assemble_result(
+                    power,
+                    lambda ti: snapshots_from_shorts(
+                        shorts_local, base_local, ti, cfg
+                    ),
+                    hits, k, cfg,
+                )
             if rd_impl == "fused":
                 # interleave-aware DFT matmuls straight off the raw shorts,
                 # with this shard's RX group sliced BEFORE the contraction

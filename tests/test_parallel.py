@@ -289,3 +289,33 @@ def test_two_process_distributed(tmp_path):
     np.testing.assert_allclose(
         got["azimuth_deg"], np.asarray(want.azimuth_deg), rtol=1e-4, atol=1e-4
     )
+
+
+def test_distributed_mega_matches_single_device(cfg, capture):
+    """Pure-DP mega: each device runs the full Pallas mega kernel
+    (interpret mode on CPU) on its frame shard — matches the
+    single-device mega path, and a chan>1 mesh is rejected."""
+    mesh = build_mesh(n_devices=8, num_rx=1)  # data-only mesh
+    assert mesh.shape["chan"] == 1
+    dist = DistributedRDPipeline(
+        mesh=mesh, cfg=cfg, max_detections=8, rd_impl="mega"
+    )
+    single = RDPipeline(cfg, max_detections=8, rd_impl="mega")
+    frames = capture[1:9]
+    want = single.detect(
+        jnp.asarray(frames), single.prepare_base(jnp.asarray(capture[0]))
+    )
+    got = dist.detect(dist.shard_frames(frames), dist.prepare_base(capture[0]))
+    np.testing.assert_array_equal(np.asarray(got.range_bin),
+                                  np.asarray(want.range_bin))
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_array_equal(np.asarray(got.num_hits),
+                                  np.asarray(want.num_hits))
+    np.testing.assert_allclose(np.asarray(got.power), np.asarray(want.power),
+                               rtol=1e-5)
+
+    with pytest.raises(ValueError, match="data-only mesh"):
+        DistributedRDPipeline(
+            mesh=build_mesh(n_devices=8, num_rx=cfg.num_rx),
+            cfg=cfg, rd_impl="mega",
+        )
