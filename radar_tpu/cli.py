@@ -216,7 +216,12 @@ def cmd_serve(args) -> int:
         b0 = jax.block_until_ready(pipe.prepare_base(warm[0]))
         # full dispatch+materialize round trip: compiles detect AND the
         # packed-transfer program, and primes the transport
-        np.asarray(pack_detections(pipe.detect(warm, b0)))
+        packed = np.asarray(pack_detections(pipe.detect(warm, b0)))
+        if args.refine:
+            # compile the refinement program too — a first-batch compile
+            # inside the receive loop would overflow the reassembler
+            _refined_azimuth(pipe, warm, b0, packed[..., 7], packed[..., 8],
+                             args.refine)
         print(json.dumps({"event": "ready"}), flush=True)
 
     batches = udp_frame_batches_multi(
@@ -251,8 +256,10 @@ def cmd_serve(args) -> int:
             stack = np.zeros((nb, cfg.shorts_per_frame), np.int16)
             stack[: len(frames_src)] = np.stack(frames_src)
             # single packed transfer: per-leaf materialization costs one
-            # transport RTT each (see pack_detections)
-            out = np.asarray(pack_detections(pipe.detect(stack, bases[src])))
+            # transport RTT each (see pack_detections).  np.array (not
+            # asarray): jax's cached npy view is read-only and --refine
+            # writes the azimuth column in place.
+            out = np.array(pack_detections(pipe.detect(stack, bases[src])))
             elev = None
             if args.refine:
                 az, elev = _refined_azimuth(

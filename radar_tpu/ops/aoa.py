@@ -53,7 +53,9 @@ def angle_fft_spectrum(
       complex64 (..., num_angle_bins), fftshifted.
     """
     n = cfg.num_angle_bins
-    v = rx_snapshot.shape[-1]
+    # fft(x, n=...) TRUNCATES inputs longer than n (matching the golden
+    # twin); summing past n would alias element i onto row i mod n
+    v = min(rx_snapshot.shape[-1], n)
     w = _angle_dft_rows(v, n)
     return sum(
         rx_snapshot[..., i : i + 1] * jnp.asarray(w[i]) for i in range(v)

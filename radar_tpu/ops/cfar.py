@@ -64,29 +64,36 @@ def cfar_alpha(guard: tuple[int, int], train: tuple[int, int], pfa: float) -> tu
 
 @functools.lru_cache(maxsize=None)
 def band_wrap(n: int, w: int):
-    """Circulant 0/1 matrix: B[i, j] = 1 iff j is within +-w of i mod n."""
+    """Circulant box matrix: B[i, j] = multiplicity of column j in the
+    width-(2w+1) window at i under wrap padding.  Multiplicity, not a
+    0/1 mask: when the window spans the axis (2w+1 > n) wrap padding
+    counts cells more than once, exactly like ``jnp.pad(mode='wrap')``
+    + ``reduce_window``."""
     import numpy as np
 
-    i = np.arange(n)[:, None]
-    j = np.arange(n)[None, :]
-    d = np.abs(i - j)
-    return (np.minimum(d, n - d) <= w).astype(np.float32)
+    m = np.zeros((n, n), np.float32)
+    for o in range(-w, w + 1):
+        for i in range(n):
+            m[i, (i + o) % n] += 1.0
+    return m
 
 
 @functools.lru_cache(maxsize=None)
 def band_reflect(n: int, w: int):
     """Reflect-padded box matrix: B[i, j] = multiplicity of column j in the
-    width-(2w+1) window at i under numpy 'reflect' (edge not repeated)."""
+    width-(2w+1) window at i under numpy 'reflect' (edge not repeated;
+    multi-bounce for windows wider than the axis, period 2n-2)."""
     import numpy as np
 
+    if n == 1:
+        return np.full((1, 1), float(2 * w + 1), np.float32)
     m = np.zeros((n, n), np.float32)
+    period = 2 * n - 2
     for i in range(n):
         for p in range(i - w, i + w + 1):
-            q = p
-            if q < 0:
-                q = -q
+            q = p % period
             if q >= n:
-                q = 2 * n - 2 - q
+                q = period - q
             m[i, q] += 1.0
     return m
 
@@ -104,6 +111,34 @@ def cfar_band_matrices(cfg: RadarConfig, d_size: int, r_size: int):
         band_wrap(d_size, gd),
         mk_r(r_size, gr),
     )
+
+
+def os_ring_params(cfg: RadarConfig):
+    """(offsets, n_train, k, alpha) shared by every OS-CFAR twin.
+
+    One definition of the training-ring order (guard excluded, decimated
+    by ``cfg.cfar_os_stride``), the rank (half-away-from-zero rounding of
+    ``k_frac * n``, matching the C++ llround) and the Rohling alpha — the
+    XLA path, the Pallas rank-selection kernel, and the golden model must
+    agree bit-for-bit on all three, so they all consume this.
+    """
+    import math
+
+    from radar_tpu.golden import os_cfar_alpha
+
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    wd, wr = gd + td, gr + tr
+    offsets = [
+        (dd, dr)
+        for dd in range(-wd, wd + 1)
+        for dr in range(-wr, wr + 1)
+        if not (abs(dd) <= gd and abs(dr) <= gr)
+    ][:: cfg.cfar_os_stride]
+    n_train = len(offsets)
+    k = max(1, min(n_train, int(math.floor(cfg.cfar_os_k_frac * n_train + 0.5))))
+    alpha = float(os_cfar_alpha(n_train, k, cfg.cfar_pfa))
+    return offsets, n_train, k, alpha
 
 
 def ca_cfar_2d(
@@ -154,25 +189,13 @@ def os_cfar_2d(
     Returns:
       (hits bool, threshold float32), shapes of ``power``.
     """
-    from radar_tpu.golden import os_cfar_alpha
-
     gd, gr = cfg.cfar_guard
     td, tr = cfg.cfar_train
     wd, wr = gd + td, gr + tr
     d_sz, r_sz = power.shape[-2], power.shape[-1]
 
-    offsets = [
-        (dd, dr)
-        for dd in range(-wd, wd + 1)
-        for dr in range(-wr, wr + 1)
-        if not (abs(dd) <= gd and abs(dr) <= gr)
-    ][:: cfg.cfar_os_stride]
-    n_train = len(offsets)
-    # half-away-from-zero, matching golden.os_cfar_2d and the C++ llround
-    import math
-
-    k = max(1, min(n_train, int(math.floor(cfg.cfar_os_k_frac * n_train + 0.5))))
-    alpha = jnp.float32(os_cfar_alpha(n_train, k, cfg.cfar_pfa))
+    offsets, n_train, k, alpha_f = os_ring_params(cfg)
+    alpha = jnp.float32(alpha_f)
 
     def one_map(p: jnp.ndarray) -> jnp.ndarray:
         padded = jnp.pad(p, [(wd, wd), (0, 0)], mode="wrap")

@@ -37,18 +37,31 @@ from jax.experimental.pallas import tpu as pltpu
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
 from radar_tpu.ops.cfar import cfar_alpha, cfar_band_matrices
 
-_DOT_H = functools.partial(
+# The canonical band matmul pair, shared with the mega kernel
+# (ops/pallas/megakernel.py): run at HIGHEST (true f32) precision — the
+# box sums cancel in (total - inner), so bf16-split passes would leave
+# ~5e-4 relative threshold error near strong peaks, while exact f32
+# multiplies keep it at accumulation-order noise (~1e-7) for negligible
+# MXU cost (four small (D, D)x(D, R) products per map).
+mm_band = functools.partial(
     jax.lax.dot_general,
     dimension_numbers=(((1,), (0,)), ((), ())),
     preferred_element_type=jnp.float32,
     precision=jax.lax.Precision.HIGHEST,
 )
-_DOT_HR = functools.partial(
+mm_band_r = functools.partial(
     jax.lax.dot_general,
     dimension_numbers=(((1,), (1,)), ((), ())),
     preferred_element_type=jnp.float32,
     precision=jax.lax.Precision.HIGHEST,
 )
+
+
+def band_threshold(p, td, sr, gd, gr, coef):
+    """One map's CA-CFAR threshold from its band matrices (VMEM values)."""
+    tot = mm_band_r(mm_band(td, p), sr)
+    inn = mm_band_r(mm_band(gd, p), gr)
+    return (tot - inn) * coef
 
 
 def _cfar_kernel(p_ref, td_ref, sr_ref, gd_ref, gr_ref, th_ref, *,
@@ -58,10 +71,7 @@ def _cfar_kernel(p_ref, td_ref, sr_ref, gd_ref, gr_ref, th_ref, *,
     gd = gd_ref[:]
     gr = gr_ref[:]
     for f in range(rows):
-        p = p_ref[f]
-        tot = _DOT_HR(_DOT_H(td, p), sr)
-        inn = _DOT_HR(_DOT_H(gd, p), gr)
-        th_ref[f] = (tot - inn) * coef
+        th_ref[f] = band_threshold(p_ref[f], td, sr, gd, gr, coef)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "maps_per_step"))

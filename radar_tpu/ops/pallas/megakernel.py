@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
 from radar_tpu.ops.cfar import cfar_alpha, cfar_band_matrices
 from radar_tpu.ops.dftmat import dft_matrix, resolve_precision
+from radar_tpu.ops.pallas.cfar_kernel import band_threshold
 
 
 # ---------------------------------------------------------------------------
@@ -96,25 +97,6 @@ def _make_dot(precision: str):
 
 # ---------------------------------------------------------------------------
 # the kernel
-
-# The box-sum matmuls run at HIGHEST (true f32) precision: the box sums
-# cancel in (total - inner), so bf16-split passes leave ~5e-4 relative
-# threshold error near strong peaks; exact f32 multiplies keep it at f32
-# accumulation-order noise (~1e-7).  Only 8 small (D, D)x(D, R) products
-# per frame — MXU cost is negligible.
-
-
-def _mm_band(a_f32, x):
-    return _DOT(a_f32, x, precision=jax.lax.Precision.HIGHEST)
-
-
-def _mm_band_r(x, a_f32):
-    return jax.lax.dot_general(
-        x, a_f32,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
 
 
 def _frame_maps(raw_f, art, ait, fr, fi, br_ref, bi_ref, *, dot, split,
@@ -173,9 +155,7 @@ def _mega_kernel(
         )
         out_ref[f] = p
         if with_cfar:
-            tot = _mm_band_r(_mm_band(td, p), sr)
-            inn = _mm_band_r(_mm_band(gd, p), gr)
-            th_ref[f] = (tot - inn) * coef
+            th_ref[f] = band_threshold(p, td, sr, gd, gr, coef)
 
 
 def _auto_rows(cfg: RadarConfig, b: int) -> int:

@@ -49,18 +49,12 @@ _SEARCH_ITERS = 31
 
 
 def ring_offsets(cfg) -> list[tuple[int, int]]:
-    """Training-ring offsets in the shared deterministic order, decimated
-    by ``cfg.cfar_os_stride`` (identical to golden.os_cfar_2d:341-350 and
-    ops.cfar.os_cfar_2d)."""
-    gd, gr = cfg.cfar_guard
-    td, tr = cfg.cfar_train
-    wd, wr = gd + td, gr + tr
-    return [
-        (dd, dr)
-        for dd in range(-wd, wd + 1)
-        for dr in range(-wr, wr + 1)
-        if not (abs(dd) <= gd and abs(dr) <= gr)
-    ][:: cfg.cfar_os_stride]
+    """Training-ring offsets in the shared deterministic order (see
+    ``ops.cfar.os_ring_params`` — the single definition every OS twin
+    consumes)."""
+    from radar_tpu.ops.cfar import os_ring_params
+
+    return os_ring_params(cfg)[0]
 
 
 def _os_kernel(
@@ -134,18 +128,12 @@ def os_cfar_2d_pallas(
     Returns:
       (hits bool, threshold float32), shapes of ``power``.
     """
-    from radar_tpu.golden import os_cfar_alpha
+    from radar_tpu.ops.cfar import os_ring_params
 
     gd, gr = cfg.cfar_guard
     td, tr = cfg.cfar_train
     wd, wr = gd + td, gr + tr
-    offsets = ring_offsets(cfg)
-    n_train = len(offsets)
-    import math
-
-    # half-away-from-zero, matching golden.os_cfar_2d and the C++ llround
-    k = max(1, min(n_train, int(math.floor(cfg.cfar_os_k_frac * n_train + 0.5))))
-    alpha = float(os_cfar_alpha(n_train, k, cfg.cfar_pfa))
+    offsets, n_train, k, alpha = os_ring_params(cfg)
     n_pad = -(-n_train // 8) * 8  # sublane-multiple ring depth
 
     lead = power.shape[:-2]
@@ -163,7 +151,20 @@ def os_cfar_2d_pallas(
             "(FFT sizes are powers of two; custom sizes must divide evenly)"
         )
     if n_tiles > 1 and d_tile % 8:
-        d_tile, n_tiles = d_size, 1  # tiny maps: single tile, d0 = 0
+        # sublane tiles must be multiples of 8, but the VMEM budget asked
+        # for fewer rows.  Clamp UP to 8 only if that still fits the hard
+        # scoped-VMEM ceiling — silently reverting to one full-height
+        # tile would blow VMEM on exactly the geometries the budget
+        # logic targets (e.g. range_fft_size=2048 at the full ring).
+        if n_pad * 8 * r_size * 8 > (15 << 20):
+            raise ValueError(
+                f"OS-CFAR ring ({n_pad} cells x {r_size} range bins) "
+                "exceeds VMEM even at an 8-row Doppler tile; decimate "
+                "the training ring (cfg.cfar_os_stride) or use the XLA "
+                "path (cfar_impl='xla')"
+            )
+        d_tile = min(8, d_size)
+        n_tiles = -(-d_size // d_tile)
     # the kernel's aligned block load reads d_blk rows from tile start; pad
     # junk rows at the bottom so the LAST tile's load stays in bounds
     d_blk = -(-(d_tile + 2 * wd) // 8) * 8

@@ -62,8 +62,10 @@ class DistributedRDPipeline:
                 "(use 'fft', 'mxu', 'planar', 'fused', or 'mega'; "
                 "'fused-pallas' is single-device only)"
             )
-        if cfar_impl not in ("xla", "pallas"):
-            raise ValueError(f"cfar_impl must be 'xla' or 'pallas', got {cfar_impl!r}")
+        if cfar_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"cfar_impl must be 'auto', 'xla' or 'pallas', got {cfar_impl!r}"
+            )
         self.mesh = mesh if mesh is not None else build_mesh(num_rx=cfg.num_rx)
         self.cfg = cfg
         self.max_detections = max_detections
@@ -125,6 +127,13 @@ class DistributedRDPipeline:
         chan = self.chan_size
         rd_impl = self.rd_impl
         cfar_impl = self.cfar_impl
+        # resolved form for paths that dispatch through cfar_detect
+        # (which takes only 'xla'/'pallas'); 'auto' additionally enables
+        # the in-kernel CFAR under rd_impl='mega'
+        cfar_resolved = (
+            ("pallas" if jax.default_backend() == "tpu" else "xla")
+            if cfar_impl == "auto" else cfar_impl
+        )
 
         # Virtual-element reordering after the all_gather: the gathered axis
         # is shard-major (shard, tx, local_rx) but the steering model wants
@@ -144,7 +153,10 @@ class DistributedRDPipeline:
             if rd_impl == "mega":
                 # pure-DP (chan=1, enforced at construction): each device
                 # runs the full Pallas mega kernel on its frame shard —
-                # zero collectives, the production multi-chip layout
+                # zero collectives, the production multi-chip layout.
+                # CFAR fuses into the kernel only under cfar_impl='auto'
+                # with cfar_kind='ca', matching RDPipeline._detect_planar;
+                # an explicitly pinned impl runs on the kernel's power map
                 from radar_tpu.ops.cfar import cfar_detect as _cfar_detect
                 from radar_tpu.ops.pallas.megakernel import (
                     power_cfar_from_shorts_pallas,
@@ -153,7 +165,7 @@ class DistributedRDPipeline:
                 )
 
                 interpret = jax.default_backend() != "tpu"
-                if cfg.cfar_kind == "ca":
+                if cfg.cfar_kind == "ca" and cfar_impl == "auto":
                     power, th = power_cfar_from_shorts_pallas(
                         shorts_local, base_local, cfg, interpret=interpret
                     )
@@ -163,7 +175,7 @@ class DistributedRDPipeline:
                         shorts_local, base_local, cfg, interpret=interpret
                     )
                     hits, _ = _cfar_detect(
-                        power, cfg, cfar_impl, interpret=interpret
+                        power, cfg, cfar_resolved, interpret=interpret
                     )
                 return assemble_result(
                     power,
@@ -243,7 +255,7 @@ class DistributedRDPipeline:
             from radar_tpu.ops.cfar import cfar_detect
 
             hits, _ = cfar_detect(
-                power, cfg, cfar_impl,
+                power, cfg, cfar_resolved,
                 interpret=jax.default_backend() != "tpu",
             )
 

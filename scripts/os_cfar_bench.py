@@ -31,16 +31,12 @@ sys.path.insert(0, ".")
 
 
 def build_offsets(cfg):
+    from radar_tpu.ops.cfar import os_ring_params
+
     gd, gr = cfg.cfar_guard
     td, tr = cfg.cfar_train
     wd, wr = gd + td, gr + tr
-    offsets = [
-        (dd, dr)
-        for dd in range(-wd, wd + 1)
-        for dr in range(-wr, wr + 1)
-        if not (abs(dd) <= gd and abs(dr) <= gr)
-    ]
-    return wd, wr, offsets
+    return wd, wr, os_ring_params(cfg)[0]
 
 
 def main():

@@ -287,3 +287,54 @@ def test_serve_two_sources(cfg, capsys):
     for r in frames:
         want = 4.0 if r["source"] == 0 else 9.0
         assert any(abs(d["range_m"] - want) < 1.0 for d in r["detections"])
+
+
+def test_serve_refine_loopback(cfg, capsys):
+    """cli serve --refine capon actually executes the refinement path
+    (regression: the packed result array must be writable for the
+    in-place azimuth replacement)."""
+    import time
+    from radar_tpu import cli
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+    import json as _json
+
+    capture = synthesize_capture(
+        [SceneTarget(range_m=5.0, velocity_mps=0.0, azimuth_deg=15.0,
+                     amplitude=3000.0)],
+        4, cfg, noise_std=2.0, seed=72,
+    )
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        sock.bind(("127.0.0.1", 0))
+    except OSError:
+        pytest.skip("no loopback sockets in sandbox")
+    port = sock.getsockname()[1]
+    sock.close()
+
+    packets = make_packets(capture)
+
+    def send():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i, p in enumerate(packets):
+            tx.sendto(p, ("127.0.0.1", port))
+            if i % 64 == 63:
+                time.sleep(0.001)
+        tx.close()
+
+    t = threading.Timer(0.5, send)
+    t.start()
+    rc = cli.main(["serve", "--port", str(port), "--host", "127.0.0.1",
+                   "--max-frames", "4", "--timeout", "15",
+                   "--refine", "capon"])
+    t.join()
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    recs = [_json.loads(l) for l in lines]
+    frame_recs = [r for r in recs if "frame" in r]
+    assert len(frame_recs) == 3
+    # the refined azimuth stays on target
+    best = [
+        max(r["detections"], key=lambda d: d["power"])
+        for r in frame_recs if r["detections"]
+    ]
+    assert best and all(abs(d["azimuth_deg"] - 15.0) < 4.0 for d in best)

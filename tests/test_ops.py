@@ -304,3 +304,33 @@ def test_os_cfar_stride_parity_and_pfa(cfg):
     h, _ = golden.os_cfar_2d(noise, c.cfar_guard, c.cfar_train, c.cfar_pfa,
                              stride=4)
     assert h.sum() <= 30
+
+
+def test_cfar_band_matrices_match_padded_boxsum():
+    """Band matrices == pad+window-sum ground truth, INCLUDING windows
+    wider than the axis (wrap counts cells with multiplicity; reflect
+    multi-bounces with period 2n-2) — the regime where a 0/1 mask would
+    silently under-count."""
+    import numpy as np
+
+    from radar_tpu.ops.cfar import band_reflect, band_wrap
+
+    rng = np.random.default_rng(0)
+    for n, w in [(8, 2), (8, 6), (8, 10), (5, 3), (16, 6), (1, 3)]:
+        x = rng.uniform(1.0, 2.0, (n, 7))
+        xp_wrap = np.pad(x, ((w, w), (0, 0)), mode="wrap")
+        want = np.stack(
+            [xp_wrap[i : i + 2 * w + 1].sum(axis=0) for i in range(n)]
+        )
+        got = band_wrap(n, w) @ x
+        np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=f"wrap {n},{w}")
+
+        if n > 1:
+            xp_ref = np.pad(x, ((w, w), (0, 0)), mode="reflect")
+            want = np.stack(
+                [xp_ref[i : i + 2 * w + 1].sum(axis=0) for i in range(n)]
+            )
+            got = band_reflect(n, w) @ x
+            np.testing.assert_allclose(
+                got, want, rtol=1e-6, err_msg=f"reflect {n},{w}"
+            )

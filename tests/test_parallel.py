@@ -298,7 +298,8 @@ def test_distributed_mega_matches_single_device(cfg, capture):
     mesh = build_mesh(n_devices=8, num_rx=1)  # data-only mesh
     assert mesh.shape["chan"] == 1
     dist = DistributedRDPipeline(
-        mesh=mesh, cfg=cfg, max_detections=8, rd_impl="mega"
+        mesh=mesh, cfg=cfg, max_detections=8, rd_impl="mega",
+        cfar_impl="auto",  # in-kernel CFAR, matching the single auto path
     )
     single = RDPipeline(cfg, max_detections=8, rd_impl="mega")
     frames = capture[1:9]
