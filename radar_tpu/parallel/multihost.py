@@ -65,6 +65,25 @@ def host_to_global(x, sharding):
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
+def local_frames_to_global(local_frames, sharding):
+    """Per-process LOCAL frame batches -> one global array sharded over
+    'data'.
+
+    The multi-host INGEST primitive: each host's UDP reassemblers deliver
+    only that host's sensor frames; process p's block becomes the p-th
+    slice of the global batch, landing directly on p's local devices —
+    raw cubes never cross DCN (SURVEY.md §2.3's plan).  Requires the
+    mesh's 'data' axis to be outermost in process order (build_mesh's
+    jax.devices() ordering guarantees it).
+    """
+    import jax
+
+    local_frames = np.asarray(local_frames)
+    if jax.process_count() == 1:
+        return jax.device_put(local_frames, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_frames)
+
+
 def gather_detections(out):
     """Allgather a (possibly sharded) RDResult pytree to host NumPy on
     every process (tiled: concatenated along the sharded axis)."""
@@ -97,6 +116,12 @@ def _worker(argv=None) -> int:
     ap.add_argument("--frames-per-data-shard", type=int, default=2)
     ap.add_argument("--num-samples", type=int, default=32)
     ap.add_argument("--num-chirps", type=int, default=16)
+    ap.add_argument("--udp-port", type=int, default=None,
+                    help="ingest mode: receive this process's frames over "
+                         "UDP (first received frame = shared base frame) "
+                         "instead of synthesizing them")
+    ap.add_argument("--frames-local", type=int, default=2,
+                    help="ingest mode: frames to receive after the base")
     args = ap.parse_args(argv)
 
     import os
@@ -124,14 +149,40 @@ def _worker(argv=None) -> int:
         mesh=mesh, cfg=cfg, max_detections=4, rd_impl="fused"
     )
     data_size = mesh.shape["data"]
-    capture = synthesize_capture(
-        [SceneTarget(range_m=3.0, velocity_mps=1.0, azimuth_deg=15.0)],
-        num_frames=data_size * args.frames_per_data_shard + 1,
-        cfg=cfg,
-        seed=0,
-    )
-    base = pipe.prepare_base(capture[0])
-    frames = pipe.shard_frames(capture[1:])
+    if args.udp_port is not None:
+        # multi-host ingest: THIS process's sensors only; its frames land
+        # on its local devices via local_frames_to_global — raw cubes
+        # never cross DCN.  First received frame is the (shared) base.
+        import pathlib
+
+        from radar_tpu.io.live import udp_frame_batches
+
+        ready = pathlib.Path(f"{args.out}.rank{args.process_id}.ready")
+        received: list[np.ndarray] = []
+        for batch in udp_frame_batches(
+            args.udp_port, cfg, host="127.0.0.1",
+            max_frames=1 + args.frames_local, timeout_s=60.0,
+            on_bound=lambda: ready.write_text("ok"),
+        ):
+            received.extend(batch)
+        if len(received) != 1 + args.frames_local:
+            raise RuntimeError(
+                f"rank {args.process_id}: expected {1 + args.frames_local} "
+                f"frames over UDP, got {len(received)}"
+            )
+        base = pipe.prepare_base(received[0])
+        frames = local_frames_to_global(
+            np.stack(received[1:]), pipe.frame_sharding
+        )
+    else:
+        capture = synthesize_capture(
+            [SceneTarget(range_m=3.0, velocity_mps=1.0, azimuth_deg=15.0)],
+            num_frames=data_size * args.frames_per_data_shard + 1,
+            cfg=cfg,
+            seed=0,
+        )
+        base = pipe.prepare_base(capture[0])
+        frames = pipe.shard_frames(capture[1:])
     out = gather_detections(pipe.detect(frames, base))
     if jax.process_index() == 0:
         np.savez(

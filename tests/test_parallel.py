@@ -320,3 +320,109 @@ def test_distributed_mega_matches_single_device(cfg, capture):
             mesh=build_mesh(n_devices=8, num_rx=cfg.num_rx),
             cfg=cfg, rd_impl="mega",
         )
+
+
+def test_two_process_udp_ingest(tmp_path):
+    """Multi-host INGEST executed for real: two OS processes, each
+    receiving only ITS OWN sensor's frames over UDP (first frame = the
+    shared base), assembled into one globally-sharded batch with
+    local_frames_to_global — raw cubes never leave their host — then the
+    shared shard_map program detects across the 8-device mesh.  Rank-0's
+    gathered detections must match a single-process run on the
+    concatenated capture."""
+    import subprocess
+    import sys
+    import time
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from __graft_entry__ import cpu_mesh_env
+
+    import socket
+
+    from radar_tpu.config import RadarConfig
+    from radar_tpu.io.live import make_packets
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+
+    cfg2 = RadarConfig(num_samples=32, num_chirps=16)
+    capture = synthesize_capture(
+        [SceneTarget(range_m=3.0, velocity_mps=1.0, azimuth_deg=15.0)],
+        num_frames=5, cfg=cfg2, seed=0,
+    )
+
+    def free_port(kind=socket.SOCK_STREAM):
+        s = socket.socket(socket.AF_INET, kind)
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    coord = free_port()
+    udp_ports = [free_port(socket.SOCK_DGRAM) for _ in range(2)]
+    out_npz = tmp_path / "rank0.npz"
+    env = cpu_mesh_env(4)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "radar_tpu.parallel.multihost",
+                "--coordinator", f"localhost:{coord}",
+                "--num-processes", "2",
+                "--process-id", str(i),
+                "--out", str(out_npz),
+                "--udp-port", str(udp_ports[i]),
+                "--frames-local", "2",
+            ],
+            env=env,
+            cwd=str(__import__("pathlib").Path(__file__).parents[1]),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+
+    # wait for both reassemblers to bind, then send each process its own
+    # frames: base to both, frames 1-2 to rank 0, frames 3-4 to rank 1
+    ready = [tmp_path / f"rank0.npz.rank{i}.ready" for i in range(2)]
+    deadline = time.time() + 300
+    while not all(r.exists() for r in ready):
+        if time.time() > deadline:
+            for p in procs:
+                p.kill()
+            outs = [p.communicate() for p in procs]
+            raise AssertionError(
+                f"workers never bound their sockets:\n{outs[0][1][-2000:]}"
+                f"\n{outs[1][1][-2000:]}"
+            )
+        if any(p.poll() is not None for p in procs):
+            outs = [p.communicate() for p in procs]
+            raise AssertionError(
+                f"worker died early:\n{outs[0][1][-2000:]}\n{outs[1][1][-2000:]}"
+            )
+        time.sleep(0.2)
+
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    for rank, frames in ((0, capture[[0, 1, 2]]), (1, capture[[0, 3, 4]])):
+        for i, pkt in enumerate(make_packets(frames)):
+            tx.sendto(pkt, ("127.0.0.1", udp_ports[rank]))
+            if i % 32 == 31:
+                time.sleep(0.001)
+    tx.close()
+
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"ingest worker failed:\n{so}\n{se[-3000:]}"
+
+    got = np.load(out_npz)
+    assert int(got["num_processes"]) == 2
+
+    # single-process reference on the concatenated frames, same mesh shape
+    mesh = build_mesh(n_devices=8, num_rx=cfg2.num_rx)
+    pipe = DistributedRDPipeline(
+        mesh=mesh, cfg=cfg2, max_detections=4, rd_impl="fused"
+    )
+    base = pipe.prepare_base(capture[0])
+    want = pipe.detect(pipe.shard_frames(capture[1:]), base)
+    np.testing.assert_array_equal(got["range_bin"], np.asarray(want.range_bin))
+    np.testing.assert_array_equal(got["valid"], np.asarray(want.valid))
+    np.testing.assert_array_equal(got["num_hits"], np.asarray(want.num_hits))
+    np.testing.assert_allclose(got["power"], np.asarray(want.power), rtol=1e-5)
