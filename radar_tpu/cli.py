@@ -488,7 +488,44 @@ def cmd_bench(args) -> int:
     mode = "range-Doppler-CFAR-AoA" if args.full else "range-parity"
     print(f"TPU Timing ({mode}, batch={args.batch})")
 
-    if args.stages and not args.full:
+    if args.stages and args.full:
+        # full-pipeline decomposition on one resident batch: the mega
+        # kernel front-end (decode+range+Doppler+power+CFAR, one Pallas
+        # program) vs the detection tail (top-K + interp + AoA) — finer
+        # on-chip budgets live in scripts/stage_budget.py
+        from radar_tpu.utils.timing import time_fn
+        import jax as _jax
+
+        b = _jax.device_put(np.asarray(first))
+        nb = args.batch
+        print(
+            f"Total Time for {n} frames {1000*total:.5f} ms "
+            f"averaged {n/total:.5f} FPS"
+        )
+        if args.rd_impl in ("auto", "mega", "mega-interpret"):
+            from radar_tpu.ops.pallas.megakernel import (
+                power_cfar_from_shorts_pallas,
+            )
+
+            interp = (args.rd_impl == "mega-interpret"
+                      or _jax.default_backend() != "tpu")
+            t_kern = time_fn(
+                lambda x, bc: power_cfar_from_shorts_pallas(
+                    x, bc, cfg, interpret=interp
+                ),
+                b, base_cube, iters=5,
+            )
+            t_det = time_fn(pipe.detect, b, base_cube, iters=5)
+            tail = max(0.0, t_det - t_kern)
+            print(f"Mega-kernel front-end (decode+DFT+power+CFAR) "
+                  f"{1000*t_kern:.5f} ms averaged "
+                  f"{1000*t_kern/nb:.5f} ms/frame")
+            print(f"Detection tail (top-K + interp + AoA) "
+                  f"{1000*tail:.5f} ms averaged {1000*tail/nb:.5f} ms/frame")
+        else:
+            print("(per-stage breakdown is reported for the mega path; "
+                  "see scripts/stage_budget.py for other impls)")
+    elif args.stages:
         # reference-format 4-bucket breakdown (non-overlapping, fenced) on
         # one resident batch — cudaBenchMarking.cpp:328-331's report
         from radar_tpu.utils.timing import time_fn

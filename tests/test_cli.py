@@ -179,3 +179,13 @@ def test_refine_improves_offgrid_azimuth(cfg):
         err_capon.append(abs(capon[f, best] - true_az))
     assert np.mean(err_capon) <= np.mean(err_grid) + 1e-6
     assert np.mean(err_capon) <= 2.0
+
+
+def test_bench_full_stages(cap_path, capsys):
+    """--full --stages: mega front-end vs detection tail decomposition."""
+    rc = cli.main(["bench", str(cap_path), "--batch", "4", "--full",
+                   "--stages"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Mega-kernel front-end" in out
+    assert "Detection tail" in out
