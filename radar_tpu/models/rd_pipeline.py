@@ -466,7 +466,12 @@ class RDPipeline:
         cfg = self.cfg
         impl = self.rd_impl
         if impl == "auto":
-            impl = "mega" if jax.default_backend() == "tpu" else "fft"
+            if jax.default_backend() == "tpu":
+                from radar_tpu.ops.pallas.megakernel import mega_supported
+
+                impl = "mega" if mega_supported(cfg) else "fused"
+            else:
+                impl = "fft"
         if impl in ("planar", "fused", "fused-pallas", "mega",
                     "mega-interpret"):
             return self._detect_planar(shorts, base_cube, impl=impl)
@@ -521,6 +526,7 @@ class RDPipeline:
         base = base_cube if self.use_base_frame else None
         if impl in ("mega", "mega-interpret"):
             from radar_tpu.ops.pallas.megakernel import (
+                mega_supported,
                 power_cfar_from_shorts_pallas,
                 power_from_shorts_pallas,
                 snapshots_from_shorts,
@@ -529,6 +535,14 @@ class RDPipeline:
             interpret = (
                 impl == "mega-interpret" or jax.default_backend() != "tpu"
             )
+            if not interpret and not mega_supported(cfg):
+                raise ValueError(
+                    f"rd_impl='mega' needs range_fft_size % 128 == 0 on "
+                    f"TPU (Mosaic cannot lower the in-VMEM TDM demux "
+                    f"reshape for {cfg.range_fft_size}-lane rows); use "
+                    "rd_impl='fused' (what 'auto' falls back to) or a "
+                    "power-of-two sample count >= 65"
+                )
             if cfg.cfar_kind == "ca" and self.cfar_impl == "auto":
                 power, thresh = power_cfar_from_shorts_pallas(
                     shorts, base, cfg, interpret=interpret

@@ -158,6 +158,19 @@ def _mega_kernel(
             th_ref[f] = band_threshold(p, td, sr, gd, gr, coef)
 
 
+def mega_supported(cfg: RadarConfig) -> bool:
+    """Whether Mosaic can lower the mega kernel for this geometry.
+
+    The in-VMEM TDM demux ``(C*V, R) -> (Kc, TX*V*R)`` merges sublanes
+    into lanes; Mosaic lowers that shape cast only when the row width is
+    a whole number of 128-lane tiles (measured: s64/r_size=64 fails with
+    "infer-vector-layout: unsupported shape cast"; every R % 128 == 0
+    geometry compiles).  ``rd_impl='auto'`` falls back to the fused XLA
+    path when this is False; interpret mode (CPU tests) is unaffected.
+    """
+    return cfg.range_fft_size % 128 == 0
+
+
 def _auto_rows(cfg: RadarConfig, b: int) -> int:
     """Frames per grid step, sized so the per-step working set (raw block,
     range/Doppler planes and their bf16 splits, double-buffered I/O)

@@ -85,6 +85,14 @@ class DistributedRDPipeline:
                 "rd_impl='mega' needs a data-only mesh (chan=1): the kernel "
                 f"integrates all RX in VMEM, got chan={self.chan_size}"
             )
+        if rd_impl == "mega" and jax.default_backend() == "tpu":
+            from radar_tpu.ops.pallas.megakernel import mega_supported
+
+            if not mega_supported(cfg):
+                raise ValueError(
+                    f"rd_impl='mega' needs range_fft_size % 128 == 0 on "
+                    f"TPU, got {cfg.range_fft_size}; use rd_impl='fused'"
+                )
         self.rx_per_shard = cfg.num_rx // self.chan_size
         self._detect = self._build_detect()
 

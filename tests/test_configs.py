@@ -148,3 +148,57 @@ def test_invalid_knob_values_rejected():
         RadarConfig(dft_precision="bf16")
     with pytest.raises(ValueError, match="cfar_os_k_frac"):
         RadarConfig(cfar_os_k_frac=0.0)
+
+
+@pytest.mark.parametrize("c", CONFIGS, ids=lambda c: (
+    f"s{c.num_samples}-c{c.num_chirps}-rx{c.num_rx}-tx{c.num_tx}"
+))
+def test_mega_matches_fused_across_configs(c):
+    """The mega kernel (interpret mode on CPU) must agree with the fused
+    path at every geometry — the in-kernel reshape/demux/CFAR math is
+    shape-generic, not hardwired to 100x128x4."""
+    tgt = SceneTarget(range_m=4.0, velocity_mps=1.5, azimuth_deg=12.0,
+                      amplitude=3000.0)
+    shorts = synthesize_capture([tgt], 3, c, noise_std=2.0, seed=11)
+    fused = RDPipeline(c, max_detections=8, rd_impl="fused", cfar_impl="xla")
+    mega = RDPipeline(c, max_detections=8, rd_impl="mega", cfar_impl="xla")
+    base = fused.prepare_base(jnp.asarray(shorts[0]))
+    a = fused.detect(jnp.asarray(shorts[1:]), base)
+    b = mega.detect(jnp.asarray(shorts[1:]), base)
+    np.testing.assert_array_equal(np.asarray(a.range_bin), np.asarray(b.range_bin))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    # atol scaled to the peak: noise-floor cells (~1e-7 of peak) carry
+    # clutter-cancellation noise that differs between Mosaic and XLA
+    # accumulation orders
+    np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
+                               rtol=2e-4,
+                               atol=1e-8 * float(np.asarray(a.power).max()))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_mega_matches_fused_random_geometry(seed):
+    """Fuzz the mega kernel across random geometries (interpret mode)."""
+    rng = np.random.RandomState(seed + 200)
+    num_tx = int(rng.choice([1, 2]))
+    c = RadarConfig(
+        num_samples=int(rng.choice([24, 48, 72, 100])),
+        num_chirps=int(rng.choice([16, 32, 48])) * num_tx,
+        num_rx=int(rng.choice([2, 4])),
+        num_tx=num_tx,
+    )
+    tgt = SceneTarget(range_m=3.5, velocity_mps=1.0, azimuth_deg=8.0,
+                      amplitude=3000.0)
+    shorts = synthesize_capture([tgt], 2, c, noise_std=2.0, seed=seed)
+    fused = RDPipeline(c, max_detections=4, rd_impl="fused", cfar_impl="xla")
+    mega = RDPipeline(c, max_detections=4, rd_impl="mega", cfar_impl="xla")
+    base = fused.prepare_base(jnp.asarray(shorts[0]))
+    a = fused.detect(jnp.asarray(shorts[1:]), base)
+    b = mega.detect(jnp.asarray(shorts[1:]), base)
+    np.testing.assert_array_equal(np.asarray(a.range_bin), np.asarray(b.range_bin))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    # atol scaled to the peak: noise-floor cells (~1e-7 of peak) carry
+    # clutter-cancellation noise that differs between Mosaic and XLA
+    # accumulation orders
+    np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
+                               rtol=2e-4,
+                               atol=1e-8 * float(np.asarray(a.power).max()))

@@ -192,3 +192,14 @@ def test_snapshots_from_shorts_mean_clutter(cfg, targets):
     got = snapshots_from_shorts(x, None, top_idx, cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-2 * float(jnp.abs(want).max()))
+
+def test_mega_supported_gate(cfg):
+    """Geometry gate for Mosaic's shape-cast restriction: auto falls back
+    to fused when range rows are not whole 128-lane tiles."""
+    from radar_tpu.ops.pallas.megakernel import mega_supported
+
+    assert mega_supported(cfg)
+    assert mega_supported(RadarConfig(num_samples=256, num_chirps=128))
+    assert not mega_supported(
+        RadarConfig(num_samples=64, num_chirps=64, num_rx=2)
+    )
