@@ -133,8 +133,6 @@ def test_track_refine_capon(cap_path, capsys):
 
 def test_serve_refine_flag_parses():
     """--refine is accepted by serve (socket-free smoke: bad arg rejected)."""
-    import argparse
-
     with pytest.raises(SystemExit):
         cli.main(["serve", "--port", "1", "--refine", "bogus"])
 
