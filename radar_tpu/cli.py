@@ -488,27 +488,38 @@ def cmd_bench(args) -> int:
     mode = "range-Doppler-CFAR-AoA" if args.full else "range-parity"
     print(f"TPU Timing ({mode}, batch={args.batch})")
 
+    if args.stages:
+        from radar_tpu.utils.timing import time_fn
+
+        b = jax.device_put(np.asarray(first))
+        nb = args.batch
     if args.stages and args.full:
         # full-pipeline decomposition on one resident batch: the mega
         # kernel front-end (decode+range+Doppler+power+CFAR, one Pallas
         # program) vs the detection tail (top-K + interp + AoA) — finer
-        # on-chip budgets live in scripts/stage_budget.py
-        from radar_tpu.utils.timing import time_fn
-        import jax as _jax
+        # on-chip budgets live in scripts/stage_budget.py.  Keyed on the
+        # impl detect() actually RESOLVES (auto -> mega only on TPU at
+        # supported geometries with in-kernel CA-CFAR), so the printed
+        # front-end is the kernel that really ran.
+        from radar_tpu.ops.pallas.megakernel import mega_supported
 
-        b = _jax.device_put(np.asarray(first))
-        nb = args.batch
         print(
             f"Total Time for {n} frames {1000*total:.5f} ms "
             f"averaged {n/total:.5f} FPS"
         )
-        if args.rd_impl in ("auto", "mega", "mega-interpret"):
+        resolved = args.rd_impl
+        if resolved == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            resolved = ("mega" if on_tpu and mega_supported(cfg)
+                        else ("fused" if on_tpu else "fft"))
+        if (resolved in ("mega", "mega-interpret")
+                and cfg.cfar_kind == "ca"):
             from radar_tpu.ops.pallas.megakernel import (
                 power_cfar_from_shorts_pallas,
             )
 
-            interp = (args.rd_impl == "mega-interpret"
-                      or _jax.default_backend() != "tpu")
+            interp = (resolved == "mega-interpret"
+                      or jax.default_backend() != "tpu")
             t_kern = time_fn(
                 lambda x, bc: power_cfar_from_shorts_pallas(
                     x, bc, cfg, interpret=interp
@@ -523,21 +534,18 @@ def cmd_bench(args) -> int:
             print(f"Detection tail (top-K + interp + AoA) "
                   f"{1000*tail:.5f} ms averaged {1000*tail/nb:.5f} ms/frame")
         else:
-            print("(per-stage breakdown is reported for the mega path; "
-                  "see scripts/stage_budget.py for other impls)")
+            print(f"(per-stage breakdown is reported for the mega+CA "
+                  f"path; this run resolved to rd_impl={resolved!r}, "
+                  f"cfar_kind={cfg.cfar_kind!r} — see "
+                  "scripts/stage_budget.py)")
     elif args.stages:
         # reference-format 4-bucket breakdown (non-overlapping, fenced) on
         # one resident batch — cudaBenchMarking.cpp:328-331's report
-        from radar_tpu.utils.timing import time_fn
-        import jax as _jax
-
-        b = _jax.device_put(np.asarray(first))
         padded = det.preprocess(b, base_rx0)
         spec = det.fft_stage(padded)
         t_pre = time_fn(det.preprocess, b, base_rx0, iters=5)
         t_fft = time_fn(det.fft_stage, padded, iters=5)
         t_det = time_fn(det.detect_stage, spec, iters=5)
-        nb = args.batch
         st = StageTimings(
             preprocess=t_pre, fft=t_fft, detect=t_det,
             total=total * nb / max(n, 1), frames=nb,

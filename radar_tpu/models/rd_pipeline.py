@@ -526,7 +526,6 @@ class RDPipeline:
         base = base_cube if self.use_base_frame else None
         if impl in ("mega", "mega-interpret"):
             from radar_tpu.ops.pallas.megakernel import (
-                mega_supported,
                 power_cfar_from_shorts_pallas,
                 power_from_shorts_pallas,
                 snapshots_from_shorts,
@@ -535,14 +534,8 @@ class RDPipeline:
             interpret = (
                 impl == "mega-interpret" or jax.default_backend() != "tpu"
             )
-            if not interpret and not mega_supported(cfg):
-                raise ValueError(
-                    f"rd_impl='mega' needs range_fft_size % 128 == 0 on "
-                    f"TPU (Mosaic cannot lower the in-VMEM TDM demux "
-                    f"reshape for {cfg.range_fft_size}-lane rows); use "
-                    "rd_impl='fused' (what 'auto' falls back to) or a "
-                    "power-of-two sample count >= 65"
-                )
+            # unsupported geometries raise inside _mega_call (one gate
+            # for every entry point); 'auto' never reaches here for them
             if cfg.cfar_kind == "ca" and self.cfar_impl == "auto":
                 power, thresh = power_cfar_from_shorts_pallas(
                     shorts, base, cfg, interpret=interpret

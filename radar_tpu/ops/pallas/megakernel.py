@@ -224,6 +224,15 @@ def _plan(shorts, base_cube, cfg, window):
 def _mega_call(
     shorts, base_cube, cfg, window, with_cfar, interpret, rows
 ):
+    if not interpret and not mega_supported(cfg):
+        # one gate for every entry point (pipeline, distributed, CLI):
+        # raise our error instead of Mosaic's internal shape-cast failure
+        raise ValueError(
+            f"the mega kernel needs range_fft_size % 128 == 0 on TPU "
+            f"(Mosaic cannot lower the in-VMEM TDM demux reshape for "
+            f"{cfg.range_fft_size}-lane rows); use rd_impl='fused' "
+            "(what 'auto' falls back to)"
+        )
     lead, raw, art, ait, fr, fi, br, bi = _plan(shorts, base_cube, cfg, window)
     b = raw.shape[0]
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples

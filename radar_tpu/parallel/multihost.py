@@ -81,7 +81,18 @@ def local_frames_to_global(local_frames, sharding):
     local_frames = np.asarray(local_frames)
     if jax.process_count() == 1:
         return jax.device_put(local_frames, sharding)
-    return jax.make_array_from_process_local_data(sharding, local_frames)
+    arr = jax.make_array_from_process_local_data(sharding, local_frames)
+    if arr.shape[0] != local_frames.shape[0] * jax.process_count():
+        # the 'data' axis does not span processes outermost (e.g. a mesh
+        # where 'chan' crosses hosts): each process would silently supply
+        # inconsistent data for replicated shards
+        raise ValueError(
+            f"local_frames_to_global: global batch {arr.shape[0]} != "
+            f"local {local_frames.shape[0]} x {jax.process_count()} "
+            "processes — the mesh's 'data' axis must span processes "
+            "(build_mesh over jax.devices() guarantees it)"
+        )
+    return arr
 
 
 def gather_detections(out):

@@ -180,10 +180,23 @@ def test_refine_improves_offgrid_azimuth(cfg):
 
 
 def test_bench_full_stages(cap_path, capsys):
-    """--full --stages: mega front-end vs detection tail decomposition."""
+    """--full --stages: mega front-end vs detection tail decomposition
+    (pinned to mega-interpret so the decomposition matches the path that
+    runs on the CPU backend too)."""
     rc = cli.main(["bench", str(cap_path), "--batch", "4", "--full",
-                   "--stages"])
+                   "--stages", "--rd-impl", "mega-interpret"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "Mega-kernel front-end" in out
     assert "Detection tail" in out
+
+
+def test_bench_full_stages_resolution_note(cap_path, capsys):
+    """auto on CPU resolves to fft: the stages report must say so rather
+    than time a kernel the pipeline never ran."""
+    rc = cli.main(["bench", str(cap_path), "--batch", "4", "--full",
+                   "--stages"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "resolved to rd_impl='fft'" in out
+    assert "Mega-kernel front-end" not in out

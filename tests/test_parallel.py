@@ -394,7 +394,12 @@ def test_two_process_udp_ingest(tmp_path):
                 f"\n{outs[1][1][-2000:]}"
             )
         if any(p.poll() is not None for p in procs):
-            outs = [p.communicate() for p in procs]
+            # kill the survivor (blocked in distributed init / UDP wait)
+            # before collecting output, or communicate() hangs on it
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            outs = [p.communicate(timeout=60) for p in procs]
             raise AssertionError(
                 f"worker died early:\n{outs[0][1][-2000:]}\n{outs[1][1][-2000:]}"
             )
