@@ -311,6 +311,44 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_replay(args) -> int:
+    """Stream a capture file as DCA1000 raw-mode UDP datagrams — the
+    sensor side of ``cli serve`` (demo/integration without hardware; the
+    reference can only read its hardcoded file, cudaBenchMarking.cpp:224).
+
+    Paced per frame at ``--fps``; frame 0 goes first so the receiver's
+    base-frame convention holds.
+    """
+    import socket
+
+    from radar_tpu.io.capture import read_capture
+    from radar_tpu.io.live import make_packets
+
+    cfg = _build_cfg(args)
+    frames = read_capture(args.path, cfg)
+    n = len(frames) if args.max_frames < 0 else min(args.max_frames, len(frames))
+    packets = make_packets(frames[:n])
+    per_frame = -(-len(packets) // n)
+    interval = 1.0 / args.fps if args.fps > 0 else 0.0
+
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    t0 = time.perf_counter()
+    for i in range(n):
+        for pkt in packets[i * per_frame : (i + 1) * per_frame]:
+            tx.sendto(pkt, (args.host, args.port))
+        if interval:
+            # pace against the wall clock, not per-frame sleeps (drift-free)
+            lag = t0 + (i + 1) * interval - time.perf_counter()
+            if lag > 0:
+                time.sleep(lag)
+    tx.close()
+    dt = time.perf_counter() - t0
+    print(f"replayed {n} frames ({len(packets)} datagrams) to "
+          f"{args.host}:{args.port} in {dt:.2f}s = {n/max(dt,1e-9):.1f} fps",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_track(args) -> int:
     """Detect + multi-frame tracking; prints confirmed object tracks."""
     import jax
@@ -643,6 +681,17 @@ def main(argv=None) -> int:
     _add_pipeline_flags(s)
     _add_refine_flag(s)
     s.set_defaults(fn=cmd_serve)
+
+    r = sub.add_parser("replay",
+                       help="stream a capture file as DCA1000 UDP packets "
+                            "(the sensor side of `serve`)")
+    r.add_argument("path")
+    r.add_argument("--host", default="127.0.0.1")
+    r.add_argument("--port", type=int, required=True)
+    r.add_argument("--fps", type=float, default=100.0,
+                   help="frame pacing (0 = as fast as possible)")
+    r.add_argument("--max-frames", type=int, default=-1)
+    r.set_defaults(fn=cmd_replay)
 
     t = sub.add_parser("track", help="detect + multi-frame object tracking")
     t.add_argument("path")

@@ -338,3 +338,52 @@ def test_serve_refine_loopback(cfg, capsys):
         for r in frame_recs if r["detections"]
     ]
     assert best and all(abs(d["azimuth_deg"] - 15.0) < 4.0 for d in best)
+
+
+def test_replay_feeds_serve(cfg, tmp_path, capsys):
+    """cli replay -> cli serve over loopback: the full sensor-to-tracks
+    demo without hardware (reference contrast: a hardcoded file path,
+    cudaBenchMarking.cpp:224)."""
+    import threading
+    import time
+    from radar_tpu import cli
+    from radar_tpu.io.capture import write_capture
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+    import json as _json
+
+    capture = synthesize_capture(
+        [SceneTarget(range_m=6.0, velocity_mps=0.0, azimuth_deg=-10.0,
+                     amplitude=3000.0)],
+        5, cfg, noise_std=2.0, seed=73,
+    )
+    cap_path = tmp_path / "replay.bin"
+    write_capture(cap_path, capture, cfg)
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        sock.bind(("127.0.0.1", 0))
+    except OSError:
+        pytest.skip("no loopback sockets in sandbox")
+    port = sock.getsockname()[1]
+    sock.close()
+
+    def replay():
+        time.sleep(0.5)  # let serve bind + warm up
+        cli.main(["replay", str(cap_path), "--port", str(port),
+                  "--fps", "200"])
+
+    t = threading.Thread(target=replay)
+    t.start()
+    rc = cli.main(["serve", "--port", str(port), "--host", "127.0.0.1",
+                   "--max-frames", "5", "--timeout", "15"])
+    t.join()
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    recs = [_json.loads(l) for l in lines]
+    frame_recs = [r for r in recs if "frame" in r]
+    assert len(frame_recs) == 4
+    assert any(
+        abs(d["range_m"] - 6.0) < 1.0
+        for r in frame_recs for d in r["detections"]
+    )
+    assert frame_recs[-1]["tracks"]
