@@ -343,7 +343,17 @@ def snapshots_from_shorts(
     snap[b, k, t*V + v] = sum_kc F_dop[d_k, kc] * rng[b, kc, t, v, r_k]
     where rng is the clutter-removed range plane — i.e. the (d_k, r_k)
     cell of the RD planes, computed without materializing them.  Per
-    frame this is K gathered DFT rows and two tiny einsums (~2 MFLOP).
+    frame this is K gathered DFT rows, one small matmul and an
+    elementwise Doppler reduction (~2 MFLOP).
+
+    Layout note: XLA's TPU dot wants the 105 MB raw operand in a
+    transposed layout while the mega kernel's custom call pins it
+    row-major, so layout assignment materializes a relayout copy of the
+    input whichever way the contraction is phrased (profiler: ~0.5-0.9
+    ms/512 of copies; both einsum orientations measure the same).  This
+    form at least keeps the Doppler stage off the MXU — contracting Kc
+    into only TX*V outputs would pad 8-32x — as an elementwise
+    multiply+reduce.
 
     Args:
       shorts: int16 (..., shorts_per_frame).
@@ -362,7 +372,7 @@ def snapshots_from_shorts(
     kc, tx = cfg.chirps_per_tx, cfg.num_tx
     r_size = cfg.range_fft_size
     lead = shorts.shape[:-1]
-    raw = shorts.reshape((-1, c, v, s2)).astype(jnp.float32)
+    raw = shorts.reshape((-1, c * v, s2)).astype(jnp.float32)
     k_det = top_idx.shape[-1]
     top_idx = top_idx.reshape((-1, k_det))
     b = raw.shape[0]
@@ -374,27 +384,42 @@ def snapshots_from_shorts(
     a_re, a_im = interleaved_range_matrices(cfg.num_samples, r_size, window)
     a_sel_re = jnp.take(jnp.asarray(a_re, jnp.float32), r_bin, axis=0)
     a_sel_im = jnp.take(jnp.asarray(a_im, jnp.float32), r_bin, axis=0)
-    # rng[b, c, v, k] at the detected range bins  (contract over 2S)
-    ein_r = functools.partial(jnp.einsum, "bcvj,bkj->bcvk", precision=prec)
-    g_re = ein_r(raw, a_sel_re)
-    g_im = ein_r(raw, a_sel_im)
+    # rng[b, k, c*v] at the detected range bins  (contract over 2S)
+    ein_r = functools.partial(jnp.einsum, "bkj,bmj->bkm", precision=prec)
+    g_re = ein_r(a_sel_re, raw)
+    g_im = ein_r(a_sel_im, raw)
 
     if base_cube is None:
-        g_re = g_re - jnp.mean(g_re, axis=1, keepdims=True)
-        g_im = g_im - jnp.mean(g_im, axis=1, keepdims=True)
+        gm_re = g_re.reshape(b, k_det, c, v)
+        gm_im = g_im.reshape(b, k_det, c, v)
+        g_re = (gm_re - jnp.mean(gm_re, axis=2, keepdims=True)).reshape(
+            b, k_det, c * v
+        )
+        g_im = (gm_im - jnp.mean(gm_im, axis=2, keepdims=True)).reshape(
+            b, k_det, c * v
+        )
     else:
         b_re, b_im = _base_range_planes(base_cube, cfg, window)  # (C, V, R)
-        idx = r_bin[:, None, None, :]
-        g_re = g_re - jnp.take_along_axis(b_re[None], idx, axis=-1)
-        g_im = g_im - jnp.take_along_axis(b_im[None], idx, axis=-1)
+        idx = r_bin[:, None, :]  # (B, 1, K)
+        bs_re = jnp.take_along_axis(
+            b_re.reshape(1, c * v, r_size), idx, axis=-1
+        )  # (B, C*V, K)
+        bs_im = jnp.take_along_axis(
+            b_im.reshape(1, c * v, r_size), idx, axis=-1
+        )
+        g_re = g_re - jnp.swapaxes(bs_re, -1, -2)
+        g_im = g_im - jnp.swapaxes(bs_im, -1, -2)
 
-    # TDM demux (chirp = kc*TX + tx) then the per-detection Doppler DFT row
-    g_re = g_re.reshape(b, kc, tx * v, k_det)
-    g_im = g_im.reshape(b, kc, tx * v, k_det)
+    # TDM demux (chirp = kc*TX + tx), then the per-detection Doppler DFT
+    # row as an elementwise multiply + chirp reduction (contraction length
+    # Kc with only TX*V outputs — MXU would pad it 8-32x)
+    g_re = g_re.reshape(b, k_det, kc, tx * v)
+    g_im = g_im.reshape(b, k_det, kc, tx * v)
     f_dop = dft_matrix(kc, cfg.doppler_fft_size, window, shift=True)
     fr = jnp.take(jnp.asarray(f_dop.real, jnp.float32), d_bin, axis=0)
+    fr = fr[..., None]  # (B, K, Kc, 1)
     fi = jnp.take(jnp.asarray(f_dop.imag, jnp.float32), d_bin, axis=0)
-    ein_d = functools.partial(jnp.einsum, "bkc,bcvk->bkv", precision=prec)
-    sr = ein_d(fr, g_re) - ein_d(fi, g_im)
-    si = ein_d(fr, g_im) + ein_d(fi, g_re)
+    fi = fi[..., None]
+    sr = jnp.sum(fr * g_re - fi * g_im, axis=-2)
+    si = jnp.sum(fr * g_im + fi * g_re, axis=-2)
     return jax.lax.complex(sr, si).reshape(lead + (k_det, tx * v))
