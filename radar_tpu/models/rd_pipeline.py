@@ -162,9 +162,8 @@ def aoa_from_snapshots(snaps: jnp.ndarray, cfg: RadarConfig):
     aspec = spec.real * spec.real + spec.imag * spec.imag
     angle_bin = jnp.argmax(aspec, axis=-1).astype(jnp.int32)
     n = cfg.num_angle_bins
-    # one batched gather for all three parabola samples: each separate
-    # take_along_axis costs ~0.08 ms of gather overhead on TPU regardless
-    # of how few elements it moves (profiled)
+    # one batched gather for all three parabola samples (see the
+    # matching note in interp_cell_physics)
     idx3 = jnp.stack(
         [(angle_bin - 1) % n, angle_bin, (angle_bin + 1) % n], axis=-1
     )
@@ -211,10 +210,11 @@ def interp_cell_physics(power, top_idx, d_bin, r_bin, cfg: RadarConfig):
     d_size, r_size = power.shape[-2], power.shape[-1]
     flat = power.reshape(power.shape[:-2] + (-1,))
 
-    # ONE batched gather for all five neighbor samples: separate
-    # take_along_axis calls each cost ~0.08 ms of TPU gather overhead
-    # regardless of how few elements they move (profiled: 5 gathers here
-    # + 3 in aoa_from_snapshots were ~0.67 ms/512-frame batch)
+    # ONE batched gather for all five neighbor samples: the profiler
+    # showed separate take_along_axis fusions at ~0.08 ms each (5 here +
+    # 3 in aoa_from_snapshots); batching halves the tail's op count.
+    # End-to-end it measures neutral — the gathers overlapped other work
+    # — but one gather is also the simpler program.
     k = top_idx.shape[-1]
     idx5 = jnp.concatenate(
         [
