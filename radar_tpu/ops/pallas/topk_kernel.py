@@ -6,9 +6,17 @@ we keep).  CFAR hit lists are tiny, so K rounds of (max-reduce, first-match
 index, knock out the winner) on a VMEM-resident block are much cheaper:
 K * O(N) VPU work with no sort network and no HBM round trips.
 
-Semantics match ``lax.top_k`` on the masked power map: values descending,
-ties broken by lowest index.  Cells left after the hits run out carry
-``-inf`` (callers mask them with ``isfinite``, as with lax.top_k).
+Semantics match ``lax.top_k`` on the masked power map EXACTLY: values
+descending, ties broken by lowest index, and once the hits run out the
+remaining ``-inf`` slots carry ascending untaken indices (stable-sort
+order).  The last part needs a trick: the iterative knockout marks taken
+cells, but a cell knocked to ``-inf`` would tie with — and shadow — the
+untaken ``-inf`` cells.  So ``-inf`` inputs are remapped to the largest
+finite negative f32 before the kernel (the knockout's ``-inf`` then
+sorts strictly below every untaken cell) and mapped back on output.
+Inputs equal to exactly ``float32.min`` would alias the sentinel; the
+pipeline's masked power maps are non-negative-or--inf, so this never
+binds there.
 """
 
 from __future__ import annotations
@@ -49,10 +57,13 @@ def topk_pallas(
     lead = masked.shape[:-1]
     n = masked.shape[-1]
     x = masked.reshape((-1, n)).astype(jnp.float32)
+    sentinel = jnp.float32(jnp.finfo(jnp.float32).min)
+    x = jnp.where(jnp.isneginf(x), sentinel, x)
     b = x.shape[0]
     b_pad = -(-b // _ROWS) * _ROWS
     if b_pad != b:
-        x = jnp.pad(x, ((0, b_pad - b), (0, 0)), constant_values=-jnp.inf)
+        x = jnp.pad(x, ((0, b_pad - b), (0, 0)),
+                    constant_values=jnp.finfo(jnp.float32).min)
 
     kernel = functools.partial(_kernel, k=k, n=n)
     idx, val = pl.pallas_call(
@@ -71,4 +82,5 @@ def topk_pallas(
         ),
         interpret=interpret,
     )(x)
+    val = jnp.where(val == sentinel, -jnp.inf, val)
     return val[:b].reshape(lead + (k,)), idx[:b].reshape(lead + (k,))

@@ -293,3 +293,21 @@ class TestPallasOSCFAR:
             np.asarray(oa.range_bin), np.asarray(ob.range_bin)
         )
         np.testing.assert_array_equal(np.asarray(oa.num_hits), np.asarray(ob.num_hits))
+
+
+def test_topk_pallas_exhausted_slots_match_lax(cfg):
+    """With fewer hits than K the -inf slots must carry ASCENDING untaken
+    indices, exactly like lax.top_k's stable order (regression: the
+    knockout used to re-pick cell 0 for every exhausted slot)."""
+    import jax
+
+    m = jnp.full((3, 32), -jnp.inf)
+    m = m.at[0, 7].set(5.0).at[0, 3].set(9.0)   # 2 hits
+    m = m.at[1, 0].set(1.0)                      # hit at the tie index
+    # row 2: no hits at all
+    from radar_tpu.ops.pallas.topk_kernel import topk_pallas
+
+    v_ref, i_ref = jax.lax.top_k(m, 5)
+    v_p, i_p = topk_pallas(m, 5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_p))
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_p))
