@@ -232,6 +232,15 @@ def interp_cell_physics(power, top_idx, d_bin, r_bin, cfg: RadarConfig):
     prp = g5[..., 2 * k : 3 * k]
     pdm = g5[..., 3 * k : 4 * k]
     pdp = g5[..., 4 * k : 5 * k]
+    return interp_from_samples(pc, prm, prp, pdm, pdp, d_bin, r_bin, cfg)
+
+
+def interp_from_samples(pc, prm, prp, pdm, pdp, d_bin, r_bin,
+                        cfg: RadarConfig):
+    """The sub-bin math of :func:`interp_cell_physics` on pre-gathered
+    neighbor samples — shared with the mega detect kernel, which emits the
+    same five samples (bit-identical one-hot gathers) from VMEM."""
+    d_size, r_size = cfg.doppler_fft_size, cfg.range_fft_size
 
     r_off = _parabolic_core(prm, pc, prp)
     # a clamped neighbor equals the center sample, collapsing the parabola
@@ -267,6 +276,46 @@ def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig,
         power, top_idx, d_bin, r_bin, cfg
     )
     snaps = mimo_compensate(rd_snaps(top_idx), d_bin, cfg)
+    azimuth, angle_bin = aoa_from_snapshots(snaps, cfg)
+    return RDResult(
+        num_hits=num_hits,
+        doppler_bin=d_bin,
+        range_bin=r_bin,
+        power=top_power,
+        valid=valid,
+        range_m=range_m,
+        velocity_mps=velocity,
+        azimuth_deg=azimuth,
+        angle_bin=angle_bin,
+        range_m_interp=range_interp,
+        velocity_mps_interp=vel_interp,
+    )
+
+
+def assemble_result_from_kernel(
+    top_idx, top_val, nbr5, num_hits, snaps, cfg: RadarConfig
+) -> RDResult:
+    """Tail for the mega DETECT kernel (selection + neighbor samples +
+    snapshots already computed in VMEM): only physics formulas, MIMO
+    compensation and the angle FFT remain — all O(B*K) work.
+
+    Field-level contract vs :func:`assemble_result` on the maps path:
+    num_hits / bins / power / valid / interp outputs are bit-identical
+    (same masked map, same knockout, exact one-hot neighbor gathers);
+    azimuth agrees to ~1e-5 deg (snapshots gathered from the kernel's
+    range planes instead of re-contracted from raw).
+    """
+    valid = jnp.isfinite(top_val)
+    top_power = jnp.where(valid, top_val, 0.0)
+    r_size = cfg.range_fft_size
+    d_bin = (top_idx // r_size).astype(jnp.int32)
+    r_bin = (top_idx % r_size).astype(jnp.int32)
+    range_m, velocity = cell_physics(d_bin, r_bin, cfg)
+    range_interp, vel_interp = interp_from_samples(
+        nbr5[..., 0], nbr5[..., 1], nbr5[..., 2], nbr5[..., 3],
+        nbr5[..., 4], d_bin, r_bin, cfg,
+    )
+    snaps = mimo_compensate(snaps, d_bin, cfg)
     azimuth, angle_bin = aoa_from_snapshots(snaps, cfg)
     return RDResult(
         num_hits=num_hits,
@@ -339,9 +388,12 @@ class RDPipeline:
         (complex-cube MXU DFT), 'planar' (split re/im f32 planes from
         decode through power — the complex RD cube never materializes in
         HBM), 'fused' (de-interleave + transpose + window folded into
-        the DFT matmuls themselves; see ops/fuseddft.py), or 'mega'
-        (the whole shorts -> power [+ CFAR] prefix as one Pallas kernel,
-        ops/pallas/megakernel.py).
+        the DFT matmuls themselves; see ops/fuseddft.py), 'mega'
+        (the whole shorts -> power -> CFAR -> top-K -> interp-neighbor ->
+        AoA-snapshot prefix as one Pallas kernel when cfar is ca/auto,
+        ops/pallas/megakernel.py), or 'mega-maps' (the kernel stops at
+        power + CFAR maps and the detection tail runs in XLA — the
+        round-3 production path, kept as an A/B twin).
       topk_impl: 'auto' (the Pallas iterative kernel on TPU — in the mega
         program it beats lax.top_k 0.52 vs 0.79 ms/512 at K=16; lax.top_k
         elsewhere), 'xla', 'pallas', or 'pallas-interpret'.
@@ -478,7 +530,7 @@ class RDPipeline:
             else:
                 impl = "fft"
         if impl in ("planar", "fused", "fused-pallas", "mega",
-                    "mega-interpret"):
+                    "mega-interpret", "mega-maps", "mega-maps-interpret"):
             return self._detect_planar(shorts, base_cube, impl=impl)
         rd = self.rd_cube(shorts, base_cube)  # (B, rx, D, R)
         power = integrate_power(rd)
@@ -529,16 +581,33 @@ class RDPipeline:
         the normal dispatch."""
         cfg = self.cfg
         base = base_cube if self.use_base_frame else None
-        if impl in ("mega", "mega-interpret"):
+        if impl in ("mega", "mega-interpret", "mega-maps",
+                    "mega-maps-interpret"):
             from radar_tpu.ops.pallas.megakernel import (
+                detections_from_shorts_pallas,
                 power_cfar_from_shorts_pallas,
                 power_from_shorts_pallas,
                 snapshots_from_shorts,
             )
 
             interpret = (
-                impl == "mega-interpret" or jax.default_backend() != "tpu"
+                impl.endswith("-interpret")
+                or jax.default_backend() != "tpu"
             )
+            if (
+                impl in ("mega", "mega-interpret")
+                and cfg.cfar_kind == "ca"
+                and self.cfar_impl == "auto"
+            ):
+                # the detect variant: selection, interp neighbors and AoA
+                # snapshots fused into the kernel; only KB-sized tensors
+                # reach HBM.  'mega-maps' keeps the round-3 maps + XLA
+                # tail for A/B benchmarking and as a verification twin.
+                out = detections_from_shorts_pallas(
+                    shorts, base, self.max_detections, cfg,
+                    interpret=interpret,
+                )
+                return assemble_result_from_kernel(*out, cfg)
             # unsupported geometries raise inside _mega_call (one gate
             # for every entry point); 'auto' never reaches here for them
             if cfg.cfar_kind == "ca" and self.cfar_impl == "auto":

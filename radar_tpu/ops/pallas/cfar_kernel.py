@@ -13,7 +13,9 @@ threshold is four MXU matmuls::
 
 run at HIGHEST (true f32) precision — the total-inner cancellation would
 amplify bf16-pass rounding to ~5e-4 near strong peaks, while exact f32
-multiplies leave only accumulation-order noise (~1e-7).  This replaced a
+multiplies keep it at f32 accumulation-order error (measured on v5e: up
+to ~3e-4 relative vs reduce_window near strong peaks, hit decisions
+identical; the test gate is 1e-3).  This replaced a
 separable ``pltpu.roll`` shift-add kernel that was VPU-bound (2.28 ms vs
 1.48 ms for XLA's ``reduce_window`` on a 512x128x128 batch on v5e; the
 matmul form runs the same batch in ~0.5 ms) and needed a hand-calibrated
@@ -41,8 +43,9 @@ from radar_tpu.ops.cfar import cfar_alpha, cfar_band_matrices
 # (ops/pallas/megakernel.py): run at HIGHEST (true f32) precision — the
 # box sums cancel in (total - inner), so bf16-split passes would leave
 # ~5e-4 relative threshold error near strong peaks, while exact f32
-# multiplies keep it at accumulation-order noise (~1e-7) for negligible
-# MXU cost (four small (D, D)x(D, R) products per map).
+# multiplies keep it at f32 accumulation-order error (observed up to
+# ~3e-4 relative near strong peaks on v5e; hit decisions identical, test
+# gate 1e-3) for negligible MXU cost (four small products per map).
 mm_band = functools.partial(
     jax.lax.dot_general,
     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -90,11 +93,22 @@ def ca_cfar_2d_pallas(
     b = x.shape[0]
     consts = [jnp.asarray(m) for m in cfar_band_matrices(cfg, d, r)]
 
-    # working set per step: rows maps + tot/inn temporaries + the four
-    # band matrices; maps are small (64 KB at the default geometry), so 8
-    # maps/step sits far under the 16 MB scoped-VMEM limit for any
-    # geometry up to ~512x512
+    # working set per step: rows maps in + rows out + tot/inn temporaries
+    # + the four band matrices (two (D,D) + two (R,R) f32).  64 KB/map at
+    # the default geometry, but at D=R=1024 the band matrices alone are
+    # 16 MB — shrink rows first, then fail with a pointer at the XLA path
+    # instead of a raw Mosaic scoped-VMEM error.
     rows = max(1, min(maps_per_step, b))
+    band_bytes = 8 * (d * d + r * r)
+    budget = 13 << 20
+    while rows > 1 and rows * d * r * 12 + band_bytes > budget:
+        rows //= 2
+    if d * r * 12 + band_bytes > budget:
+        raise ValueError(
+            f"CA-CFAR band matrices for a {d}x{r} map ({band_bytes >> 20} "
+            "MB) exceed the ~16 MB scoped-VMEM budget even at one map per "
+            "step; use cfar_impl='xla' (reduce_window) for this geometry"
+        )
     b_pad = -(-b // rows) * rows
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))

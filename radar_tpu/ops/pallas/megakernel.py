@@ -35,8 +35,10 @@ and accumulate hi*hi + hi*lo + lo*hi in f32 (~1.4e-5 relative on the
 default geometry, same class as the XLA fused path).  The CFAR band
 matmuls run at HIGHEST (true f32) precision instead: (total - inner)
 cancels, so bf16 passes would leave ~5e-4 relative threshold error near
-strong peaks, while exact f32 multiplies keep it at accumulation-order
-noise (~1e-7) for negligible MXU cost.
+strong peaks, while exact f32 multiplies keep it at f32
+accumulation-order error (observed up to ~3e-4 relative near strong
+peaks on v5e; hit decisions identical, test gate 1e-3) for negligible
+MXU cost.
 
 Reference contrast: the reference materializes every intermediate and
 crosses the PCIe boundary per frame (acceleration.cu:435-519); here the
@@ -55,7 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
 from radar_tpu.ops.cfar import cfar_alpha, cfar_band_matrices
 from radar_tpu.ops.dftmat import dft_matrix, resolve_precision
-from radar_tpu.ops.pallas.cfar_kernel import band_threshold
+from radar_tpu.ops.pallas.cfar_kernel import band_threshold, mm_band
 
 
 # ---------------------------------------------------------------------------
@@ -100,38 +102,44 @@ def _make_dot(precision: str):
 
 
 def _frame_maps(raw_f, art, ait, fr, fi, br_ref, bi_ref, *, dot, split,
-                cv, s2, kc, tvr, d_size, tv, r_size, mean_clutter, tx):
-    """One frame's (dr, di, p) from its raw int16 block, all in VMEM;
-    art/ait/fr/fi arrive pre-split at the configured precision.
+                cv, s2, kc, tvr, d_size, tv, r_size, mean_clutter, tx,
+                n_chirps):
+    """One frame's (zr, zi, p) from its raw int16 block, all in VMEM;
+    art/ait/fr/fi arrive pre-split at the configured precision.  The
+    returned range planes are CLUTTER-REMOVED (base subtracted or
+    chirp-mean subtracted) so the detect variant can gather per-detection
+    AoA snapshots from them directly.
+
+    Chirp-mean clutter removal runs in zr space — mean over all chirps
+    per (v, r) via the (C*V, R) -> (C, V*R) lane-merge reshape — which is
+    bit-identical to the former xr-space form (same ascending-chirp
+    summation order, same cells) and keeps the demuxed planes clean.
     """
     raw = split(raw_f.reshape(cv, s2).astype(jnp.float32))
     zr = dot(raw, art)            # (C*V, R) range planes
     zi = dot(raw, ait)
-    if not mean_clutter:
+    if mean_clutter:
+        vr = (cv // n_chirps) * r_size
+        z2 = zr.reshape(n_chirps, vr)
+        zr = (z2 - jnp.mean(z2, axis=0, keepdims=True)).reshape(cv, r_size)
+        z2 = zi.reshape(n_chirps, vr)
+        zi = (z2 - jnp.mean(z2, axis=0, keepdims=True)).reshape(cv, r_size)
+    else:
         zr = zr - br_ref[:]
         zi = zi - bi_ref[:]
-    xr = zr.reshape(kc, tvr)      # TDM demux: contiguous reshape
-    xi = zi.reshape(kc, tvr)
-    if mean_clutter:
-        # chirp-mean clutter removal == subtracting the mean over ALL
-        # chirps (Kc x TX) per (v, r) cell, matching fuseddft.py
-        mr = jnp.mean(xr.reshape(kc * tx, tvr // tx), axis=0)
-        mi = jnp.mean(xi.reshape(kc * tx, tvr // tx), axis=0)
-        xr = xr - jnp.tile(mr, tx)[None, :]
-        xi = xi - jnp.tile(mi, tx)[None, :]
-    xr = split(xr)
-    xi = split(xi)
+    xr = split(zr.reshape(kc, tvr))   # TDM demux: contiguous reshape
+    xi = split(zi.reshape(kc, tvr))
     dr = dot(fr, xr) - dot(fi, xi)   # (D, TV*R) Doppler planes
     di = dot(fr, xi) + dot(fi, xr)
     p = (dr * dr + di * di).reshape(d_size, tv, r_size).sum(axis=1)
-    return dr, di, p
+    return zr, zi, p
 
 
 def _mega_kernel(
     raw_ref, art_ref, ait_ref, fr_ref, fi_ref, br_ref, bi_ref,
     *refs,
     rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
-    mean_clutter, tx, with_cfar, coef,
+    mean_clutter, tx, n_chirps, with_cfar, coef,
 ):
     if with_cfar:
         td_ref, sr_ref, gd_ref, gr_ref, out_ref, th_ref = refs
@@ -152,6 +160,7 @@ def _mega_kernel(
             raw_ref[f], art, ait, fr, fi, br_ref, bi_ref, dot=dot,
             split=split, cv=cv, s2=s2, kc=kc, tvr=tvr, d_size=d_size,
             tv=tv, r_size=r_size, mean_clutter=mean_clutter, tx=tx,
+            n_chirps=n_chirps,
         )
         out_ref[f] = p
         if with_cfar:
@@ -259,7 +268,7 @@ def _mega_call(
         rows=rows, cv=c * v, s2=s2, kc=kc, tvr=tv * r_size,
         d_size=d_size, tv=tv, r_size=r_size,
         precision=cfg.dft_precision,
-        mean_clutter=base_cube is None, tx=tx,
+        mean_clutter=base_cube is None, tx=tx, n_chirps=c,
         with_cfar=with_cfar, coef=coef,
     )
     map_sds = jax.ShapeDtypeStruct((b_pad, d_size, r_size), jnp.float32)
@@ -325,6 +334,326 @@ def power_cfar_from_shorts_pallas(
     formulation; hits are ``power > threshold``.
     """
     return _mega_call(shorts, base_cube, cfg, window, True, interpret, rows)
+
+
+# ---------------------------------------------------------------------------
+# the detect variant: selection + interp neighbors + AoA snapshots fused in
+# ---------------------------------------------------------------------------
+#
+# Round 3 measured the detection tail at ~2.2 of 5.0 ms/512 on-chip (top-K
+# 0.52, interp gathers 0.39, snapshot recompute ~1.25 incl. a ~0.5-0.9 ms
+# XLA relayout of the 105 MB raw operand) and closed two naive fusions as
+# negative results: per-frame scalar extraction loops and extra map-sized
+# kernel outputs both LOSE (ROADMAP.md round-3 notes).  This variant is the
+# prescribed third form:
+#
+# * selection is the topk_pallas knockout VECTORIZED ACROSS the step's
+#   frames on a (rows, D, R) VMEM scratch — no per-frame reduction loops;
+# * every per-detection gather is a ONE-HOT MATMUL or lane mask-reduce
+#   (static shapes; Mosaic's dynamic-sublane tax, which killed the round-3
+#   attempt, is never paid);
+# * AoA snapshots are gathered from the clutter-removed range planes that
+#   phase A already holds in VMEM, then Doppler-projected with gathered
+#   DFT rows — the XLA-side snapshot recompute and its raw-input relayout
+#   disappear from the detect path entirely;
+# * HBM output is KB-sized detection tensors; the D*R maps are never
+#   written.
+#
+# Bit-compatibility with the shipped maps path: top-K indices/values,
+# num_hits, and the five interp neighbor samples are bit-identical (same
+# masked map, same knockout order, exact f32 one-hot gathers at HIGHEST
+# precision).  Snapshots are numerically equivalent but not bit-identical
+# to ``snapshots_from_shorts`` (gathered from the kernel's 3-pass range
+# planes instead of re-contracted from raw) — azimuth agrees to ~1e-5 deg.
+
+_F32_MIN = float(jnp.finfo(jnp.float32).min)
+_K_LANE = 128  # one-hot gather matmuls run at the full lane width
+
+
+def _mega_detect_kernel(
+    raw_ref, art_ref, ait_ref, fr_ref, fi_ref, frt_ref, fit_ref,
+    br_ref, bi_ref, td_ref, sr_ref, gd_ref, gr_ref,
+    idx_ref, val_ref, nbr_ref, nh_ref, sre_ref, sim_ref,
+    mask_s, p_s, zr_s, zi_s, idxcol_s,
+    *, rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
+    mean_clutter, tx, n_chirps, coef, k_det,
+):
+    dot, split = _make_dot(precision)
+    art = split(art_ref[:])
+    ait = split(ait_ref[:])
+    fr = split(fr_ref[:])
+    fi = split(fi_ref[:])
+    td = td_ref[:]
+    sr = sr_ref[:]
+    gd = gd_ref[:]
+    gr = gr_ref[:]
+    sentinel = jnp.float32(_F32_MIN)
+
+    # -- phase A: per-frame front-end; maps live only in VMEM scratch ----
+    for f in range(rows):
+        zr, zi, p = _frame_maps(
+            raw_ref[f], art, ait, fr, fi, br_ref, bi_ref, dot=dot,
+            split=split, cv=cv, s2=s2, kc=kc, tvr=tvr, d_size=d_size,
+            tv=tv, r_size=r_size, mean_clutter=mean_clutter, tx=tx,
+            n_chirps=n_chirps,
+        )
+        th = band_threshold(p, td, sr, gd, gr, coef)
+        # sentinel (not -inf) for non-hits: the knockout's -inf then sorts
+        # strictly below every untaken cell, reproducing lax.top_k's
+        # exhausted-slot order exactly (same trick as topk_pallas)
+        mask_s[f] = jnp.where(p > th, p, sentinel)
+        p_s[f] = p
+        zr_s[f] = zr
+        zi_s[f] = zi
+
+    # -- phase B1: top-K knockout, vectorized across the step's frames ---
+    m = mask_s[:]                                       # (rows, D, R)
+    nh = jnp.sum(
+        jnp.sum((m != sentinel).astype(jnp.int32), axis=2, keepdims=True),
+        axis=1, keepdims=True,
+    )                                                   # (rows, 1, 1)
+    nh_ref[:] = nh
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, d_size, r_size), 1)
+        * r_size
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, d_size, r_size), 2)
+    )
+    n_cells = d_size * r_size
+    neg_inf = jnp.float32(-jnp.inf)
+    for j in range(k_det):
+        peak = jnp.max(
+            jnp.max(m, axis=2, keepdims=True), axis=1, keepdims=True
+        )                                               # (rows, 1, 1)
+        cand = jnp.where(m == peak, flat, n_cells)
+        idx = jnp.min(
+            jnp.min(cand, axis=2, keepdims=True), axis=1, keepdims=True
+        )
+        idx_ref[:, :, j : j + 1] = idx[:, :, 0:1]
+        val_ref[:, :, j : j + 1] = peak[:, :, 0:1]
+        idxcol_s[:, j : j + 1, :] = idx[:, 0:1, :]
+        m = jnp.where(flat == idx, neg_inf, m)
+
+    # -- phase B2: interp neighbor samples, vectorized across frames -----
+    # p[f, d_k +/- 1, r_k +/- 1] via ONE (3K*rows, D*rows) one-hot matmul
+    # against the frame-stacked maps, then lane mask-reduces; HIGHEST f32
+    # one-hot products reproduce the map values bit-exactly.
+    rk = rows * k_det
+    idxcol = idxcol_s[:].reshape(rk, 1)
+    db_c = idxcol // r_size
+    rb_c = idxcol % r_size
+    foff = (
+        jax.lax.broadcasted_iota(jnp.int32, (rk, 1), 0) // k_det
+    ) * d_size
+    col3 = jnp.concatenate(
+        [
+            db_c + foff,
+            ((db_c - 1) % d_size) + foff,
+            ((db_c + 1) % d_size) + foff,
+        ],
+        axis=0,
+    )                                                   # (3*rk, 1)
+    oh3 = (
+        jax.lax.broadcasted_iota(jnp.int32, (3 * rk, rows * d_size), 1)
+        == col3
+    ).astype(jnp.float32)
+    p3 = mm_band(oh3, p_s[:].reshape(rows * d_size, r_size))  # (3*rk, R)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rk, r_size), 1)
+    rm_c = rb_c - (rb_c > 0)
+    rp_c = rb_c + (rb_c < r_size - 1)
+    pc_rows = p3[0:rk]
+    pdm_rows = p3[rk : 2 * rk]
+    pdp_rows = p3[2 * rk : 3 * rk]
+
+    def lane_pick(rows_v, col):
+        return jnp.sum(
+            jnp.where(lane == col, rows_v, 0.0), axis=1, keepdims=True
+        )
+
+    nbr = jnp.concatenate(
+        [
+            lane_pick(pc_rows, rb_c),    # center (== top value where valid)
+            lane_pick(pc_rows, rm_c),    # range -1 (clamped)
+            lane_pick(pc_rows, rp_c),    # range +1 (clamped)
+            lane_pick(pdm_rows, rb_c),   # doppler -1 (wrapped)
+            lane_pick(pdp_rows, rb_c),   # doppler +1 (wrapped)
+            jnp.zeros((rk, 3), jnp.float32),
+        ],
+        axis=1,
+    )
+    nbr_ref[:] = nbr.reshape(rows, k_det, 8)
+
+    # -- phase B3: AoA snapshots from the in-VMEM range planes -----------
+    # Per frame (each op is a full-width matmul or a medium elementwise —
+    # no tiny dynamic extractions): gather the K detected range columns
+    # from the clutter-removed (C*V, R) planes with a (R, 128) one-hot,
+    # demux to (Kc, TV, 128), and project each detection onto its gathered
+    # Doppler DFT row.
+    frt = frt_ref[:]                                    # (Kc, D)
+    fit = fit_ref[:]
+    pad = jnp.full((1, _K_LANE - k_det), -1, jnp.int32)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (r_size, _K_LANE), 0)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (d_size, _K_LANE), 0)
+    for f in range(rows):
+        top_row = idx_ref[f]                            # (1, K)
+        rbp = jnp.concatenate([top_row % r_size, pad], axis=1)
+        dbp = jnp.concatenate([top_row // r_size, pad], axis=1)
+        oh_r = split((iota_r == rbp).astype(jnp.float32))
+        oh_d = (iota_d == dbp).astype(jnp.float32)
+        g_re = dot(split(zr_s[f]), oh_r)                # (C*V, 128)
+        g_im = dot(split(zi_s[f]), oh_r)
+        fsel_re = mm_band(frt, oh_d)                    # (Kc, 128), exact
+        fsel_im = mm_band(fit, oh_d)
+        g3r = g_re.reshape(kc, tv, _K_LANE)
+        g3i = g_im.reshape(kc, tv, _K_LANE)
+        sre = jnp.sum(
+            fsel_re[:, None, :] * g3r - fsel_im[:, None, :] * g3i, axis=0
+        )                                               # (TV, 128)
+        sim = jnp.sum(
+            fsel_re[:, None, :] * g3i + fsel_im[:, None, :] * g3r, axis=0
+        )
+        sre_ref[f] = sre[:, :k_det]
+        sim_ref[f] = sim[:, :k_det]
+
+
+def _auto_rows_detect(cfg: RadarConfig, b: int) -> int:
+    """:func:`_auto_rows` plus the detect variant's scratch keep-alives:
+    the clutter-removed range planes (rows, C*V, R) x2 and the power +
+    masked maps (rows, D, R) x2 survive the whole step."""
+    c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
+    d, r = cfg.doppler_fft_size, cfg.range_fft_size
+    per_frame = (
+        (c * v * s2 * 6) + (c * v * r * 16) + (d * v * cfg.num_tx * r * 16)
+        + (c * v * r * 8) + (d * r * 8)
+    )
+    rows = max(1, min(int((14 << 20) // max(per_frame, 1)), 8, b))
+    while rows & (rows - 1):
+        rows -= 1
+    return rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "window", "k_det", "interpret", "rows"),
+)
+def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows):
+    if not interpret and not mega_supported(cfg):
+        raise ValueError(
+            f"the mega kernel needs range_fft_size % 128 == 0 on TPU "
+            f"(Mosaic cannot lower the in-VMEM TDM demux reshape for "
+            f"{cfg.range_fft_size}-lane rows); use rd_impl='fused' "
+            "(what 'auto' falls back to)"
+        )
+    if k_det > _K_LANE:
+        raise ValueError(
+            f"mega detect kernel supports max_detections <= {_K_LANE} "
+            f"(got {k_det}); use rd_impl='mega-maps'"
+        )
+    lead, raw, art, ait, fr, fi, br, bi = _plan(shorts, base_cube, cfg, window)
+    b = raw.shape[0]
+    c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
+    kc, tx = cfg.chirps_per_tx, cfg.num_tx
+    d_size, r_size = cfg.doppler_fft_size, cfg.range_fft_size
+    tv = tx * v
+
+    rows = _auto_rows_detect(cfg, b) if rows is None else max(1, min(rows, b))
+    b_pad = -(-b // rows) * rows
+    if b_pad != b:
+        raw = jnp.pad(raw, ((0, b_pad - b),) + ((0, 0),) * 3)
+
+    alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa)
+    consts = [art, ait, fr, fi, fr.T, fi.T, br, bi] + [
+        jnp.asarray(m) for m in cfar_band_matrices(cfg, d_size, r_size)
+    ]
+
+    kern = functools.partial(
+        _mega_detect_kernel,
+        rows=rows, cv=c * v, s2=s2, kc=kc, tvr=tv * r_size,
+        d_size=d_size, tv=tv, r_size=r_size,
+        precision=cfg.dft_precision,
+        mean_clutter=base_cube is None, tx=tx, n_chirps=c,
+        coef=float(alpha / n_train), k_det=k_det,
+    )
+
+    def const_spec(m):
+        nd = m.ndim
+        return pl.BlockSpec(m.shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    def out_spec(*shape):
+        return pl.BlockSpec((rows,) + shape, lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    idx, val, nbr, nh, sre, sim = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, 1, k_det), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, 1, k_det), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k_det, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, tv, k_det), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, tv, k_det), jnp.float32),
+        ),
+        grid=(b_pad // rows,),
+        in_specs=[pl.BlockSpec((rows, c, v, s2), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [const_spec(m) for m in consts],
+        out_specs=(
+            out_spec(1, k_det), out_spec(1, k_det), out_spec(k_det, 8),
+            out_spec(1, 1), out_spec(tv, k_det), out_spec(tv, k_det),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, d_size, r_size), jnp.float32),   # masked
+            pltpu.VMEM((rows, d_size, r_size), jnp.float32),   # power
+            pltpu.VMEM((rows, c * v, r_size), jnp.float32),    # zr
+            pltpu.VMEM((rows, c * v, r_size), jnp.float32),    # zi
+            pltpu.VMEM((rows, k_det, 1), jnp.int32),           # idx col form
+        ],
+        interpret=interpret,
+    )(raw, *consts)
+
+    top_idx = idx[:b, 0].reshape(lead + (k_det,))
+    top_val = val[:b, 0].reshape(lead + (k_det,))
+    top_val = jnp.where(top_val == jnp.float32(_F32_MIN), -jnp.inf, top_val)
+    nbr5 = nbr[:b, :, :5].reshape(lead + (k_det, 5))
+    num_hits = nh[:b, 0, 0].reshape(lead)
+    snaps = jax.lax.complex(sre[:b], sim[:b])            # (b, TV, K)
+    snaps = jnp.swapaxes(snaps, -1, -2).reshape(lead + (k_det, tv))
+    return top_idx, top_val, nbr5, num_hits, snaps
+
+
+def detections_from_shorts_pallas(
+    shorts: jnp.ndarray,
+    base_cube: jnp.ndarray | None,
+    k_det: int,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    window: bool = True,
+    interpret: bool = False,
+    rows: int | None = None,
+):
+    """Raw int16 frames -> compact detection tensors, ONE Pallas kernel.
+
+    The full shorts -> range DFT -> Doppler DFT -> power -> CA-CFAR ->
+    top-K -> interp-neighbor -> AoA-snapshot prefix; only KB-sized
+    per-detection tensors reach HBM (the D*R maps never do).
+
+    Returns:
+      top_idx  int32   (..., K) flat D*R cell index (lax.top_k order,
+        ascending untaken indices in exhausted slots);
+      top_val  float32 (..., K) detection power, -inf in exhausted slots;
+      nbr      float32 (..., K, 5) power at [center, range-1, range+1,
+        doppler-1, doppler+1] (range clamped, Doppler wrapped — the exact
+        samples ``interp_cell_physics`` gathers);
+      num_hits int32   (...,) CFAR hit count;
+      snaps    complex64 (..., K, TX*V) virtual-RX snapshots (numerically
+        equivalent to :func:`snapshots_from_shorts`, pre-MIMO-compensation).
+
+    Reference contrast: the whole per-frame detection of the reference —
+    kernel chain + full-spectrum D2H + host scan (acceleration.cu:435-523)
+    — is one kernel invocation whose result transfer is ~200 bytes/frame.
+    """
+    return _mega_detect_call(
+        shorts, base_cube, cfg, window, k_det, interpret, rows
+    )
 
 
 # ---------------------------------------------------------------------------

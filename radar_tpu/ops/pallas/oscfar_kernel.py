@@ -165,6 +165,15 @@ def os_cfar_2d_pallas(
             )
         d_tile = min(8, d_size)
         n_tiles = -(-d_size // d_tile)
+        if n_tiles * d_tile != d_size:
+            # the pre-clamp divisibility check ran against the budget tile;
+            # re-check against the clamped one (e.g. D=36 -> 5 tiles x 8 =
+            # 40 rows would silently rely on unvalidated edge-block padding)
+            raise ValueError(
+                f"doppler size {d_size} not divisible by the 8-row VMEM "
+                f"tile the ring budget forces; use a multiple-of-8 doppler "
+                "FFT size or the XLA path (cfar_impl='xla')"
+            )
     # the kernel's aligned block load reads d_blk rows from tile start; pad
     # junk rows at the bottom so the LAST tile's load stays in bounds
     d_blk = -(-(d_tile + 2 * wd) // 8) * 8

@@ -19,7 +19,7 @@ import numpy as np
 import pytest
 
 from radar_tpu.config import RadarConfig
-from radar_tpu.io.synthetic import synthesize_capture
+from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
 from radar_tpu.models.rd_pipeline import RDPipeline
 
 
@@ -192,6 +192,74 @@ def test_snapshots_from_shorts_mean_clutter(cfg, targets):
     got = snapshots_from_shorts(x, None, top_idx, cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-2 * float(jnp.abs(want).max()))
+
+_EXACT_FIELDS = (
+    "num_hits", "doppler_bin", "range_bin", "valid", "power", "range_m",
+    "velocity_mps", "range_m_interp", "velocity_mps_interp",
+)
+
+
+@pytest.mark.parametrize("use_base", [True, False])
+def test_mega_detect_variant_bit_exact(cfg, targets, use_base):
+    """The fused detect kernel (selection + interp neighbors + snapshots
+    in VMEM) is bit-identical to the maps + Pallas-top-K tail on every
+    field except azimuth (snapshots gathered from the kernel's range
+    planes instead of re-contracted from raw; ~1e-4 deg)."""
+    shorts = synthesize_capture(targets, 4, cfg, noise_std=2.0, seed=91)
+    det = RDPipeline(cfg, max_detections=8, rd_impl="mega-interpret",
+                     use_base_frame=use_base)
+    maps = RDPipeline(cfg, max_detections=8, rd_impl="mega-maps-interpret",
+                      topk_impl="pallas-interpret", use_base_frame=use_base)
+    base = det.prepare_base(jnp.asarray(shorts[0])) if use_base else None
+    a = det.detect(jnp.asarray(shorts[1:]), base)
+    b = maps.detect(jnp.asarray(shorts[1:]), base)
+    for f in _EXACT_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            err_msg=f,
+        )
+    np.testing.assert_allclose(np.asarray(a.azimuth_deg),
+                               np.asarray(b.azimuth_deg), atol=1e-3)
+
+
+def test_mega_detect_variant_mimo(targets):
+    """Detect kernel under TDM-MIMO: demux + per-detection Doppler rows."""
+    cfg2 = RadarConfig(num_tx=2)
+    shorts = synthesize_capture(targets, 3, cfg2, noise_std=2.0, seed=92)
+    det = RDPipeline(cfg2, max_detections=8, rd_impl="mega-interpret")
+    maps = RDPipeline(cfg2, max_detections=8, rd_impl="mega-maps-interpret",
+                      topk_impl="pallas-interpret")
+    base = det.prepare_base(jnp.asarray(shorts[0]))
+    a = det.detect(jnp.asarray(shorts[1:]), base)
+    b = maps.detect(jnp.asarray(shorts[1:]), base)
+    for f in _EXACT_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            err_msg=f,
+        )
+    np.testing.assert_allclose(np.asarray(a.azimuth_deg),
+                               np.asarray(b.azimuth_deg), atol=1e-3)
+
+
+def test_mega_detect_exhausted_slots_match_topk(cfg):
+    """With nearly-empty hit maps, exhausted slots must carry the same
+    ascending untaken indices as lax.top_k (the e586119 bug class)."""
+    shorts = synthesize_capture(
+        [SceneTarget(5.0, 0.0, 0.0)], 3, cfg, noise_std=0.5, seed=93
+    )
+    det = RDPipeline(cfg, max_detections=32, rd_impl="mega-interpret")
+    xla = RDPipeline(cfg, max_detections=32, rd_impl="mega-maps-interpret",
+                     topk_impl="xla")
+    base = det.prepare_base(jnp.asarray(shorts[0]))
+    a = det.detect(jnp.asarray(shorts[1:]), base)
+    b = xla.detect(jnp.asarray(shorts[1:]), base)
+    assert not bool(np.asarray(a.valid).all())  # exhausted slots exist
+    np.testing.assert_array_equal(np.asarray(a.range_bin),
+                                  np.asarray(b.range_bin))
+    np.testing.assert_array_equal(np.asarray(a.doppler_bin),
+                                  np.asarray(b.doppler_bin))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+
 
 def test_mega_supported_gate(cfg):
     """Geometry gate for Mosaic's shape-cast restriction: auto falls back
