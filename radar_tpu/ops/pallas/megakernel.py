@@ -167,17 +167,37 @@ def _mega_kernel(
             th_ref[f] = band_threshold(p, td, sr, gd, gr, coef)
 
 
-def mega_supported(cfg: RadarConfig) -> bool:
-    """Whether Mosaic can lower the mega kernel for this geometry.
+def _r_pad(cfg: RadarConfig) -> int:
+    """Range axis padded up to whole 128-lane tiles.
 
     The in-VMEM TDM demux ``(C*V, R) -> (Kc, TX*V*R)`` merges sublanes
     into lanes; Mosaic lowers that shape cast only when the row width is
-    a whole number of 128-lane tiles (measured: s64/r_size=64 fails with
+    a whole number of 128-lane tiles (measured: r_size=64 fails with
     "infer-vector-layout: unsupported shape cast"; every R % 128 == 0
-    geometry compiles).  ``rd_impl='auto'`` falls back to the fused XLA
-    path when this is False; interpret mode (CPU tests) is unaffected.
-    """
-    return cfg.range_fft_size % 128 == 0
+    geometry compiles).  Non-aligned geometries therefore run with the
+    range DFT matrices zero-padded to ``_r_pad`` columns — pad cells
+    carry exact zeros through clutter removal, Doppler, power and the
+    (padded) CFAR band matrices, so they can never become hits — and the
+    maps are sliced back to R on output.  This restores the reference's
+    any-compile-time-geometry property (acceleration.cu:7-15)."""
+    return -(-cfg.range_fft_size // 128) * 128
+
+
+def mega_supported(cfg: RadarConfig) -> bool:
+    """Whether the mega kernel can run this geometry on TPU.
+
+    With in-kernel range padding (see :func:`_r_pad`) the former
+    R % 128 == 0 lane gate is gone; what remains is the scoped-VMEM
+    ceiling — a single frame's working set (raw block + range/Doppler
+    planes + their bf16 splits at the padded width) must fit the ~16 MB
+    budget even at one frame per grid step.  ``rd_impl='auto'`` falls
+    back to the fused XLA path when this is False."""
+    c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
+    d, r = cfg.doppler_fft_size, _r_pad(cfg)
+    per_frame = (c * v * s2 * 6) + (c * v * r * 16) + (
+        d * v * cfg.num_tx * r * 16
+    )
+    return per_frame <= (14 << 20)
 
 
 def _auto_rows(cfg: RadarConfig, b: int) -> int:
@@ -190,7 +210,7 @@ def _auto_rows(cfg: RadarConfig, b: int) -> int:
     (rows=3 pads 512 -> 513 over a 171-step grid, measured 3.11 vs
     2.69 ms/512 at rows=4 on v5e)."""
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
-    d, r = cfg.doppler_fft_size, cfg.range_fft_size
+    d, r = cfg.doppler_fft_size, _r_pad(cfg)
     per_frame = (c * v * s2 * 6) + (c * v * r * 16) + (d * v * cfg.num_tx * r * 16)
     rows = max(1, min(int((14 << 20) // max(per_frame, 1)), 8, b))
     while rows & (rows - 1):
@@ -199,17 +219,20 @@ def _auto_rows(cfg: RadarConfig, b: int) -> int:
 
 
 def _plan(shorts, base_cube, cfg, window):
-    """Shared host-side setup: reshaped raw frames + constant operands."""
+    """Shared host-side setup: reshaped raw frames + constant operands.
+    The range matrices and base planes are zero-padded to ``_r_pad(cfg)``
+    columns so non-128-multiple range sizes lower (see :func:`_r_pad`)."""
     from radar_tpu.ops.fuseddft import (
         _base_range_planes,
         interleaved_range_matrices,
     )
 
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
+    r_true, rp = cfg.range_fft_size, _r_pad(cfg)
     lead = shorts.shape[:-1]
     raw = shorts.reshape((-1, c, v, s2))
     a_re, a_im = interleaved_range_matrices(
-        cfg.num_samples, cfg.range_fft_size, window
+        cfg.num_samples, r_true, window
     )
     art = jnp.asarray(a_re.T, jnp.float32)   # (2S, R)
     ait = jnp.asarray(a_im.T, jnp.float32)
@@ -218,12 +241,29 @@ def _plan(shorts, base_cube, cfg, window):
     fr = jnp.asarray(f_dop.real, jnp.float32)
     fi = jnp.asarray(f_dop.imag, jnp.float32)
     if base_cube is None:
-        br = bi = jnp.zeros((c * v, cfg.range_fft_size), jnp.float32)
+        br = bi = jnp.zeros((c * v, r_true), jnp.float32)
     else:
         b_re, b_im = _base_range_planes(base_cube, cfg, window)
-        br = b_re.reshape(c * v, cfg.range_fft_size)
-        bi = b_im.reshape(c * v, cfg.range_fft_size)
+        br = b_re.reshape(c * v, r_true)
+        bi = b_im.reshape(c * v, r_true)
+    if rp != r_true:
+        pad = ((0, 0), (0, rp - r_true))
+        art, ait = jnp.pad(art, pad), jnp.pad(ait, pad)
+        br, bi = jnp.pad(br, pad), jnp.pad(bi, pad)
     return lead, raw, art, ait, fr, fi, br, bi
+
+
+def _padded_band_matrices(cfg, d_size, r_true, rp):
+    """CFAR band matrices with the range pair embedded in (rp, rp):
+    rows/cols >= R are zero, so pad cells get threshold 0 over power 0 —
+    never hits — while real cells see exactly the unpadded matrices."""
+    import numpy as np
+
+    td, sr, gd, gr = cfar_band_matrices(cfg, d_size, r_true)
+    if rp != r_true:
+        sr = np.pad(sr, ((0, rp - r_true), (0, rp - r_true)))
+        gr = np.pad(gr, ((0, rp - r_true), (0, rp - r_true)))
+    return [jnp.asarray(m) for m in (td, sr, gd, gr)]
 
 
 @functools.partial(
@@ -235,18 +275,20 @@ def _mega_call(
 ):
     if not interpret and not mega_supported(cfg):
         # one gate for every entry point (pipeline, distributed, CLI):
-        # raise our error instead of Mosaic's internal shape-cast failure
+        # raise our error instead of Mosaic's internal scoped-VMEM failure
         raise ValueError(
-            f"the mega kernel needs range_fft_size % 128 == 0 on TPU "
-            f"(Mosaic cannot lower the in-VMEM TDM demux reshape for "
-            f"{cfg.range_fft_size}-lane rows); use rd_impl='fused' "
+            f"the mega kernel's single-frame working set exceeds scoped "
+            f"VMEM for this geometry "
+            f"({cfg.num_chirps}x{cfg.num_samples}x{cfg.num_rx}, "
+            f"range_fft={cfg.range_fft_size}); use rd_impl='fused' "
             "(what 'auto' falls back to)"
         )
     lead, raw, art, ait, fr, fi, br, bi = _plan(shorts, base_cube, cfg, window)
     b = raw.shape[0]
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     kc, tx = cfg.chirps_per_tx, cfg.num_tx
-    d_size, r_size = cfg.doppler_fft_size, cfg.range_fft_size
+    d_size, r_true = cfg.doppler_fft_size, cfg.range_fft_size
+    r_size = _r_pad(cfg)   # kernel-internal range width (lane-aligned)
     tv = tx * v
 
     rows = _auto_rows(cfg, b) if rows is None else max(1, min(rows, b))
@@ -260,8 +302,7 @@ def _mega_call(
         alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train,
                                     cfg.cfar_pfa)
         coef = float(alpha / n_train)
-        consts += [jnp.asarray(m) for m in
-                   cfar_band_matrices(cfg, d_size, r_size)]
+        consts += _padded_band_matrices(cfg, d_size, r_true, r_size)
 
     kern = functools.partial(
         _mega_kernel,
@@ -292,9 +333,9 @@ def _mega_call(
     )(raw, *consts)
     if with_cfar:
         power, thresh = out
-        return (power[:b].reshape(lead + (d_size, r_size)),
-                thresh[:b].reshape(lead + (d_size, r_size)))
-    return out[:b].reshape(lead + (d_size, r_size))
+        return (power[:b, :, :r_true].reshape(lead + (d_size, r_true)),
+                thresh[:b, :, :r_true].reshape(lead + (d_size, r_true)))
+    return out[:b, :, :r_true].reshape(lead + (d_size, r_true))
 
 
 def power_from_shorts_pallas(
@@ -376,7 +417,7 @@ def _mega_detect_kernel(
     idx_ref, val_ref, nbr_ref, nh_ref, sre_ref, sim_ref,
     mask_s, p_s, zr_s, zi_s, idxcol_s,
     *, rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
-    mean_clutter, tx, n_chirps, coef, k_det,
+    mean_clutter, tx, n_chirps, coef, k_det, phases="full",
 ):
     dot, split = _make_dot(precision)
     art = split(art_ref[:])
@@ -400,38 +441,39 @@ def _mega_detect_kernel(
         th = band_threshold(p, td, sr, gd, gr, coef)
         # sentinel (not -inf) for non-hits: the knockout's -inf then sorts
         # strictly below every untaken cell, reproducing lax.top_k's
-        # exhausted-slot order exactly (same trick as topk_pallas)
-        mask_s[f] = jnp.where(p > th, p, sentinel)
+        # exhausted-slot order exactly (same trick as topk_pallas).
+        # Stored LANE-MAJOR (1, D*R): the knockout then runs in
+        # topk_pallas's 2D single-axis-reduce form — the 3D
+        # (rows, D, R) variant with two-stage reductions measured 2.6x
+        # slower on v5e (1.35 vs ~0.5 ms/512).
+        mask_s[f : f + 1] = jnp.where(p > th, p, sentinel).reshape(
+            1, d_size * r_size
+        )
         p_s[f] = p
         zr_s[f] = zr
         zi_s[f] = zi
 
     # -- phase B1: top-K knockout, vectorized across the step's frames ---
-    m = mask_s[:]                                       # (rows, D, R)
-    nh = jnp.sum(
-        jnp.sum((m != sentinel).astype(jnp.int32), axis=2, keepdims=True),
-        axis=1, keepdims=True,
-    )                                                   # (rows, 1, 1)
-    nh_ref[:] = nh
-    flat = (
-        jax.lax.broadcasted_iota(jnp.int32, (rows, d_size, r_size), 1)
-        * r_size
-        + jax.lax.broadcasted_iota(jnp.int32, (rows, d_size, r_size), 2)
-    )
+    m = mask_s[:]                                       # (rows, D*R)
+    nh = jnp.sum((m != sentinel).astype(jnp.int32), axis=1, keepdims=True)
+    nh_ref[:] = nh[:, :, None]                          # (rows, 1, 1)
     n_cells = d_size * r_size
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (rows, n_cells), 1)
     neg_inf = jnp.float32(-jnp.inf)
     for j in range(k_det):
-        peak = jnp.max(
-            jnp.max(m, axis=2, keepdims=True), axis=1, keepdims=True
-        )                                               # (rows, 1, 1)
-        cand = jnp.where(m == peak, flat, n_cells)
-        idx = jnp.min(
-            jnp.min(cand, axis=2, keepdims=True), axis=1, keepdims=True
-        )
-        idx_ref[:, :, j : j + 1] = idx[:, :, 0:1]
-        val_ref[:, :, j : j + 1] = peak[:, :, 0:1]
-        idxcol_s[:, j : j + 1, :] = idx[:, 0:1, :]
-        m = jnp.where(flat == idx, neg_inf, m)
+        peak = jnp.max(m, axis=1, keepdims=True)        # (rows, 1)
+        cand = jnp.where(m == peak, lane2, n_cells)
+        idx = jnp.min(cand, axis=1, keepdims=True)      # (rows, 1)
+        idx_ref[:, :, j : j + 1] = idx[:, :, None]
+        val_ref[:, :, j : j + 1] = peak[:, :, None]
+        idxcol_s[:, j : j + 1, :] = idx[:, :, None]
+        m = jnp.where(lane2 == idx, neg_inf, m)
+
+    if phases == "b1":   # perf decomposition: stop after selection
+        nbr_ref[:] = jnp.zeros((rows, k_det, 8), jnp.float32)
+        sre_ref[:] = jnp.zeros((rows, tv, k_det), jnp.float32)
+        sim_ref[:] = jnp.zeros((rows, tv, k_det), jnp.float32)
+        return
 
     # -- phase B2: interp neighbor samples, vectorized across frames -----
     # p[f, d_k +/- 1, r_k +/- 1] via ONE (3K*rows, D*rows) one-hot matmul
@@ -482,6 +524,11 @@ def _mega_detect_kernel(
     )
     nbr_ref[:] = nbr.reshape(rows, k_det, 8)
 
+    if phases == "b2":   # perf decomposition: stop after interp gathers
+        sre_ref[:] = jnp.zeros((rows, tv, k_det), jnp.float32)
+        sim_ref[:] = jnp.zeros((rows, tv, k_det), jnp.float32)
+        return
+
     # -- phase B3: AoA snapshots from the in-VMEM range planes -----------
     # Per frame (each op is a full-width matmul or a medium elementwise —
     # no tiny dynamic extractions): gather the K detected range columns
@@ -520,7 +567,7 @@ def _auto_rows_detect(cfg: RadarConfig, b: int) -> int:
     the clutter-removed range planes (rows, C*V, R) x2 and the power +
     masked maps (rows, D, R) x2 survive the whole step."""
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
-    d, r = cfg.doppler_fft_size, cfg.range_fft_size
+    d, r = cfg.doppler_fft_size, _r_pad(cfg)
     per_frame = (
         (c * v * s2 * 6) + (c * v * r * 16) + (d * v * cfg.num_tx * r * 16)
         + (c * v * r * 8) + (d * r * 8)
@@ -533,14 +580,17 @@ def _auto_rows_detect(cfg: RadarConfig, b: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "window", "k_det", "interpret", "rows"),
+    static_argnames=("cfg", "window", "k_det", "interpret", "rows",
+                     "phases"),
 )
-def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows):
+def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
+                      phases="full"):
     if not interpret and not mega_supported(cfg):
         raise ValueError(
-            f"the mega kernel needs range_fft_size % 128 == 0 on TPU "
-            f"(Mosaic cannot lower the in-VMEM TDM demux reshape for "
-            f"{cfg.range_fft_size}-lane rows); use rd_impl='fused' "
+            f"the mega kernel's single-frame working set exceeds scoped "
+            f"VMEM for this geometry "
+            f"({cfg.num_chirps}x{cfg.num_samples}x{cfg.num_rx}, "
+            f"range_fft={cfg.range_fft_size}); use rd_impl='fused' "
             "(what 'auto' falls back to)"
         )
     if k_det > _K_LANE:
@@ -552,7 +602,8 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows):
     b = raw.shape[0]
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     kc, tx = cfg.chirps_per_tx, cfg.num_tx
-    d_size, r_size = cfg.doppler_fft_size, cfg.range_fft_size
+    d_size, r_true = cfg.doppler_fft_size, cfg.range_fft_size
+    r_size = _r_pad(cfg)   # kernel-internal range width (lane-aligned)
     tv = tx * v
 
     rows = _auto_rows_detect(cfg, b) if rows is None else max(1, min(rows, b))
@@ -561,9 +612,9 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows):
         raw = jnp.pad(raw, ((0, b_pad - b),) + ((0, 0),) * 3)
 
     alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa)
-    consts = [art, ait, fr, fi, fr.T, fi.T, br, bi] + [
-        jnp.asarray(m) for m in cfar_band_matrices(cfg, d_size, r_size)
-    ]
+    consts = [art, ait, fr, fi, fr.T, fi.T, br, bi] + _padded_band_matrices(
+        cfg, d_size, r_true, r_size
+    )
 
     kern = functools.partial(
         _mega_detect_kernel,
@@ -571,7 +622,7 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows):
         d_size=d_size, tv=tv, r_size=r_size,
         precision=cfg.dft_precision,
         mean_clutter=base_cube is None, tx=tx, n_chirps=c,
-        coef=float(alpha / n_train), k_det=k_det,
+        coef=float(alpha / n_train), k_det=k_det, phases=phases,
     )
 
     def const_spec(m):
@@ -602,7 +653,7 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows):
             out_spec(1, 1), out_spec(tv, k_det), out_spec(tv, k_det),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, d_size, r_size), jnp.float32),   # masked
+            pltpu.VMEM((rows, d_size * r_size), jnp.float32),  # masked, 2D
             pltpu.VMEM((rows, d_size, r_size), jnp.float32),   # power
             pltpu.VMEM((rows, c * v, r_size), jnp.float32),    # zr
             pltpu.VMEM((rows, c * v, r_size), jnp.float32),    # zi
@@ -612,6 +663,15 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows):
     )(raw, *consts)
 
     top_idx = idx[:b, 0].reshape(lead + (k_det,))
+    if r_size != r_true:
+        # re-encode the kernel's padded flat index onto the true R grid.
+        # Valid detections always have r < R (pad cells can't be hits);
+        # exhausted (-inf) slots may point at pad cells — clamp their
+        # range bin so downstream physics stays in range (they carry
+        # valid=False either way).
+        d_b = top_idx // r_size
+        r_b = jnp.minimum(top_idx % r_size, r_true - 1)
+        top_idx = d_b * r_true + r_b
     top_val = val[:b, 0].reshape(lead + (k_det,))
     top_val = jnp.where(top_val == jnp.float32(_F32_MIN), -jnp.inf, top_val)
     nbr5 = nbr[:b, :, :5].reshape(lead + (k_det, 5))

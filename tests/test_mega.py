@@ -262,12 +262,67 @@ def test_mega_detect_exhausted_slots_match_topk(cfg):
 
 
 def test_mega_supported_gate(cfg):
-    """Geometry gate for Mosaic's shape-cast restriction: auto falls back
-    to fused when range rows are not whole 128-lane tiles."""
+    """With in-kernel range padding the old 128-lane gate is gone: any
+    geometry whose single-frame working set fits scoped VMEM is
+    supported (the reference's any-compile-time-geometry property,
+    acceleration.cu:7-15); only VMEM-exceeding geometries fall back."""
     from radar_tpu.ops.pallas.megakernel import mega_supported
 
     assert mega_supported(cfg)
     assert mega_supported(RadarConfig(num_samples=256, num_chirps=128))
-    assert not mega_supported(
+    # non-128-multiple range sizes now run (padded in-kernel)
+    assert mega_supported(
         RadarConfig(num_samples=64, num_chirps=64, num_rx=2)
     )
+    assert mega_supported(RadarConfig(num_samples=50, num_chirps=64))
+    # a frame whose planes alone blow the 16 MB scoped-VMEM budget: no
+    assert not mega_supported(
+        RadarConfig(num_samples=2048, num_chirps=1024)
+    )
+
+
+@pytest.mark.parametrize("geom", [
+    dict(num_samples=64, num_chirps=64, num_rx=2),   # R=64, pad to 128
+    dict(num_samples=48, num_chirps=128),            # R=64, full chirps
+])
+def test_mega_padded_geometry_matches_fused(geom, targets):
+    """Non-lane-aligned geometries through the padded mega kernel match
+    the fused XLA path bit-for-bit on detections (pad cells carry exact
+    zeros and can never become hits)."""
+    cfg2 = RadarConfig(**geom)
+    assert cfg2.range_fft_size % 128 != 0  # actually exercises padding
+    shorts = synthesize_capture(targets, 3, cfg2, noise_std=2.0, seed=95)
+    fused = RDPipeline(cfg2, max_detections=8, rd_impl="fused",
+                       cfar_impl="xla")
+    mega = RDPipeline(cfg2, max_detections=8, rd_impl="mega",
+                      cfar_impl="xla")
+    base = fused.prepare_base(jnp.asarray(shorts[0]))
+    a = fused.detect(jnp.asarray(shorts[1:]), base)
+    b = mega.detect(jnp.asarray(shorts[1:]), base)
+    _assert_same_detections(a, b)
+    np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
+                               rtol=2e-4, atol=1e-2)
+
+
+def test_mega_detect_padded_geometry(targets):
+    """The fused DETECT variant at a padded geometry: bit-exact vs the
+    maps path on the same geometry (valid slots; exhausted-slot bins are
+    clamped re-encodings and carry valid=False)."""
+    cfg2 = RadarConfig(num_samples=64, num_chirps=64, num_rx=2)
+    shorts = synthesize_capture(targets, 3, cfg2, noise_std=2.0, seed=96)
+    det = RDPipeline(cfg2, max_detections=8, rd_impl="mega-interpret")
+    maps = RDPipeline(cfg2, max_detections=8, rd_impl="mega-maps-interpret",
+                      topk_impl="pallas-interpret")
+    base = det.prepare_base(jnp.asarray(shorts[0]))
+    a = det.detect(jnp.asarray(shorts[1:]), base)
+    b = maps.detect(jnp.asarray(shorts[1:]), base)
+    valid = np.asarray(b.valid)
+    np.testing.assert_array_equal(np.asarray(a.valid), valid)
+    np.testing.assert_array_equal(np.asarray(a.num_hits),
+                                  np.asarray(b.num_hits))
+    for f in ("doppler_bin", "range_bin", "power", "range_m_interp",
+              "velocity_mps_interp"):
+        ga, gb = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        np.testing.assert_array_equal(ga[valid], gb[valid], err_msg=f)
+    np.testing.assert_allclose(np.asarray(a.azimuth_deg)[valid],
+                               np.asarray(b.azimuth_deg)[valid], atol=1e-3)
