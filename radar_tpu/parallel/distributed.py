@@ -77,21 +77,13 @@ class DistributedRDPipeline:
                 f"chan mesh axis ({self.chan_size}) must divide num_rx "
                 f"({cfg.num_rx})"
             )
-        if rd_impl == "mega" and self.chan_size != 1:
-            # the mega kernel integrates power over all RX in VMEM, so the
-            # RX axis cannot be split across chips; run it pure-DP
-            # (build_mesh(num_rx=1) gives a data-only mesh)
-            raise ValueError(
-                "rd_impl='mega' needs a data-only mesh (chan=1): the kernel "
-                f"integrates all RX in VMEM, got chan={self.chan_size}"
-            )
         if rd_impl == "mega" and jax.default_backend() == "tpu":
             from radar_tpu.ops.pallas.megakernel import mega_supported
 
             if not mega_supported(cfg):
                 raise ValueError(
-                    f"rd_impl='mega' needs range_fft_size % 128 == 0 on "
-                    f"TPU, got {cfg.range_fft_size}; use rd_impl='fused'"
+                    "rd_impl='mega': this geometry's single-frame working "
+                    "set exceeds scoped VMEM; use rd_impl='fused'"
                 )
         self.rx_per_shard = cfg.num_rx // self.chan_size
         self._detect = self._build_detect()
@@ -158,33 +150,36 @@ class DistributedRDPipeline:
         def local_step(shorts_local: jnp.ndarray, base_local: jnp.ndarray):
             # shorts_local: (B_local, S) int16; base_local: (rx_per, C, Smp)
             chan_idx = jax.lax.axis_index(CHAN_AXIS)
-            if rd_impl == "mega":
-                # pure-DP (chan=1, enforced at construction): each device
-                # runs the full Pallas mega kernel on its frame shard —
-                # zero collectives, the production multi-chip layout.
-                # CFAR fuses into the kernel only under cfar_impl='auto'
-                # with cfar_kind='ca', matching RDPipeline._detect_planar;
-                # an explicitly pinned impl runs on the kernel's power map
+            if rd_impl == "mega" and chan == 1:
+                # pure-DP: each device runs the full Pallas mega kernel on
+                # its frame shard — zero collectives, the production
+                # multi-chip layout.  Under ca/auto CFAR this is the fused
+                # DETECT kernel (selection + interp + snapshots in VMEM),
+                # matching RDPipeline._detect_planar; a pinned CFAR impl
+                # runs on the power-map kernel's output instead.
                 from radar_tpu.ops.cfar import cfar_detect as _cfar_detect
                 from radar_tpu.ops.pallas.megakernel import (
-                    power_cfar_from_shorts_pallas,
+                    detections_from_shorts_pallas,
                     power_from_shorts_pallas,
                     snapshots_from_shorts,
+                )
+                from radar_tpu.models.rd_pipeline import (
+                    assemble_result_from_kernel,
                 )
 
                 interpret = jax.default_backend() != "tpu"
                 if cfg.cfar_kind == "ca" and cfar_impl == "auto":
-                    power, th = power_cfar_from_shorts_pallas(
-                        shorts_local, base_local, cfg, interpret=interpret
+                    out = detections_from_shorts_pallas(
+                        shorts_local, base_local, k, cfg,
+                        interpret=interpret,
                     )
-                    hits = power > th
-                else:
-                    power = power_from_shorts_pallas(
-                        shorts_local, base_local, cfg, interpret=interpret
-                    )
-                    hits, _ = _cfar_detect(
-                        power, cfg, cfar_resolved, interpret=interpret
-                    )
+                    return assemble_result_from_kernel(*out, cfg)
+                power = power_from_shorts_pallas(
+                    shorts_local, base_local, cfg, interpret=interpret
+                )
+                hits, _ = _cfar_detect(
+                    power, cfg, cfar_resolved, interpret=interpret
+                )
                 return assemble_result(
                     power,
                     lambda ti: snapshots_from_shorts(
@@ -192,6 +187,53 @@ class DistributedRDPipeline:
                     ),
                     hits, k, cfg,
                 )
+            if rd_impl == "mega":
+                # chan-sharded mega: each shard runs the SAME Pallas kernel
+                # on its RX subset of the raw frames (the kernel is
+                # parametric in V — a shard-local config with num_rx =
+                # rx_per reproduces it exactly), yielding a partial power
+                # map; psum over 'chan' completes the non-coherent RX
+                # integration and CFAR/top-K run replicated on the summed
+                # map — SURVEY §2.3's psum power integration applied to
+                # the production kernel.
+                import dataclasses
+
+                from radar_tpu.ops.cfar import cfar_detect as _cfar_detect
+                from radar_tpu.ops.pallas.megakernel import (
+                    power_from_shorts_pallas,
+                    snapshots_from_shorts,
+                )
+
+                interpret = jax.default_backend() != "tpu"
+                cfg_shard = dataclasses.replace(cfg, num_rx=rx_per)
+                raw4 = shorts_local.reshape(
+                    shorts_local.shape[0], cfg.num_chirps, cfg.num_rx,
+                    2 * cfg.num_samples,
+                )
+                raw_l = jax.lax.dynamic_slice_in_dim(
+                    raw4, chan_idx * rx_per, rx_per, axis=2
+                )
+                shorts_l = raw_l.reshape(raw_l.shape[0], -1)
+                local_power = power_from_shorts_pallas(
+                    shorts_l, base_local, cfg_shard, interpret=interpret
+                )
+                power = jax.lax.psum(local_power, CHAN_AXIS)
+                hits, _ = _cfar_detect(
+                    power, cfg, cfar_resolved, interpret=interpret
+                )
+
+                def snaps_mega(top_idx):
+                    local = snapshots_from_shorts(
+                        shorts_l, base_local, top_idx, cfg_shard
+                    )  # (B_l, K, tx*rx_per)
+                    full = jax.lax.all_gather(
+                        local, CHAN_AXIS, axis=local.ndim - 1, tiled=True
+                    )
+                    if perm is not None and chan > 1:
+                        full = full[..., perm]
+                    return full
+
+                return assemble_result(power, snaps_mega, hits, k, cfg)
             if rd_impl == "fused":
                 # interleave-aware DFT matmuls straight off the raw shorts,
                 # with this shard's RX group sliced BEFORE the contraction

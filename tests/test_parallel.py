@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from radar_tpu.config import RadarConfig
 from radar_tpu.models.rd_pipeline import RDPipeline
 from radar_tpu.models.range_detector import RangeDetector
 from radar_tpu.parallel.distributed import DistributedRDPipeline
@@ -292,14 +293,14 @@ def test_two_process_distributed(tmp_path):
 
 
 def test_distributed_mega_matches_single_device(cfg, capture):
-    """Pure-DP mega: each device runs the full Pallas mega kernel
+    """Pure-DP mega: each device runs the full Pallas detect kernel
     (interpret mode on CPU) on its frame shard — matches the
-    single-device mega path, and a chan>1 mesh is rejected."""
+    single-device mega path."""
     mesh = build_mesh(n_devices=8, num_rx=1)  # data-only mesh
     assert mesh.shape["chan"] == 1
     dist = DistributedRDPipeline(
         mesh=mesh, cfg=cfg, max_detections=8, rd_impl="mega",
-        cfar_impl="auto",  # in-kernel CFAR, matching the single auto path
+        cfar_impl="auto",  # fused detect kernel, matching the single auto path
     )
     single = RDPipeline(cfg, max_detections=8, rd_impl="mega")
     frames = capture[1:9]
@@ -315,11 +316,67 @@ def test_distributed_mega_matches_single_device(cfg, capture):
     np.testing.assert_allclose(np.asarray(got.power), np.asarray(want.power),
                                rtol=1e-5)
 
-    with pytest.raises(ValueError, match="data-only mesh"):
-        DistributedRDPipeline(
-            mesh=build_mesh(n_devices=8, num_rx=cfg.num_rx),
-            cfg=cfg, rd_impl="mega",
-        )
+
+def test_distributed_mega_chan_sharded(cfg, capture):
+    """chan>1 mega: each shard runs the kernel on its RX subset (partial
+    power), psum over 'chan' completes the integration — detections match
+    the single-device mega path; azimuth from gathered shard snapshots."""
+    mesh = build_mesh(n_devices=8, num_rx=cfg.num_rx)  # (data=2, chan=4)
+    assert mesh.shape["chan"] == 4
+    dist = DistributedRDPipeline(
+        mesh=mesh, cfg=cfg, max_detections=8, rd_impl="mega",
+        cfar_impl="xla",
+    )
+    single = RDPipeline(cfg, max_detections=8, rd_impl="mega",
+                        cfar_impl="xla")
+    frames = capture[1:9]
+    want = single.detect(
+        jnp.asarray(frames), single.prepare_base(jnp.asarray(capture[0]))
+    )
+    got = dist.detect(dist.shard_frames(frames), dist.prepare_base(capture[0]))
+    np.testing.assert_array_equal(np.asarray(got.range_bin),
+                                  np.asarray(want.range_bin))
+    np.testing.assert_array_equal(np.asarray(got.doppler_bin),
+                                  np.asarray(want.doppler_bin))
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_array_equal(np.asarray(got.angle_bin),
+                                  np.asarray(want.angle_bin))
+    # psum reassociates the RX sum: f32 roundoff only
+    np.testing.assert_allclose(np.asarray(got.power), np.asarray(want.power),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.azimuth_deg),
+                               np.asarray(want.azimuth_deg),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_distributed_mega_chan_sharded_mimo(capture):
+    """chan-sharded mega under TDM-MIMO: the virtual-element permutation
+    after the all_gather must still produce the single-device order."""
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+
+    cfg2 = RadarConfig(num_tx=2)
+    cap = synthesize_capture(
+        [SceneTarget(5.0, 2.0, 15.0), SceneTarget(9.0, -1.0, -30.0)],
+        9, cfg2, noise_std=2.0, seed=77,
+    )
+    mesh = build_mesh(n_devices=8, num_rx=cfg2.num_rx)
+    dist = DistributedRDPipeline(
+        mesh=mesh, cfg=cfg2, max_detections=8, rd_impl="mega",
+        cfar_impl="xla",
+    )
+    single = RDPipeline(cfg2, max_detections=8, rd_impl="mega",
+                        cfar_impl="xla")
+    want = single.detect(
+        jnp.asarray(cap[1:9]), single.prepare_base(jnp.asarray(cap[0]))
+    )
+    got = dist.detect(dist.shard_frames(cap[1:9]), dist.prepare_base(cap[0]))
+    np.testing.assert_array_equal(np.asarray(got.range_bin),
+                                  np.asarray(want.range_bin))
+    np.testing.assert_array_equal(np.asarray(got.angle_bin),
+                                  np.asarray(want.angle_bin))
+    np.testing.assert_allclose(np.asarray(got.azimuth_deg),
+                               np.asarray(want.azimuth_deg),
+                               rtol=1e-4, atol=1e-3)
 
 
 def test_two_process_udp_ingest(tmp_path):
