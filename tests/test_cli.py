@@ -187,8 +187,8 @@ def test_bench_full_stages(cap_path, capsys):
                    "--stages", "--rd-impl", "mega-interpret"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "Mega-kernel front-end" in out
-    assert "Detection tail" in out
+    assert "Mega detect kernel" in out
+    assert "XLA tail" in out
 
 
 def test_bench_full_stages_resolution_note(cap_path, capsys):
@@ -199,4 +199,4 @@ def test_bench_full_stages_resolution_note(cap_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "resolved to rd_impl='fft'" in out
-    assert "Mega-kernel front-end" not in out
+    assert "Mega detect kernel" not in out

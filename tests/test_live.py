@@ -142,6 +142,15 @@ def test_serve_loopback(cfg, capsys):
     # tracker confirms by the second frame
     assert frame_recs[-1]["tracks"]
     assert abs(frame_recs[-1]["tracks"][0]["range_m"] - 5.0) < 1.0
+    # latency percentiles: real-time consumers need frame-to-detection
+    # latency, not just throughput
+    stats = [r for r in recs if r.get("event") == "latency_stats"]
+    assert len(stats) == 1
+    for field in ("p50_ms", "p90_ms", "p99_ms", "max_ms",
+                  "transfer_p50_ms", "transfer_p99_ms"):
+        assert stats[0][field] >= 0.0
+    assert stats[0]["p50_ms"] <= stats[0]["p99_ms"] <= stats[0]["max_ms"]
+    assert stats[0]["frames"] == 4
 
 
 def test_reorder_swap_is_lossless(cfg, capture):
