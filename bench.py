@@ -246,6 +246,26 @@ def main() -> None:
             t_c = time.perf_counter() - t0
             t_a2 = transport()
 
+            # ring-depth sweep: does a deeper upload ring (more in-flight
+            # device_put futures ahead of compute) change the overlap?
+            # On a transport that serializes H2D with compute, depth is
+            # irrelevant; on one that pipelines, deeper rings should
+            # approach the pure-transport floor.
+            for depth in (2, 3, 4):
+                t0 = time.perf_counter()
+                ring = [jax.device_put(chunk) for _ in range(min(depth, n_up))]
+                outs_d = []
+                up_next = len(ring)
+                while ring:
+                    outs_d.append(pipe.detect_donated(ring.pop(0), base))
+                    if up_next < n_up:
+                        ring.append(jax.device_put(chunk))
+                        up_next += 1
+                fence([o.power for o in outs_d])
+                dt_d = time.perf_counter() - t0
+                log(f"ingest: ring depth {depth}: {dt_d:.2f}s = "
+                    f"{n_up*len(chunk)/dt_d:.0f} fps end-to-end")
+
             t_a = (t_a1 + t_a2) / 2
             t_b = n_up * len(chunk) / fps
             log(f"ingest: (a) transport {n_up}x{mb:.0f} MB: {t_a1:.2f}s "
