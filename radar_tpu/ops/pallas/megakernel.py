@@ -415,9 +415,9 @@ def _mega_detect_kernel(
     raw_ref, art_ref, ait_ref, fr_ref, fi_ref, frt_ref, fit_ref,
     br_ref, bi_ref, td_ref, sr_ref, gd_ref, gr_ref,
     idx_ref, val_ref, nbr_ref, nh_ref, sre_ref, sim_ref,
-    mask_s, p_s, zr_s, zi_s, idxcol_s,
+    mask_s, p_s, zr_s, zi_s, vals_s, idxs_s,
     *, rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
-    mean_clutter, tx, n_chirps, coef, k_det, phases="full",
+    mean_clutter, tx, n_chirps, coef, k_det, s_pack, phases="full",
 ):
     dot, split = _make_dot(precision)
     art = split(art_ref[:])
@@ -442,32 +442,72 @@ def _mega_detect_kernel(
         # sentinel (not -inf) for non-hits: the knockout's -inf then sorts
         # strictly below every untaken cell, reproducing lax.top_k's
         # exhausted-slot order exactly (same trick as topk_pallas).
-        # Stored LANE-MAJOR (1, D*R): the knockout then runs in
-        # topk_pallas's 2D single-axis-reduce form — the 3D
-        # (rows, D, R) variant with two-stage reductions measured 2.6x
-        # slower on v5e (1.35 vs ~0.5 ms/512).
-        mask_s[f : f + 1] = jnp.where(p > th, p, sentinel).reshape(
-            1, d_size * r_size
-        )
+        # Stored LANE-MAJOR and SUBLANE-PACKED (s_pack chunks of the map
+        # per frame, stacked on sublanes): with rows < 8 frames/step the
+        # plain (rows, D*R) form leaves 8-rows of every vreg's sublanes
+        # empty and the knockout's full-width passes pay double (measured
+        # 1.1 vs 0.55 ms/512 at rows=4); packing restores full vregs.
+        # The 3D (rows, D, R) two-stage-reduce variant is worse still
+        # (2.6x, 1.35 ms).
+        mask_s[f * s_pack : (f + 1) * s_pack] = jnp.where(
+            p > th, p, sentinel
+        ).reshape(s_pack, (d_size * r_size) // s_pack)
         p_s[f] = p
         zr_s[f] = zr
         zi_s[f] = zi
 
     # -- phase B1: top-K knockout, vectorized across the step's frames ---
-    m = mask_s[:]                                       # (rows, D*R)
-    nh = jnp.sum((m != sentinel).astype(jnp.int32), axis=1, keepdims=True)
-    nh_ref[:] = nh[:, :, None]                          # (rows, 1, 1)
+    # m is (rows*s_pack, n2): frame f's cells [c*n2, (c+1)*n2) live in row
+    # f*s_pack + c.  Full-width passes run on fully-packed vregs; the
+    # per-frame combines are log2(s_pack) masked sublane-roll butterfly
+    # rounds on (rs, 1) vregs — the reshape/broadcast form of the same
+    # combine pays Mosaic's full tiny-op relayout tax 16x per step and
+    # measured +0.85 ms/512.  Per-iteration output columns accumulate in
+    # (rs, K) scratch; frame rows are extracted ONCE after the loop.
+    m = mask_s[:]
     n_cells = d_size * r_size
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (rows, n_cells), 1)
+    n2 = n_cells // s_pack
+    rs = rows * s_pack
+    nh2 = jnp.sum((m != sentinel).astype(jnp.int32), axis=1, keepdims=True)
+    nh = jnp.sum(nh2.reshape(rows, s_pack), axis=1, keepdims=True)
+    nh_ref[:] = nh[:, :, None]                          # (rows, 1, 1)
+    chunk = jax.lax.broadcasted_iota(jnp.int32, (rs, n2), 0) % s_pack
+    gidx = chunk * n2 + jax.lax.broadcasted_iota(jnp.int32, (rs, n2), 1)
     neg_inf = jnp.float32(-jnp.inf)
+
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (rs, 1), 0)
+    shifts = []
+    h = 1
+    while h < s_pack:
+        shifts.append((h, (row1 & h) != 0))
+        h *= 2
+
+    def group_combine(x, op):
+        # butterfly over each frame's s_pack rows: at round h, row r
+        # combines with row r ^ h (never crosses the aligned group).
+        # pltpu.roll is a single hardware sublane rotate (jnp.roll's
+        # concat-of-slices form measures within noise of it at s_pack=2:
+        # B1 3.74 vs 3.79 ms/512; both beat the reshape/broadcast
+        # combine's +0.85).
+        for hh, mk in shifts:
+            x = op(x, jnp.where(mk, pltpu.roll(x, hh, 0),
+                                pltpu.roll(x, rs - hh, 0)))
+        return x
+
     for j in range(k_det):
-        peak = jnp.max(m, axis=1, keepdims=True)        # (rows, 1)
-        cand = jnp.where(m == peak, lane2, n_cells)
-        idx = jnp.min(cand, axis=1, keepdims=True)      # (rows, 1)
-        idx_ref[:, :, j : j + 1] = idx[:, :, None]
-        val_ref[:, :, j : j + 1] = peak[:, :, None]
-        idxcol_s[:, j : j + 1, :] = idx[:, :, None]
-        m = jnp.where(lane2 == idx, neg_inf, m)
+        peak_c = jnp.max(m, axis=1, keepdims=True)      # (rs, 1)
+        peak_b = group_combine(peak_c, jnp.maximum)     # frame max, replic.
+        cand = jnp.where(m == peak_b, gidx, n_cells)
+        idx_c = jnp.min(cand, axis=1, keepdims=True)    # (rs, 1)
+        idx_b = group_combine(idx_c, jnp.minimum)       # frame argmin idx
+        vals_s[:, j : j + 1] = peak_b
+        idxs_s[:, j : j + 1] = idx_b
+        m = jnp.where(gidx == idx_b, neg_inf, m)
+
+    idx_all = idxs_s[:].reshape(rows, s_pack, k_det)[:, 0, :]  # (rows, K)
+    val_all = vals_s[:].reshape(rows, s_pack, k_det)[:, 0, :]
+    idx_ref[:] = idx_all[:, None, :]
+    val_ref[:] = val_all[:, None, :]
 
     if phases == "b1":   # perf decomposition: stop after selection
         nbr_ref[:] = jnp.zeros((rows, k_det, 8), jnp.float32)
@@ -480,7 +520,18 @@ def _mega_detect_kernel(
     # against the frame-stacked maps, then lane mask-reduces; HIGHEST f32
     # one-hot products reproduce the map values bit-exactly.
     rk = rows * k_det
-    idxcol = idxcol_s[:].reshape(rk, 1)
+    # idx_all has K on LANES; the one-hot build needs a (rk, 1) COLUMN.
+    # Mosaic cannot shape-cast lanes into sublanes ((rows, K) -> (rk, 1)
+    # fails "unsupported shape cast"), but a sublane-repeat broadcast +
+    # lane mask-reduce is the same data movement in supported ops:
+    rep = jnp.broadcast_to(
+        idx_all[:, None, :], (rows, k_det, k_det)
+    ).reshape(rk, k_det)                      # row q = frame q//K's indices
+    kk_sel = jax.lax.broadcasted_iota(jnp.int32, (rk, k_det), 0) % k_det
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (rk, k_det), 1)
+    idxcol = jnp.sum(
+        jnp.where(lane_k == kk_sel, rep, 0), axis=1, keepdims=True
+    )                                         # idxcol[f*K+k] = idx_all[f,k]
     db_c = idxcol // r_size
     rb_c = idxcol % r_size
     foff = (
@@ -535,6 +586,34 @@ def _mega_detect_kernel(
     # from the clutter-removed (C*V, R) planes with a (R, 128) one-hot,
     # demux to (Kc, TV, 128), and project each detection onto its gathered
     # Doppler DFT row.
+    #
+    # Gather-dot precision: one-hot matrices are EXACT in bf16, so the
+    # 'high' 3-pass form's ah@bl pass multiplies by an exactly-zero
+    # residual — the 2-pass hi/lo form below is BIT-IDENTICAL to it and
+    # 1/3 cheaper.  'highest' keeps exact-f32 gathers; 'default' keeps
+    # its single bf16 pass for the plane gathers and upgrades the DFT-row
+    # gathers to the 2-pass form (the rows are unit-magnitude trig values
+    # whose bf16 rounding would dominate the mode's error budget).
+    if precision == "highest":
+        def g_dot(x, oh_b):
+            return _DOT(x, oh_b.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST)
+
+        f_dot = g_dot
+    elif precision == "high":
+        def g_dot(x, oh_b):
+            hi, lo = _split(x)
+            return _DOT(hi, oh_b) + _DOT(lo, oh_b)
+
+        f_dot = g_dot
+    else:
+        def g_dot(x, oh_b):
+            return _DOT(x, oh_b.astype(jnp.float32))
+
+        def f_dot(x, oh_b):
+            hi, lo = _split(x)
+            return _DOT(hi, oh_b) + _DOT(lo, oh_b)
+
     frt = frt_ref[:]                                    # (Kc, D)
     fit = fit_ref[:]
     pad = jnp.full((1, _K_LANE - k_det), -1, jnp.int32)
@@ -542,14 +621,16 @@ def _mega_detect_kernel(
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (d_size, _K_LANE), 0)
     for f in range(rows):
         top_row = idx_ref[f]                            # (1, K)
-        rbp = jnp.concatenate([top_row % r_size, pad], axis=1)
-        dbp = jnp.concatenate([top_row // r_size, pad], axis=1)
-        oh_r = split((iota_r == rbp).astype(jnp.float32))
-        oh_d = (iota_d == dbp).astype(jnp.float32)
-        g_re = dot(split(zr_s[f]), oh_r)                # (C*V, 128)
-        g_im = dot(split(zi_s[f]), oh_r)
-        fsel_re = mm_band(frt, oh_d)                    # (Kc, 128), exact
-        fsel_im = mm_band(fit, oh_d)
+        oh_r = (iota_r == jnp.concatenate(
+            [top_row % r_size, pad], axis=1
+        )).astype(jnp.bfloat16)
+        oh_d = (iota_d == jnp.concatenate(
+            [top_row // r_size, pad], axis=1
+        )).astype(jnp.bfloat16)
+        g_re = g_dot(zr_s[f], oh_r)                     # (C*V, 128)
+        g_im = g_dot(zi_s[f], oh_r)
+        fsel_re = f_dot(frt, oh_d)                      # (Kc, 128)
+        fsel_im = f_dot(fit, oh_d)
         g3r = g_re.reshape(kc, tv, _K_LANE)
         g3i = g_im.reshape(kc, tv, _K_LANE)
         sre = jnp.sum(
@@ -611,6 +692,15 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
     if b_pad != b:
         raw = jnp.pad(raw, ((0, b_pad - b),) + ((0, 0),) * 3)
 
+    # sublane packing for the knockout: chunks of the masked map per
+    # frame, stacked on sublanes so rows*s_pack fills the 8-sublane f32
+    # vreg; each chunk's row width must stay whole 128-lane tiles
+    s_pack = max(1, 8 // rows)
+    while s_pack > 1 and (
+        d_size % s_pack or ((d_size // s_pack) * r_size) % 128
+    ):
+        s_pack //= 2
+
     alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa)
     consts = [art, ait, fr, fi, fr.T, fi.T, br, bi] + _padded_band_matrices(
         cfg, d_size, r_true, r_size
@@ -622,7 +712,8 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
         d_size=d_size, tv=tv, r_size=r_size,
         precision=cfg.dft_precision,
         mean_clutter=base_cube is None, tx=tx, n_chirps=c,
-        coef=float(alpha / n_train), k_det=k_det, phases=phases,
+        coef=float(alpha / n_train), k_det=k_det, s_pack=s_pack,
+        phases=phases,
     )
 
     def const_spec(m):
@@ -653,11 +744,15 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
             out_spec(1, 1), out_spec(tv, k_det), out_spec(tv, k_det),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, d_size * r_size), jnp.float32),  # masked, 2D
+            pltpu.VMEM(                                        # masked map,
+                (rows * s_pack, (d_size * r_size) // s_pack),  # sublane-
+                jnp.float32,                                   # packed 2D
+            ),
             pltpu.VMEM((rows, d_size, r_size), jnp.float32),   # power
             pltpu.VMEM((rows, c * v, r_size), jnp.float32),    # zr
             pltpu.VMEM((rows, c * v, r_size), jnp.float32),    # zi
-            pltpu.VMEM((rows, k_det, 1), jnp.int32),           # idx col form
+            pltpu.VMEM((rows * s_pack, k_det), jnp.float32),   # val columns
+            pltpu.VMEM((rows * s_pack, k_det), jnp.int32),     # idx columns
         ],
         interpret=interpret,
     )(raw, *consts)

@@ -46,8 +46,6 @@ def main() -> None:
     from radar_tpu.models.rd_pipeline import (
         RDPipeline,
         aoa_from_snapshots,
-        cell_physics,
-        interp_cell_physics,
         mimo_compensate,
         topk_cells,
     )
@@ -102,28 +100,26 @@ def main() -> None:
     fence(noop(shorts))
     fixed = time.perf_counter() - t0
 
-    # ---- prefix programs of the shipped mega path -------------------------
-    def p_kernel(s, b):
-        return power_cfar_from_shorts_pallas(s, b, cfg)
+    # ---- prefix programs of the shipped (round-4 detect kernel) path ------
+    from radar_tpu.ops.pallas.megakernel import _mega_detect_call
 
-    def p_topk(s, b):
-        power, th = power_cfar_from_shorts_pallas(s, b, cfg)
-        return topk_cells(power, power > th, 16, topk_impl="pallas")
+    def p_b1(s, b):   # front-end + CFAR + vectorized top-K knockout
+        return _mega_detect_call(s, b, cfg, True, 16, False, None,
+                                 phases="b1")
 
-    def p_interp(s, b):
-        power, th = power_cfar_from_shorts_pallas(s, b, cfg)
-        num_hits, top_idx, top_power, valid, d_bin, r_bin = topk_cells(
-            power, power > th, 16, topk_impl="pallas"
-        )
-        return (num_hits, top_power, valid,
-                *cell_physics(d_bin, r_bin, cfg),
-                *interp_cell_physics(power, top_idx, d_bin, r_bin, cfg))
+    def p_b2(s, b):   # + one-hot interp neighbor gathers
+        return _mega_detect_call(s, b, cfg, True, 16, False, None,
+                                 phases="b2")
+
+    def p_full(s, b):  # + in-VMEM AoA snapshot gathers (the full kernel)
+        return _mega_detect_call(s, b, cfg, True, 16, False, None)
 
     prefixes = [
-        ("p1 mega kernel (decode+range+Doppler+power+CFAR)", p_kernel),
-        ("p2 + top-K (Pallas)", p_topk),
-        ("p3 + physics + sub-bin interp", p_interp),
-        ("p4 + AoA snapshots (== shipped detect())", pipe.detect),
+        ("k1 detect kernel through top-K (phases='b1')", p_b1),
+        ("k2 + interp neighbor gathers (phases='b2')", p_b2),
+        ("k3 + AoA snapshots (the full kernel)", p_full),
+        ("k4 + XLA tail (physics+MIMO+angle FFT) == detect()",
+         pipe.detect),
     ]
 
     # ---- XLA alternates the kernel replaced -------------------------------
@@ -135,6 +131,9 @@ def main() -> None:
     def alt_power_cfar(s, b):
         pw = alt_power(s, b)
         return pw, ca_cfar_2d(pw, cfg)[1]
+
+    def p_kernel_maps(s, b):
+        return power_cfar_from_shorts_pallas(s, b, cfg)
 
     def alt_mega_power(s, b):
         return power_from_shorts_pallas(s, b, cfg)
@@ -153,12 +152,18 @@ def main() -> None:
         )
         return aoa_from_snapshots(snaps, cfg)
 
+    def alt_maps_path(s, b):   # the round-3 shipped path: maps + XLA tail
+        return RDPipeline(cfg, max_detections=16, rd_impl="mega-maps",
+                          topk_impl="pallas").detect(s, b)
+
     alternates = [
         ("XLA fused shorts->power (no CFAR)", alt_power),
         ("XLA fused shorts->power+CFAR", alt_power_cfar),
         ("mega kernel power-only (no CFAR)", alt_mega_power),
-        ("mega kernel + lax.top_k instead of Pallas", alt_topk_xla),
-        ("mega kernel + topk + snapshots+AoA (no interp)", alt_snaps),
+        ("maps kernel (power+CFAR out to HBM)", p_kernel_maps),
+        ("maps kernel + lax.top_k tail", alt_topk_xla),
+        ("maps kernel + Pallas topk + snapshot recompute", alt_snaps),
+        ("round-3 shipped path (rd_impl='mega-maps')", alt_maps_path),
     ]
 
     print(f"\nstage budget, {args.frames}-frame batch, on-chip fori_loop "
