@@ -200,22 +200,35 @@ def mega_supported(cfg: RadarConfig) -> bool:
     return per_frame <= (14 << 20)
 
 
-def _auto_rows(cfg: RadarConfig, b: int) -> int:
-    """Frames per grid step, sized so the per-step working set (raw block,
-    range/Doppler planes and their bf16 splits, double-buffered I/O)
-    stays under the 16 MB scoped-VMEM limit for any geometry.  The
-    estimate is deliberately pessimistic (Mosaic's liveness reuses most
-    intermediates), so the budget is most of the limit.  Rounded DOWN to
-    a power of two: odd tile counts mis-tile power-of-two batches
+def _rows_for(transient: int, per_row: int, b: int) -> int:
+    """Largest power-of-two rows (<= 8, <= b) whose working set fits.
+
+    ``transient`` is the ONE-TIME part of the step's VMEM: the per-frame
+    intermediates (raw f32 + bf16 splits, demux splits, Doppler planes)
+    that Mosaic's liveness reuses across the row loop, so they do not
+    scale with rows.  ``per_row`` is what genuinely does: double-buffered
+    I/O blocks and any scratch keep-alives.  The round-3 formula charged
+    the transients per row, which halved the admitted tiling — rows=8
+    (vs 4) measured 3.95 vs 4.25 ms/512 on the default detect kernel
+    (rows=16 correctly fails Mosaic's scoped-VMEM check at ~20 MB).
+    Power-of-two only: odd tile counts mis-tile power-of-two batches
     (rows=3 pads 512 -> 513 over a 171-step grid, measured 3.11 vs
     2.69 ms/512 at rows=4 on v5e)."""
-    c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
-    d, r = cfg.doppler_fft_size, _r_pad(cfg)
-    per_frame = (c * v * s2 * 6) + (c * v * r * 16) + (d * v * cfg.num_tx * r * 16)
-    rows = max(1, min(int((14 << 20) // max(per_frame, 1)), 8, b))
+    budget = (16 << 20) - transient
+    rows = max(1, min(int(budget // max(per_row, 1)), 8, b))
     while rows & (rows - 1):
         rows -= 1
     return rows
+
+
+def _auto_rows(cfg: RadarConfig, b: int) -> int:
+    """Frames per grid step for the maps kernel (power + threshold out)."""
+    c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
+    d, r = cfg.doppler_fft_size, _r_pad(cfg)
+    tvr = cfg.num_tx * v * r
+    transient = (c * v * s2 * 8) + (c * v * r * 16) + (d * tvr * 16)
+    per_row = (c * v * s2 * 4) + (d * r * 16)   # in blocks + out blocks, 2x
+    return _rows_for(transient, per_row, b)
 
 
 def _plan(shorts, base_cube, cfg, window):
@@ -644,19 +657,16 @@ def _mega_detect_kernel(
 
 
 def _auto_rows_detect(cfg: RadarConfig, b: int) -> int:
-    """:func:`_auto_rows` plus the detect variant's scratch keep-alives:
-    the clutter-removed range planes (rows, C*V, R) x2 and the power +
-    masked maps (rows, D, R) x2 survive the whole step."""
+    """:func:`_auto_rows` for the detect variant, whose per-row state is
+    the scratch keep-alives that survive the whole step: the
+    clutter-removed range planes (rows, C*V, R) x2 and the power +
+    masked maps (rows, D, R); outputs are K-sized (negligible)."""
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     d, r = cfg.doppler_fft_size, _r_pad(cfg)
-    per_frame = (
-        (c * v * s2 * 6) + (c * v * r * 16) + (d * v * cfg.num_tx * r * 16)
-        + (c * v * r * 8) + (d * r * 8)
-    )
-    rows = max(1, min(int((14 << 20) // max(per_frame, 1)), 8, b))
-    while rows & (rows - 1):
-        rows -= 1
-    return rows
+    tvr = cfg.num_tx * v * r
+    transient = (c * v * s2 * 8) + (c * v * r * 8) + (d * tvr * 16)
+    per_row = (c * v * s2 * 4) + (c * v * r * 8) + (d * r * 12)
+    return _rows_for(transient, per_row, b)
 
 
 @functools.partial(
