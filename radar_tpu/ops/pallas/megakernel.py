@@ -484,6 +484,13 @@ def _mega_detect_kernel(
     nh2 = jnp.sum((m != sentinel).astype(jnp.int32), axis=1, keepdims=True)
     nh = jnp.sum(nh2.reshape(rows, s_pack), axis=1, keepdims=True)
     nh_ref[:] = nh[:, :, None]                          # (rows, 1, 1)
+    if phases == "a":    # perf decomposition: front-end + CFAR mask only
+        idx_ref[:] = jnp.zeros((rows, 1, k_det), jnp.int32)
+        val_ref[:] = jnp.zeros((rows, 1, k_det), jnp.float32)
+        nbr_ref[:] = jnp.zeros((rows, k_det, 8), jnp.float32)
+        sre_ref[:] = jnp.zeros((rows, tv, k_det), jnp.float32)
+        sim_ref[:] = jnp.zeros((rows, tv, k_det), jnp.float32)
+        return
     chunk = jax.lax.broadcasted_iota(jnp.int32, (rs, n2), 0) % s_pack
     gidx = chunk * n2 + jax.lax.broadcasted_iota(jnp.int32, (rs, n2), 1)
     neg_inf = jnp.float32(-jnp.inf)

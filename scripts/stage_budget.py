@@ -103,6 +103,10 @@ def main() -> None:
     # ---- prefix programs of the shipped (round-4 detect kernel) path ------
     from radar_tpu.ops.pallas.megakernel import _mega_detect_call
 
+    def p_a(s, b):    # front-end + CFAR mask (no selection)
+        return _mega_detect_call(s, b, cfg, True, 16, False, None,
+                                 phases="a")
+
     def p_b1(s, b):   # front-end + CFAR + vectorized top-K knockout
         return _mega_detect_call(s, b, cfg, True, 16, False, None,
                                  phases="b1")
@@ -115,6 +119,7 @@ def main() -> None:
         return _mega_detect_call(s, b, cfg, True, 16, False, None)
 
     prefixes = [
+        ("k0 front-end + CFAR mask (phases='a')", p_a),
         ("k1 detect kernel through top-K (phases='b1')", p_b1),
         ("k2 + interp neighbor gathers (phases='b2')", p_b2),
         ("k3 + AoA snapshots (the full kernel)", p_full),
