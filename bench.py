@@ -250,21 +250,26 @@ def main() -> None:
             # device_put futures ahead of compute) change the overlap?
             # On a transport that serializes H2D with compute, depth is
             # irrelevant; on one that pipelines, deeper rings should
-            # approach the pure-transport floor.
-            for depth in (2, 3, 4):
+            # approach the pure-transport floor.  n_sweep > max depth so
+            # every depth runs a DISTINCT schedule (depth 1 = fully
+            # serial floor; a sweep capped at the batch count would
+            # silently re-measure the same ring and fabricate the trend).
+            n_sweep = 5
+            for depth in (1, 2, 4):
                 t0 = time.perf_counter()
-                ring = [jax.device_put(chunk) for _ in range(min(depth, n_up))]
+                ring = [jax.device_put(chunk) for _ in range(depth)]
                 outs_d = []
                 up_next = len(ring)
                 while ring:
                     outs_d.append(pipe.detect_donated(ring.pop(0), base))
-                    if up_next < n_up:
+                    if up_next < n_sweep:
                         ring.append(jax.device_put(chunk))
                         up_next += 1
                 fence([o.power for o in outs_d])
                 dt_d = time.perf_counter() - t0
                 log(f"ingest: ring depth {depth}: {dt_d:.2f}s = "
-                    f"{n_up*len(chunk)/dt_d:.0f} fps end-to-end")
+                    f"{n_sweep*len(chunk)/dt_d:.0f} fps end-to-end "
+                    f"({n_sweep} batches)")
 
             t_a = (t_a1 + t_a2) / 2
             t_b = n_up * len(chunk) / fps

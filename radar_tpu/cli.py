@@ -15,6 +15,7 @@ import argparse
 import json
 import sys
 import time
+from collections import deque
 
 import numpy as np
 
@@ -34,10 +35,12 @@ def _build_cfg(args) -> RadarConfig:
 
 def _add_pipeline_flags(sp) -> None:
     sp.add_argument("--rd-impl", default="auto",
-                    choices=["auto", "mega", "mega-interpret", "fused",
-                             "fused-pallas", "planar", "mxu", "fft"],
-                    help="range-Doppler implementation (auto: the mega "
-                         "Pallas kernel on TPU)")
+                    choices=["auto", "mega", "mega-interpret", "mega-maps",
+                             "mega-maps-interpret", "fused", "fused-pallas",
+                             "planar", "mxu", "fft"],
+                    help="range-Doppler implementation (auto: the fused "
+                         "detect Pallas kernel on TPU; mega-maps: the "
+                         "round-3 maps kernel + XLA tail A/B twin)")
     sp.add_argument("--cfar-kind", default=None, choices=["ca", "os"],
                     help="cell-averaging (default) or ordered-statistic CFAR")
     sp.add_argument("--dft-precision", default=None,
@@ -234,8 +237,11 @@ def cmd_serve(args) -> int:
     frame_no: dict[int, int] = {}  # per-source frame sequence numbers
     n = 0
     t_first = t_last = None
-    lat_ms: list[float] = []   # per-frame ingest->record latency
-    xfer_ms: list[float] = []  # per-dispatch packed-transfer time
+    # bounded reservoirs: one float per frame forever would grow without
+    # limit in a long-lived server; the most recent window is what the
+    # percentiles should describe anyway
+    lat_ms: deque = deque(maxlen=65536)   # per-frame ingest->record latency
+    fetch_ms: deque = deque(maxlen=65536)  # per-dispatch detect+fetch time
     for got in batches:
         t_recv = time.perf_counter()
         todo: dict[int, list] = {}
@@ -262,9 +268,13 @@ def cmd_serve(args) -> int:
             # transport RTT each (see pack_detections).  np.array (not
             # asarray): jax's cached npy view is read-only and --refine
             # writes the azimuth column in place.
+            # this window covers dispatch + on-chip compute + the packed
+            # result's D2H (np.array blocks on all three) — labeled
+            # detect_fetch, NOT transfer: the transport share cannot be
+            # isolated host-side without an extra fence per dispatch
             t_x = time.perf_counter()
             out = np.array(pack_detections(pipe.detect(stack, bases[src])))
-            xfer_ms.append(1e3 * (time.perf_counter() - t_x))
+            fetch_ms.append(1e3 * (time.perf_counter() - t_x))
             elev = None
             if args.refine:
                 az, elev = _refined_azimuth(
@@ -313,13 +323,13 @@ def cmd_serve(args) -> int:
         lat_ms.extend([1e3 * (t_last - t_recv)] * sum(map(len, todo.values())))
     if lat_ms:
         q = _percentiles(lat_ms, (50, 90, 99))
-        qx = _percentiles(xfer_ms, (50, 99))
+        qx = _percentiles(fetch_ms, (50, 99))
         stats = {
             "event": "latency_stats",
             "frames": n,
             "p50_ms": q[0], "p90_ms": q[1], "p99_ms": q[2],
             "max_ms": round(max(lat_ms), 3),
-            "transfer_p50_ms": qx[0], "transfer_p99_ms": qx[1],
+            "detect_fetch_p50_ms": qx[0], "detect_fetch_p99_ms": qx[1],
         }
         print(json.dumps(stats), flush=True)
     if t_first is not None and t_last is not None and t_last > t_first:

@@ -594,15 +594,20 @@ class RDPipeline:
                 impl.endswith("-interpret")
                 or jax.default_backend() != "tpu"
             )
+            from radar_tpu.ops.pallas.megakernel import _K_LANE
+
             if (
                 impl in ("mega", "mega-interpret")
                 and cfg.cfar_kind == "ca"
                 and self.cfar_impl == "auto"
+                and self.max_detections <= _K_LANE
             ):
                 # the detect variant: selection, interp neighbors and AoA
                 # snapshots fused into the kernel; only KB-sized tensors
                 # reach HBM.  'mega-maps' keeps the round-3 maps + XLA
-                # tail for A/B benchmarking and as a verification twin.
+                # tail for A/B benchmarking and as a verification twin;
+                # K > the kernel's 128-lane selection width also falls
+                # through to it (the round-3 behavior) instead of raising.
                 out = detections_from_shorts_pallas(
                     shorts, base, self.max_detections, cfg,
                     interpret=interpret,

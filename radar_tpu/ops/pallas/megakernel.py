@@ -188,16 +188,13 @@ def mega_supported(cfg: RadarConfig) -> bool:
 
     With in-kernel range padding (see :func:`_r_pad`) the former
     R % 128 == 0 lane gate is gone; what remains is the scoped-VMEM
-    ceiling — a single frame's working set (raw block + range/Doppler
-    planes + their bf16 splits at the padded width) must fit the ~16 MB
-    budget even at one frame per grid step.  ``rd_impl='auto'`` falls
-    back to the fused XLA path when this is False."""
-    c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
-    d, r = cfg.doppler_fft_size, _r_pad(cfg)
-    per_frame = (c * v * s2 * 6) + (c * v * r * 16) + (
-        d * v * cfg.num_tx * r * 16
-    )
-    return per_frame <= (14 << 20)
+    ceiling — the rows=1 working set, charged with the SAME
+    transient/per-row split :func:`_rows_for` budgets with (taking the
+    larger of the maps and detect variants), must fit the 16 MB budget.
+    ``rd_impl='auto'`` falls back to the fused XLA path when this is
+    False."""
+    need = max(sum(_maps_vmem_parts(cfg)), sum(_detect_vmem_parts(cfg)))
+    return need <= (16 << 20)
 
 
 def _rows_for(transient: int, per_row: int, b: int) -> int:
@@ -221,14 +218,19 @@ def _rows_for(transient: int, per_row: int, b: int) -> int:
     return rows
 
 
-def _auto_rows(cfg: RadarConfig, b: int) -> int:
-    """Frames per grid step for the maps kernel (power + threshold out)."""
+def _maps_vmem_parts(cfg: RadarConfig) -> tuple[int, int]:
+    """(transient, per_row) bytes for the maps kernel (power+threshold out)."""
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     d, r = cfg.doppler_fft_size, _r_pad(cfg)
     tvr = cfg.num_tx * v * r
     transient = (c * v * s2 * 8) + (c * v * r * 16) + (d * tvr * 16)
     per_row = (c * v * s2 * 4) + (d * r * 16)   # in blocks + out blocks, 2x
-    return _rows_for(transient, per_row, b)
+    return transient, per_row
+
+
+def _auto_rows(cfg: RadarConfig, b: int) -> int:
+    """Frames per grid step for the maps kernel (power + threshold out)."""
+    return _rows_for(*_maps_vmem_parts(cfg), b)
 
 
 def _plan(shorts, base_cube, cfg, window):
@@ -663,9 +665,9 @@ def _mega_detect_kernel(
         sim_ref[f] = sim[:, :k_det]
 
 
-def _auto_rows_detect(cfg: RadarConfig, b: int) -> int:
-    """:func:`_auto_rows` for the detect variant, whose per-row state is
-    the scratch keep-alives that survive the whole step: the
+def _detect_vmem_parts(cfg: RadarConfig) -> tuple[int, int]:
+    """(transient, per_row) bytes for the detect variant, whose per-row
+    state is the scratch keep-alives that survive the whole step: the
     clutter-removed range planes (rows, C*V, R) x2 and the power +
     masked maps (rows, D, R); outputs are K-sized (negligible)."""
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
@@ -673,7 +675,12 @@ def _auto_rows_detect(cfg: RadarConfig, b: int) -> int:
     tvr = cfg.num_tx * v * r
     transient = (c * v * s2 * 8) + (c * v * r * 8) + (d * tvr * 16)
     per_row = (c * v * s2 * 4) + (c * v * r * 8) + (d * r * 12)
-    return _rows_for(transient, per_row, b)
+    return transient, per_row
+
+
+def _auto_rows_detect(cfg: RadarConfig, b: int) -> int:
+    """:func:`_auto_rows` for the detect variant."""
+    return _rows_for(*_detect_vmem_parts(cfg), b)
 
 
 @functools.partial(

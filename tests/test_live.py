@@ -147,7 +147,7 @@ def test_serve_loopback(cfg, capsys):
     stats = [r for r in recs if r.get("event") == "latency_stats"]
     assert len(stats) == 1
     for field in ("p50_ms", "p90_ms", "p99_ms", "max_ms",
-                  "transfer_p50_ms", "transfer_p99_ms"):
+                  "detect_fetch_p50_ms", "detect_fetch_p99_ms"):
         assert stats[0][field] >= 0.0
     assert stats[0]["p50_ms"] <= stats[0]["p99_ms"] <= stats[0]["max_ms"]
     assert stats[0]["frames"] == 4

@@ -261,6 +261,22 @@ def test_mega_detect_exhausted_slots_match_topk(cfg):
     np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
 
 
+def test_mega_detect_k_above_lane_width_falls_back(cfg, targets):
+    """max_detections > the detect kernel's 128-lane selection width must
+    fall through to the maps path (the round-3 behavior) instead of
+    raising from the kernel gate — rd_impl='mega'/'auto' stays usable at
+    any K."""
+    shorts = synthesize_capture(targets, 3, cfg, noise_std=2.0, seed=60)
+    big = RDPipeline(cfg, max_detections=200, rd_impl="mega-interpret")
+    twin = RDPipeline(cfg, max_detections=200,
+                      rd_impl="mega-maps-interpret", topk_impl="xla")
+    base = big.prepare_base(jnp.asarray(shorts[0]))
+    a = big.detect(jnp.asarray(shorts[1:]), base)
+    b = twin.detect(jnp.asarray(shorts[1:]), base)
+    assert a.range_bin.shape[-1] == 200
+    _assert_same_detections(a, b)
+
+
 def test_mega_supported_gate(cfg):
     """With in-kernel range padding the old 128-lane gate is gone: any
     geometry whose single-frame working set fits scoped VMEM is
