@@ -18,6 +18,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -330,6 +331,79 @@ void radar_ca_cfar(const double* power, int d, int r, int guard_d,
     const double noise = (total[i] - inner[i]) / n_train;
     threshold[i] = alpha * noise;
     hits[i] = power[i] > threshold[i] ? 1 : 0;
+  }
+}
+
+double radar_go_so_cfar_alpha(int n_half, double pfa, int kind) {
+  // Exact GO/SO-CFAR false-alarm rates for exponential noise with n
+  // cells per half and threshold t * S_half [Gandhi & Kassam 1988]:
+  //   Pfa_SO(t) = 2 * sum_{k=0}^{n-1} C(n-1+k, k) * (2+t)^-(n+k)
+  //   Pfa_GO(t) = 2 * (1+t)^-n - Pfa_SO(t)
+  // Monotone decreasing in t; geometric bisection in log space (matches
+  // radar_tpu.golden.go_so_cfar_alpha).
+  const int n = n_half;
+  std::vector<double> log_binom(n);
+  for (int k = 0; k < n; ++k) {
+    log_binom[k] =
+        std::lgamma((double)n + k) - std::lgamma(k + 1.0) - std::lgamma((double)n);
+  }
+  auto pfa_of = [&](double t) {
+    const double l2t = std::log(2.0 + t);
+    double mx = -std::numeric_limits<double>::infinity();
+    for (int k = 0; k < n; ++k) {
+      mx = std::max(mx, log_binom[k] - (n + k) * l2t);
+    }
+    double s = 0.0;
+    for (int k = 0; k < n; ++k) {
+      s += std::exp(log_binom[k] - (n + k) * l2t - mx);
+    }
+    const double so = 2.0 * std::exp(mx) * s;
+    if (kind == 1) return so;
+    return 2.0 * std::pow(1.0 + t, -(double)n) - so;
+  };
+  double lo = 1e-9, hi = 1e9;
+  for (int it = 0; it < 200; ++it) {
+    const double mid = std::sqrt(lo * hi);
+    if (pfa_of(mid) > pfa) {
+      lo = mid;
+    } else {
+      hi = mid;
+    }
+  }
+  return std::sqrt(lo * hi);
+}
+
+void radar_go_so_cfar(const double* power, int d, int r, int guard_d,
+                      int guard_r, int train_d, int train_r, double pfa,
+                      int kind, int range_mode, double* threshold,
+                      uint8_t* hits) {
+  const int wd = guard_d + train_d, wr = guard_r + train_r;
+  const int n_half = (2 * wd + 1) * wr - (2 * guard_d + 1) * guard_r;
+  const double t = radar_go_so_cfar_alpha(n_half, pfa, kind);
+  for (int i = 0; i < d; ++i) {
+    for (int j = 0; j < r; ++j) {
+      double lead = 0.0, lag = 0.0;
+      for (int dd = -wd; dd <= wd; ++dd) {
+        const int id = ((i + dd) % d + d) % d;  // Doppler wraps
+        for (int dr = 1; dr <= wr; ++dr) {
+          if (std::abs(dd) <= guard_d && dr <= guard_r) continue;
+          int jl = j + dr, jg = j - dr;
+          if (range_mode == 1) {
+            jl = reflect_index(jl, r);
+            jg = reflect_index(jg, r);
+          } else {
+            jl = (jl % r + r) % r;
+            jg = (jg % r + r) % r;
+          }
+          lead += power[(size_t)id * r + jl];
+          lag += power[(size_t)id * r + jg];
+        }
+      }
+      const double noise = kind == 0 ? std::max(lead, lag) : std::min(lead, lag);
+      threshold[(size_t)i * r + j] = t * noise;
+      hits[(size_t)i * r + j] =
+          power[(size_t)i * r + j] > threshold[(size_t)i * r + j] ? 1 : 0;
+    }
   }
 }
 

@@ -100,6 +100,18 @@ void radar_os_cfar(const double* power, int d, int r, int guard_d,
                    double k_frac, int stride, int range_mode,
                    double* threshold, uint8_t* hits);
 
+// Greatest-of (kind=0) / smallest-of (kind=1) cell-averaging CFAR:
+// the training ring splits into range-leading (dr > 0) and range-lagging
+// (dr < 0) halves (the dr == 0 column is excluded, n_half cells each);
+// threshold = t * max/min(half sums) with t from the exact Gandhi-Kassam
+// exponential-noise Pfa (radar_go_so_cfar_alpha).  Matches
+// radar_tpu.golden.go_so_cfar_2d; same edge conventions as radar_ca_cfar.
+double radar_go_so_cfar_alpha(int n_half, double pfa, int kind);
+void radar_go_so_cfar(const double* power, int d, int r, int guard_d,
+                      int guard_r, int train_d, int train_r, double pfa,
+                      int kind, int range_mode, double* threshold,
+                      uint8_t* hits);
+
 #ifdef __cplusplus
 }  // extern "C"
 #endif

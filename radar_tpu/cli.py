@@ -41,8 +41,10 @@ def _add_pipeline_flags(sp) -> None:
                     help="range-Doppler implementation (auto: the fused "
                          "detect Pallas kernel on TPU; mega-maps: the "
                          "round-3 maps kernel + XLA tail A/B twin)")
-    sp.add_argument("--cfar-kind", default=None, choices=["ca", "os"],
-                    help="cell-averaging (default) or ordered-statistic CFAR")
+    sp.add_argument("--cfar-kind", default=None,
+                    choices=["ca", "os", "goca", "soca"],
+                    help="cell-averaging (default), ordered-statistic, "
+                         "greatest-of or smallest-of CA-CFAR")
     sp.add_argument("--dft-precision", default=None,
                     choices=["high", "highest", "default"],
                     help="MXU matmul precision: 'high' 3-pass (~8e-6 vs "

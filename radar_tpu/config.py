@@ -55,8 +55,11 @@ class RadarConfig:
     # (physical: range is not circular, mirror the edge cells) or 'wrap'.
     # Doppler always wraps (circular after fftshift).
     cfar_range_mode: str = "reflect"
-    # Detector family: 'ca' (cell-averaging) or 'os' (ordered-statistic —
-    # robust to clutter edges / multiple targets in the training ring).
+    # Detector family: 'ca' (cell-averaging), 'os' (ordered-statistic —
+    # robust to clutter edges / multiple targets in the training ring),
+    # 'goca' (greatest-of CA: resists clutter edges crossing the window
+    # in range) or 'soca' (smallest-of CA: resists a second target
+    # sitting in one half of the training window).
     cfar_kind: str = "ca"
     # OS-CFAR order statistic as a fraction of the training-cell count
     # (k = round(frac * N); 0.75 is the standard choice).
@@ -96,7 +99,7 @@ class RadarConfig:
             if value not in allowed:
                 raise ValueError(f"{name} must be one of {allowed}, got {value!r}")
 
-        _check("cfar_kind", self.cfar_kind, ("ca", "os"))
+        _check("cfar_kind", self.cfar_kind, ("ca", "os", "goca", "soca"))
         _check("cfar_range_mode", self.cfar_range_mode, ("reflect", "wrap"))
         _check("dft_precision", self.dft_precision,
                ("high", "highest", "default"))

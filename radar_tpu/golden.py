@@ -279,6 +279,104 @@ def ca_cfar_2d(
     return power > threshold, threshold
 
 
+def go_so_cfar_alpha(n_half: int, pfa: float, kind: str) -> float:
+    """GO/SO-CFAR scale factor for exponential (square-law) noise.
+
+    Exact false-alarm rates for greatest-of / smallest-of cell averaging
+    with ``n_half`` training cells per half and threshold ``t * S_half``
+    (t applied to the half-window SUM) [Gandhi & Kassam 1988]:
+
+      Pfa_SO(t) = 2 * sum_{k=0}^{n-1} C(n-1+k, k) * (2+t)^-(n+k)
+      Pfa_GO(t) = 2 * (1+t)^-n - Pfa_SO(t)
+
+    Both are monotone decreasing in t; solved by bisection in log space
+    (log-gamma binomials, no scipy).  Returns t.
+    """
+    import math
+
+    n = n_half
+    log_binom = [
+        math.lgamma(n + k) - math.lgamma(k + 1) - math.lgamma(n)
+        for k in range(n)
+    ]
+
+    def pfa_of(t: float) -> float:
+        l2t = math.log(2.0 + t)
+        # log-sum-exp over k of [log C(n-1+k,k) - (n+k) log(2+t)]
+        terms = [log_binom[k] - (n + k) * l2t for k in range(n)]
+        mx = max(terms)
+        so = 2.0 * math.exp(mx) * sum(math.exp(x - mx) for x in terms)
+        if kind == "so":
+            return so
+        return 2.0 * (1.0 + t) ** (-n) - so
+
+    lo, hi = 1e-9, 1e9
+    for _ in range(200):
+        mid = math.sqrt(lo * hi)  # geometric: t spans many decades
+        if pfa_of(mid) > pfa:  # Pfa decreases as t grows
+            lo = mid
+        else:
+            hi = mid
+    return math.sqrt(lo * hi)
+
+
+def go_so_cfar_2d(
+    power: np.ndarray,
+    guard: tuple[int, int],
+    train: tuple[int, int],
+    pfa: float,
+    kind: str = "go",
+    range_mode: str = "reflect",
+) -> tuple[np.ndarray, np.ndarray]:
+    """2D greatest-of (GOCA) / smallest-of (SOCA) cell-averaging CFAR.
+
+    The training ring is split into a range-LEADING half (cells with
+    range offset dr > 0) and a range-LAGGING half (dr < 0); the dr == 0
+    Doppler column is excluded so the halves are symmetric with
+    ``n_half = (2*wd+1)*wr - (2*gd+1)*gr`` cells each.  The noise
+    statistic is max (GO) or min (SO) of the two half-window sums:
+    GO resists clutter edges crossing the window in range; SO resists a
+    second target sitting in one half (the CA masking problem).  Same
+    edge conventions as :func:`ca_cfar_2d` (Doppler wraps, range per
+    ``range_mode``); threshold = t * S_half with t from
+    :func:`go_so_cfar_alpha`.
+
+    The reference has no CFAR at all (argmax detector,
+    /root/reference/acceleration.cu:522); this extends the framework's
+    CFAR family alongside CA and OS.
+    """
+    gd, gr = guard
+    td, tr = train
+    wd, wr = gd + td, gr + tr
+    lead_pad = [(0, 0)] * (power.ndim - 2)
+    padded = np.pad(power, lead_pad + [(wd, wd), (0, 0)], mode="wrap")
+    padded = np.pad(padded, lead_pad + [(0, 0), (wr, wr)], mode=range_mode)
+    d_sz, r_sz = power.shape[-2], power.shape[-1]
+
+    def half_sum(sign: int) -> np.ndarray:
+        out = np.zeros_like(power)
+        for dd in range(-wd, wd + 1):
+            for dr in range(1, wr + 1):
+                if abs(dd) <= gd and dr <= gr:
+                    continue  # guard region
+                out = out + padded[
+                    ...,
+                    wd + dd : wd + dd + d_sz,
+                    wr + sign * dr : wr + sign * dr + r_sz,
+                ]
+        return out
+
+    n_half = (2 * wd + 1) * wr - (2 * gd + 1) * gr
+    t = go_so_cfar_alpha(n_half, pfa, kind)
+    s_lead = half_sum(+1)
+    s_lag = half_sum(-1)
+    noise = np.maximum(s_lead, s_lag) if kind == "go" else np.minimum(
+        s_lead, s_lag
+    )
+    threshold = t * noise
+    return power > threshold, threshold
+
+
 def os_cfar_alpha(n_train: int, k: int, pfa: float) -> float:
     """OS-CFAR scale factor for exponential (square-law) noise.
 

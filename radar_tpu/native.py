@@ -123,6 +123,15 @@ def load() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ]
         lib.radar_os_cfar_alpha.restype = ctypes.c_double
+        lib.radar_go_so_cfar.argtypes = [
+            dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, dp, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.radar_go_so_cfar_alpha.argtypes = [
+            ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        ]
+        lib.radar_go_so_cfar_alpha.restype = ctypes.c_double
         _lib = lib
     return _lib
 
@@ -246,6 +255,27 @@ def os_cfar_2d(
         _dptr(p), d, r, cfg.cfar_guard[0], cfg.cfar_guard[1],
         cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa,
         cfg.cfar_os_k_frac, cfg.cfar_os_stride,
+        1 if cfg.cfar_range_mode == "reflect" else 0, _dptr(thresh),
+        hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+    )
+    return hits.astype(bool), thresh
+
+
+def go_so_cfar_2d(
+    power: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG, kind: str = "go"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native GO/SO-CFAR (twin of golden.go_so_cfar_2d)."""
+    import ctypes as ct
+
+    lib = load()
+    p = np.ascontiguousarray(power, np.float64)
+    d, r = p.shape
+    thresh = np.empty((d, r), np.float64)
+    hits = np.empty((d, r), np.uint8)
+    lib.radar_go_so_cfar(
+        _dptr(p), d, r, cfg.cfar_guard[0], cfg.cfar_guard[1],
+        cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa,
+        0 if kind == "go" else 1,
         1 if cfg.cfar_range_mode == "reflect" else 0, _dptr(thresh),
         hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
     )

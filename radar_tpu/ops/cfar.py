@@ -63,39 +63,50 @@ def cfar_alpha(guard: tuple[int, int], train: tuple[int, int], pfa: float) -> tu
 
 
 @functools.lru_cache(maxsize=None)
-def band_wrap(n: int, w: int):
-    """Circulant box matrix: B[i, j] = multiplicity of column j in the
-    width-(2w+1) window at i under wrap padding.  Multiplicity, not a
-    0/1 mask: when the window spans the axis (2w+1 > n) wrap padding
-    counts cells more than once, exactly like ``jnp.pad(mode='wrap')``
-    + ``reduce_window``."""
+def band_wrap_asym(n: int, lo: int, hi: int):
+    """Circulant box matrix for offsets ``lo..hi`` inclusive:
+    B[i, j] = multiplicity of column j in the window at i under wrap
+    padding.  Multiplicity, not a 0/1 mask: when the window spans the
+    axis wrap padding counts cells more than once, exactly like
+    ``jnp.pad(mode='wrap')`` + ``reduce_window``.  An empty offset range
+    (hi < lo) yields the zero matrix."""
     import numpy as np
 
     m = np.zeros((n, n), np.float32)
-    for o in range(-w, w + 1):
+    for o in range(lo, hi + 1):
         for i in range(n):
             m[i, (i + o) % n] += 1.0
     return m
 
 
 @functools.lru_cache(maxsize=None)
-def band_reflect(n: int, w: int):
-    """Reflect-padded box matrix: B[i, j] = multiplicity of column j in the
-    width-(2w+1) window at i under numpy 'reflect' (edge not repeated;
-    multi-bounce for windows wider than the axis, period 2n-2)."""
+def band_reflect_asym(n: int, lo: int, hi: int):
+    """Reflect-padded box matrix for offsets ``lo..hi`` inclusive
+    (numpy 'reflect': edge not repeated; multi-bounce for windows wider
+    than the axis, period 2n-2)."""
     import numpy as np
 
     if n == 1:
-        return np.full((1, 1), float(2 * w + 1), np.float32)
+        return np.full((1, 1), float(max(0, hi - lo + 1)), np.float32)
     m = np.zeros((n, n), np.float32)
     period = 2 * n - 2
     for i in range(n):
-        for p in range(i - w, i + w + 1):
+        for p in range(i + lo, i + hi + 1):
             q = p % period
             if q >= n:
                 q = period - q
             m[i, q] += 1.0
     return m
+
+
+def band_wrap(n: int, w: int):
+    """Symmetric circulant box matrix (offsets -w..w)."""
+    return band_wrap_asym(n, -w, w)
+
+
+def band_reflect(n: int, w: int):
+    """Symmetric reflect-padded box matrix (offsets -w..w)."""
+    return band_reflect_asym(n, -w, w)
 
 
 def cfar_band_matrices(cfg: RadarConfig, d_size: int, r_size: int):
@@ -218,6 +229,59 @@ def os_cfar_2d(
     return power > threshold, threshold
 
 
+def go_so_cfar_2d(
+    power: jnp.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    kind: str = "go",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """2D greatest-of (GOCA) / smallest-of (SOCA) cell-averaging CFAR
+    (twin of ``golden.go_so_cfar_2d``; see there for the half-window
+    contract — leading/lagging range halves, dr == 0 column excluded).
+
+    The asymmetric half-window sums are banded matrices, so each half is
+    ``Td @ p @ A^T - Gd @ p @ Ag^T`` — six HIGHEST-precision matmuls per
+    map on the MXU (the same formulation the CA band kernel uses), then
+    an elementwise max/min.  GO resists clutter edges crossing the
+    window in range; SO resists a second target in one half.
+    """
+    from radar_tpu.golden import go_so_cfar_alpha
+
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    wd, wr = gd + td, gr + tr
+    d_sz, r_sz = power.shape[-2], power.shape[-1]
+    n_half = (2 * wd + 1) * wr - (2 * gd + 1) * gr
+    if n_half <= 0:
+        raise ValueError(
+            f"{kind.upper()}CA-CFAR needs range training cells: "
+            f"cfar_train[1] > 0 (got train={cfg.cfar_train})"
+        )
+    mk_r = (band_wrap_asym if cfg.cfar_range_mode == "wrap"
+            else band_reflect_asym)
+    td_m = jnp.asarray(band_wrap(d_sz, wd))
+    gd_m = jnp.asarray(band_wrap(d_sz, gd))
+    al = jnp.asarray(mk_r(r_sz, 1, wr))       # leading: dr in [1, wr]
+    alg = jnp.asarray(mk_r(r_sz, 1, gr))
+    bl = jnp.asarray(mk_r(r_sz, -wr, -1))     # lagging: dr in [-wr, -1]
+    blg = jnp.asarray(mk_r(r_sz, -gr, -1))
+    t = jnp.asarray(
+        go_so_cfar_alpha(n_half, cfg.cfar_pfa, kind), power.dtype
+    )
+
+    hp = jax.lax.Precision.HIGHEST  # exact f32: (lead-guard) cancels
+    pd_t = jnp.einsum("ij,...jk->...ik", td_m, power, precision=hp)
+    pd_g = jnp.einsum("ij,...jk->...ik", gd_m, power, precision=hp)
+    lead = (jnp.einsum("...ik,lk->...il", pd_t, al, precision=hp)
+            - jnp.einsum("...ik,lk->...il", pd_g, alg, precision=hp))
+    lag = (jnp.einsum("...ik,lk->...il", pd_t, bl, precision=hp)
+           - jnp.einsum("...ik,lk->...il", pd_g, blg, precision=hp))
+    noise = jnp.maximum(lead, lag) if kind == "go" else jnp.minimum(
+        lead, lag
+    )
+    threshold = t * noise
+    return power > threshold, threshold
+
+
 def cfar_detect(
     power: jnp.ndarray,
     cfg: RadarConfig = DEFAULT_CONFIG,
@@ -225,7 +289,7 @@ def cfar_detect(
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Single dispatch point for the CFAR family: ``cfg.cfar_kind``
-    ('ca'/'os') crossed with ``impl`` ('xla' or 'pallas').
+    ('ca'/'os'/'goca'/'soca') crossed with ``impl`` ('xla' or 'pallas').
 
     Both the local pipeline and the shard_map pipeline route through this,
     so kind/impl validation and dispatch live in exactly one place.
@@ -236,6 +300,10 @@ def cfar_detect(
         from radar_tpu.ops.pallas.oscfar_kernel import os_cfar_2d_pallas
 
         return os_cfar_2d_pallas(power, cfg, interpret=interpret)
+    if cfg.cfar_kind in ("goca", "soca"):
+        # the band-matmul form already rides the MXU under jit; there is
+        # no separate Pallas kernel for the GO/SO variants
+        return go_so_cfar_2d(power, cfg, kind=cfg.cfar_kind[:2])
     if impl == "xla":
         return ca_cfar_2d(power, cfg)
     from radar_tpu.ops.pallas.cfar_kernel import ca_cfar_2d_pallas

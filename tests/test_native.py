@@ -138,3 +138,29 @@ def test_os_cfar_half_integer_k_parity(cfg):
     np.testing.assert_allclose(got_native, want, rtol=1e-12)
     _, got_xla = os_xla(jnp.asarray(power.astype(np.float32)), c)
     np.testing.assert_allclose(np.asarray(got_xla), want, rtol=2e-4)
+
+
+def test_native_go_so_cfar_matches_golden(cfg):
+    rng = np.random.default_rng(59)
+    power = rng.exponential(
+        1.0, (cfg.doppler_fft_size, cfg.range_fft_size)
+    )
+    power[40, 70] = 700.0
+    for kind in ("go", "so"):
+        want_hits, want_t = golden.go_so_cfar_2d(
+            power, cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa, kind=kind
+        )
+        got_hits, got_t = native.go_so_cfar_2d(power, cfg, kind=kind)
+        np.testing.assert_allclose(got_t, want_t, rtol=1e-9)
+        np.testing.assert_array_equal(got_hits, want_hits)
+
+
+def test_native_go_so_alpha_matches_python():
+    from radar_tpu.golden import go_so_cfar_alpha
+
+    lib = native.load()
+    for n, pfa in [(104, 1e-6), (40, 1e-4), (12, 1e-2)]:
+        for kind, ki in (("go", 0), ("so", 1)):
+            a_py = go_so_cfar_alpha(n, pfa, kind)
+            a_c = lib.radar_go_so_cfar_alpha(n, pfa, ki)
+            assert abs(a_c - a_py) / a_py < 1e-9, (n, pfa, kind)

@@ -2,8 +2,10 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from radar_tpu import golden
+from radar_tpu.config import RadarConfig
 from radar_tpu.io.capture import decode_shorts
 from radar_tpu.ops.aoa import angle_fft_spectrum, capon_spectrum, music_spectrum
 from radar_tpu.ops.cfar import ca_cfar_2d
@@ -334,3 +336,115 @@ def test_cfar_band_matrices_match_padded_boxsum():
             np.testing.assert_allclose(
                 got, want, rtol=1e-6, err_msg=f"reflect {n},{w}"
             )
+
+
+# ---------------------------------------------------------------------------
+# GOCA / SOCA CFAR
+
+
+def test_go_so_alpha_identity():
+    """Pfa_GO(t) + Pfa_SO(t) = 2*(1+t)^-n: the max/min events partition
+    the two-half sample space [Gandhi & Kassam 1988] — solving each kind
+    for the same pfa must therefore give t_go > t_so... and the solved t
+    must reproduce the target pfa through the closed forms."""
+    import math
+
+    from radar_tpu.golden import go_so_cfar_alpha
+
+    n, pfa = 40, 1e-4
+    t_go = go_so_cfar_alpha(n, pfa, "go")
+    t_so = go_so_cfar_alpha(n, pfa, "so")
+    # SO's min-statistic sits lower, so its multiplier must be larger
+    assert t_so > t_go > 0.0
+
+    def pfa_so(t):
+        terms = [
+            math.lgamma(n + k) - math.lgamma(k + 1) - math.lgamma(n)
+            - (n + k) * math.log(2.0 + t)
+            for k in range(n)
+        ]
+        mx = max(terms)
+        return 2.0 * math.exp(mx) * sum(math.exp(x - mx) for x in terms)
+
+    assert abs(pfa_so(t_so) - pfa) / pfa < 1e-6
+    assert abs((2.0 * (1.0 + t_go) ** (-n) - pfa_so(t_go)) - pfa) / pfa < 1e-6
+
+
+@pytest.mark.parametrize("kind", ["goca", "soca"])
+def test_go_so_cfar_matches_golden(cfg, kind):
+    from radar_tpu.ops.cfar import go_so_cfar_2d
+
+    rng = np.random.default_rng(37)
+    power = rng.exponential(
+        1.0, (cfg.doppler_fft_size, cfg.range_fft_size)
+    ).astype(np.float32)
+    power[50, 100] = 800.0
+    want_hits, want_thresh = golden.go_so_cfar_2d(
+        power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train,
+        cfg.cfar_pfa, kind=kind[:2],
+    )
+    got_hits, got_thresh = go_so_cfar_2d(jnp.asarray(power), cfg, kind[:2])
+    got_hits, got_thresh = np.asarray(got_hits), np.asarray(got_thresh)
+    np.testing.assert_allclose(got_thresh, want_thresh, rtol=1e-4)
+    marginal = np.abs(power - want_thresh) < 1e-3 * want_thresh
+    assert not np.any((got_hits != want_hits) & ~marginal)
+    assert got_hits[50, 100]
+
+
+def test_go_so_noise_ordering(cfg):
+    """On any map, GO's noise statistic >= SO's pointwise (max vs min of
+    the same half sums), so with equal multipliers GO's threshold would
+    dominate; with the solved per-kind multipliers both achieve the SAME
+    pfa — checked empirically on pure exponential noise."""
+    from radar_tpu.ops.cfar import go_so_cfar_2d
+
+    rng = np.random.default_rng(41)
+    power = rng.exponential(1.0, (64, cfg.doppler_fft_size,
+                                  cfg.range_fft_size)).astype(np.float32)
+    p = jnp.asarray(power)
+    hits_go, _ = go_so_cfar_2d(p, cfg, "go")
+    hits_so, _ = go_so_cfar_2d(p, cfg, "so")
+    n_cells = power.size
+    # pfa = 1e-6 at defaults; with ~1e6 cells expect O(1) false alarms.
+    # Bound loosely: the rates must be within ~30x of pfa, not e.g. 1e-2
+    for h in (hits_go, hits_so):
+        rate = float(np.asarray(h).sum()) / n_cells
+        assert rate < 30.0 * cfg.cfar_pfa, rate
+
+
+def test_go_so_clutter_edge_behavior(cfg):
+    """The motivating scenario: a clutter edge along range.  GOCA takes
+    the HOT half's sum as noise, so a cell just inside the cold region
+    near the edge is NOT flagged (CA would average hot+cold and fire);
+    detection of a strong target well inside the cold region survives."""
+    from radar_tpu.ops.cfar import go_so_cfar_2d
+
+    rng = np.random.default_rng(43)
+    d, r = cfg.doppler_fft_size, cfg.range_fft_size
+    power = rng.exponential(1.0, (d, r)).astype(np.float32)
+    power[:, : r // 2] *= 400.0          # hot clutter in near range
+    power[30, r // 2 + 40] = 500.0       # target in the quiet half
+    hits_go, _ = go_so_cfar_2d(jnp.asarray(power), cfg, "go")
+    hits_go = np.asarray(hits_go)
+    assert hits_go[30, r // 2 + 40]
+    # cells just past the edge in the cold region: CA fires on the
+    # *drop* (mean halves), GO keeps the hot-half estimate -> quiet
+    edge_band = hits_go[:, r // 2 : r // 2 + cfg.cfar_guard[1] + 1]
+    noise_cells = np.delete(
+        edge_band, 30 - 0, axis=0
+    )  # exclude the target's Doppler row
+    assert noise_cells.mean() < 0.01
+
+
+def test_go_so_through_pipeline(cfg, capture):
+    """cfar_kind='goca'/'soca' runs end-to-end through RDPipeline (mega
+    power kernel + standalone GO/SO CFAR; the fused-CFAR detect variant
+    correctly stays CA-only)."""
+    from radar_tpu.models.rd_pipeline import RDPipeline
+
+    for kind in ("goca", "soca"):
+        cfg2 = RadarConfig(cfar_kind=kind)
+        pipe = RDPipeline(cfg2, max_detections=8, rd_impl="mega-interpret")
+        base = pipe.prepare_base(jnp.asarray(capture[0]))
+        out = pipe.detect(jnp.asarray(capture[1:3]), base)
+        assert bool(np.asarray(out.num_hits).max() >= 1)
