@@ -677,6 +677,32 @@ def cmd_selftest(args) -> int:
     return 1 if run_selftests(args.only) else 0
 
 
+def cmd_eval(args) -> int:
+    """Pd/Pfa detection-performance evaluation (radar_tpu/evaluate.py):
+    realized false-alarm rate on target-free frames (the closed loop on
+    the CFAR alpha derivations) and a detection-probability curve over
+    target amplitude.  The reference has no evaluation story at all
+    (argmax, eyeballed: acceleration.cu:518-533)."""
+    from radar_tpu.evaluate import measure_pfa, pd_curve
+
+    cfg = _build_cfg(args)
+    pfa = measure_pfa(cfg, frames=args.frames, noise_std=args.noise,
+                      seed=args.seed, rd_impl=args.rd_impl)
+    print(json.dumps({"event": "pfa", "cfar_kind": cfg.cfar_kind, **pfa}),
+          flush=True)
+    amps = tuple(float(a) for a in args.amplitudes.split(","))
+    for pt in pd_curve(cfg, amplitudes=amps, frames=args.frames,
+                       noise_std=args.noise, range_m=args.range,
+                       velocity_mps=args.velocity, seed=args.seed,
+                       rd_impl=args.rd_impl):
+        print(json.dumps({
+            "event": "pd", "cfar_kind": cfg.cfar_kind,
+            "amplitude": pt.amplitude, "pd": round(pt.pd, 4),
+            "frames": pt.frames, "mean_hits": round(pt.mean_hits, 2),
+        }), flush=True)
+    return 0
+
+
 def cmd_verify(args) -> int:
     """TPU pipeline vs float64 golden, frame by frame — the promoted
     version of the reference's disabled verification loop
@@ -809,6 +835,23 @@ def main(argv=None) -> int:
                         "(p50/p90/p99) for the serving program")
     _add_pipeline_flags(b)
     b.set_defaults(fn=cmd_bench)
+
+    e = sub.add_parser(
+        "eval",
+        help="Pd/Pfa detection-performance evaluation (synthetic scenes)",
+    )
+    _add_pipeline_flags(e)
+    e.add_argument("--frames", type=int, default=32,
+                   help="frames per measurement point")
+    e.add_argument("--amplitudes", default="20,40,80,160,320",
+                   help="comma-separated target amplitudes for the Pd curve")
+    e.add_argument("--noise", type=float, default=20.0)
+    e.add_argument("--range", type=float, default=6.0,
+                   help="target range (m)")
+    e.add_argument("--velocity", type=float, default=2.0,
+                   help="target velocity (m/s)")
+    e.add_argument("--seed", type=int, default=0)
+    e.set_defaults(fn=cmd_eval)
 
     v = sub.add_parser("verify", help="TPU vs float64 golden, per frame")
     v.add_argument("path")

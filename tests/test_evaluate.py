@@ -1,0 +1,69 @@
+"""Pd/Pfa evaluation harness: the closed loop on the CFAR alpha
+derivations.  Runs on the CPU backend with a small geometry so the
+statistics are quick; rates are gated loosely (FFT-windowed map cells
+are correlated, which the textbook derivations ignore)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from radar_tpu.config import RadarConfig
+from radar_tpu.evaluate import expected_bins, measure_pfa, pd_curve
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return RadarConfig(num_samples=64, num_chirps=64, num_rx=2,
+                       cfar_pfa=1e-4)
+
+
+def test_expected_bins_roundtrip(small_cfg):
+    """expected_bins inverts cell_physics to within a bin."""
+    import jax.numpy as jnp
+
+    from radar_tpu.models.rd_pipeline import cell_physics
+
+    d, r = expected_bins(6.0, 2.0, small_cfg)
+    rng_m, vel = cell_physics(jnp.asarray(d), jnp.asarray(r), small_cfg)
+    # bin quantization: within one bin's worth of each quantity
+    r_res = float(cell_physics(jnp.asarray(0), jnp.asarray(1),
+                               small_cfg)[0])
+    v_res = abs(float(cell_physics(jnp.asarray(small_cfg.doppler_fft_size
+                                               // 2 + 1),
+                                   jnp.asarray(0), small_cfg)[1]))
+    assert abs(float(rng_m) - 6.0) <= r_res
+    assert abs(float(vel) - 2.0) <= v_res
+
+
+@pytest.mark.parametrize("kind", ["ca", "goca", "soca"])
+def test_measured_pfa_near_configured(small_cfg, kind):
+    import dataclasses
+
+    cfg = dataclasses.replace(small_cfg, cfar_kind=kind)
+    out = measure_pfa(cfg, frames=24, seed=3)
+    # 24 frames x 64x64 cells ~ 98k cells at pfa 1e-4 -> ~10 expected
+    # false alarms; gate within ~20x either way (correlated cells)
+    assert out["pfa_measured"] < 20 * cfg.cfar_pfa
+    assert out["hits"] >= 0
+
+
+def test_pd_curve_monotone_ends(small_cfg):
+    pts = pd_curve(small_cfg, amplitudes=(2.0, 2000.0), frames=16,
+                   noise_std=20.0, seed=5)
+    assert pts[0].pd <= 0.5          # buried target: mostly missed
+    assert pts[-1].pd == 1.0         # strong target: always detected
+
+
+def test_cli_eval_smoke(capsys):
+    from radar_tpu.cli import main
+
+    rc = main(["eval", "--frames", "4", "--amplitudes", "1000",
+               "--seed", "2"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    events = {l["event"] for l in lines}
+    assert {"pfa", "pd"} <= events
+    pd_line = [l for l in lines if l["event"] == "pd"][0]
+    assert pd_line["pd"] == 1.0
