@@ -598,7 +598,7 @@ class RDPipeline:
 
             if (
                 impl in ("mega", "mega-interpret")
-                and cfg.cfar_kind == "ca"
+                and cfg.cfar_kind in ("ca", "goca", "soca")
                 and self.cfar_impl == "auto"
                 and self.max_detections <= _K_LANE
             ):
@@ -615,7 +615,8 @@ class RDPipeline:
                 return assemble_result_from_kernel(*out, cfg)
             # unsupported geometries raise inside _mega_call (one gate
             # for every entry point); 'auto' never reaches here for them
-            if cfg.cfar_kind == "ca" and self.cfar_impl == "auto":
+            if (cfg.cfar_kind in ("ca", "goca", "soca")
+                    and self.cfar_impl == "auto"):
                 power, thresh = power_cfar_from_shorts_pallas(
                     shorts, base, cfg, interpret=interpret
                 )

@@ -229,6 +229,43 @@ def os_cfar_2d(
     return power > threshold, threshold
 
 
+def go_so_params(cfg: RadarConfig, kind: str) -> tuple[int, float]:
+    """(n_half, t) shared by every GO/SO twin: cells per half window and
+    the Gandhi-Kassam threshold multiplier (applied to the half SUM).
+    One definition so the XLA path and the mega kernels cannot drift."""
+    from radar_tpu.golden import go_so_cfar_alpha
+
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    wd, wr = gd + td, gr + tr
+    n_half = (2 * wd + 1) * wr - (2 * gd + 1) * gr
+    if n_half <= 0:
+        raise ValueError(
+            f"{kind.upper()}CA-CFAR needs range training cells: "
+            f"cfar_train[1] > 0 (got train={cfg.cfar_train})"
+        )
+    return n_half, float(go_so_cfar_alpha(n_half, cfg.cfar_pfa, kind))
+
+
+def go_so_band_matrices(cfg: RadarConfig, d_size: int, r_size: int):
+    """(Td, Gd, AL, ALg, BL, BLg) f32 matrices for the GO/SO half-window
+    sums: lead = Td@p@AL^T - Gd@p@ALg^T, lag mirrored.  Consumed by the
+    XLA path and the mega kernels."""
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    wd, wr = gd + td, gr + tr
+    mk_r = (band_wrap_asym if cfg.cfar_range_mode == "wrap"
+            else band_reflect_asym)
+    return (
+        band_wrap(d_size, wd),
+        band_wrap(d_size, gd),
+        mk_r(r_size, 1, wr),
+        mk_r(r_size, 1, gr),
+        mk_r(r_size, -wr, -1),
+        mk_r(r_size, -gr, -1),
+    )
+
+
 def go_so_cfar_2d(
     power: jnp.ndarray,
     cfg: RadarConfig = DEFAULT_CONFIG,
@@ -244,29 +281,12 @@ def go_so_cfar_2d(
     an elementwise max/min.  GO resists clutter edges crossing the
     window in range; SO resists a second target in one half.
     """
-    from radar_tpu.golden import go_so_cfar_alpha
-
-    gd, gr = cfg.cfar_guard
-    td, tr = cfg.cfar_train
-    wd, wr = gd + td, gr + tr
     d_sz, r_sz = power.shape[-2], power.shape[-1]
-    n_half = (2 * wd + 1) * wr - (2 * gd + 1) * gr
-    if n_half <= 0:
-        raise ValueError(
-            f"{kind.upper()}CA-CFAR needs range training cells: "
-            f"cfar_train[1] > 0 (got train={cfg.cfar_train})"
-        )
-    mk_r = (band_wrap_asym if cfg.cfar_range_mode == "wrap"
-            else band_reflect_asym)
-    td_m = jnp.asarray(band_wrap(d_sz, wd))
-    gd_m = jnp.asarray(band_wrap(d_sz, gd))
-    al = jnp.asarray(mk_r(r_sz, 1, wr))       # leading: dr in [1, wr]
-    alg = jnp.asarray(mk_r(r_sz, 1, gr))
-    bl = jnp.asarray(mk_r(r_sz, -wr, -1))     # lagging: dr in [-wr, -1]
-    blg = jnp.asarray(mk_r(r_sz, -gr, -1))
-    t = jnp.asarray(
-        go_so_cfar_alpha(n_half, cfg.cfar_pfa, kind), power.dtype
+    _, t_f = go_so_params(cfg, kind)
+    td_m, gd_m, al, alg, bl, blg = (
+        jnp.asarray(m) for m in go_so_band_matrices(cfg, d_sz, r_sz)
     )
+    t = jnp.asarray(t_f, power.dtype)
 
     hp = jax.lax.Precision.HIGHEST  # exact f32: (lead-guard) cancels
     pd_t = jnp.einsum("ij,...jk->...ik", td_m, power, precision=hp)

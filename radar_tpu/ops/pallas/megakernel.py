@@ -57,7 +57,11 @@ from jax.experimental.pallas import tpu as pltpu
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
 from radar_tpu.ops.cfar import cfar_alpha, cfar_band_matrices
 from radar_tpu.ops.dftmat import dft_matrix, resolve_precision
-from radar_tpu.ops.pallas.cfar_kernel import band_threshold, mm_band
+from radar_tpu.ops.pallas.cfar_kernel import (
+    band_threshold,
+    mm_band,
+    mm_band_r,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -139,14 +143,13 @@ def _mega_kernel(
     raw_ref, art_ref, ait_ref, fr_ref, fi_ref, br_ref, bi_ref,
     *refs,
     rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
-    mean_clutter, tx, n_chirps, with_cfar, coef,
+    mean_clutter, tx, n_chirps, with_cfar, coef, n_band=4,
+    cfar_kind="ca",
 ):
     if with_cfar:
-        td_ref, sr_ref, gd_ref, gr_ref, out_ref, th_ref = refs
-        td = td_ref[:]
-        sr = sr_ref[:]
-        gd = gd_ref[:]
-        gr = gr_ref[:]
+        band = [r[:] for r in refs[:n_band]]
+        out_ref, th_ref = refs[n_band:]
+        thresh = _make_threshold(cfar_kind, band, coef)
     else:
         (out_ref,) = refs
     dot, split = _make_dot(precision)
@@ -164,7 +167,7 @@ def _mega_kernel(
         )
         out_ref[f] = p
         if with_cfar:
-            th_ref[f] = band_threshold(p, td, sr, gd, gr, coef)
+            th_ref[f] = thresh(p)
 
 
 def _r_pad(cfg: RadarConfig) -> int:
@@ -281,6 +284,33 @@ def _padded_band_matrices(cfg, d_size, r_true, rp):
     return [jnp.asarray(m) for m in (td, sr, gd, gr)]
 
 
+def _cfar_kind_consts(cfg, d_size, r_true, rp):
+    """(band matrix list, coef) for the in-kernel CFAR: 'ca' or
+    'goca'/'soca' (see :func:`_make_threshold`).  GO/SO range matrices
+    are padded like :func:`_padded_band_matrices` — pad cells get
+    lead = lag = 0 over power 0, never hits."""
+    import numpy as np
+
+    from radar_tpu.ops.cfar import go_so_band_matrices, go_so_params
+
+    if cfg.cfar_kind == "ca":
+        alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train,
+                                    cfg.cfar_pfa)
+        return (_padded_band_matrices(cfg, d_size, r_true, rp),
+                float(alpha / n_train))
+    if cfg.cfar_kind not in ("goca", "soca"):
+        raise ValueError(
+            f"in-kernel CFAR supports ca/goca/soca, not "
+            f"{cfg.cfar_kind!r} (OS runs on the power kernel's output)"
+        )
+    _, t = go_so_params(cfg, cfg.cfar_kind[:2])
+    mats = list(go_so_band_matrices(cfg, d_size, r_true))
+    if rp != r_true:
+        mats[2:] = [np.pad(m, ((0, rp - r_true), (0, rp - r_true)))
+                    for m in mats[2:]]
+    return [jnp.asarray(m) for m in mats], t
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "window", "with_cfar", "interpret", "rows"),
@@ -312,12 +342,11 @@ def _mega_call(
         raw = jnp.pad(raw, ((0, b_pad - b),) + ((0, 0),) * 3)
 
     consts = [art, ait, fr, fi, br, bi]
-    coef = 0.0
+    coef, n_band = 0.0, 0
     if with_cfar:
-        alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train,
-                                    cfg.cfar_pfa)
-        coef = float(alpha / n_train)
-        consts += _padded_band_matrices(cfg, d_size, r_true, r_size)
+        band, coef = _cfar_kind_consts(cfg, d_size, r_true, r_size)
+        n_band = len(band)
+        consts += band
 
     kern = functools.partial(
         _mega_kernel,
@@ -325,7 +354,8 @@ def _mega_call(
         d_size=d_size, tv=tv, r_size=r_size,
         precision=cfg.dft_precision,
         mean_clutter=base_cube is None, tx=tx, n_chirps=c,
-        with_cfar=with_cfar, coef=coef,
+        with_cfar=with_cfar, coef=coef, n_band=n_band,
+        cfar_kind=cfg.cfar_kind,
     )
     map_sds = jax.ShapeDtypeStruct((b_pad, d_size, r_size), jnp.float32)
     map_spec = pl.BlockSpec((rows, d_size, r_size), lambda i: (i, 0, 0),
@@ -426,23 +456,49 @@ _F32_MIN = float(jnp.finfo(jnp.float32).min)
 _K_LANE = 128  # one-hot gather matmuls run at the full lane width
 
 
+def _make_threshold(cfar_kind, band, coef):
+    """p -> CFAR threshold from VMEM-loaded band matrices.
+
+    'ca': the classic (Td@p@Sr^T - Gd@p@Gr^T)*alpha/n.  'goca'/'soca':
+    the GO/SO half-window sums share the Doppler products —
+    lead = (Td@p)@AL^T - (Gd@p)@ALg^T and lag mirrored — then max/min
+    and the Gandhi-Kassam multiplier (ops/cfar.go_so_params).  All
+    products HIGHEST f32: the half sums feed a max/min whose loser
+    still gates borderline cells, same cancellation argument as CA."""
+    if cfar_kind == "ca":
+        td, sr, gd, gr = band
+        return lambda p: band_threshold(p, td, sr, gd, gr, coef)
+    take = jnp.maximum if cfar_kind == "goca" else jnp.minimum
+    tdm, gdm, al, alg, bl, blg = band
+
+    def thresh(p):
+        m1 = mm_band(tdm, p)
+        m2 = mm_band(gdm, p)
+        lead = mm_band_r(m1, al) - mm_band_r(m2, alg)
+        lag = mm_band_r(m1, bl) - mm_band_r(m2, blg)
+        return take(lead, lag) * coef
+
+    return thresh
+
+
 def _mega_detect_kernel(
     raw_ref, art_ref, ait_ref, fr_ref, fi_ref, frt_ref, fit_ref,
-    br_ref, bi_ref, td_ref, sr_ref, gd_ref, gr_ref,
-    idx_ref, val_ref, nbr_ref, nh_ref, sre_ref, sim_ref,
-    mask_s, p_s, zr_s, zi_s, vals_s, idxs_s,
-    *, rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
-    mean_clutter, tx, n_chirps, coef, k_det, s_pack, phases="full",
+    br_ref, bi_ref, *rest,
+    rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
+    mean_clutter, tx, n_chirps, coef, k_det, s_pack, n_band,
+    cfar_kind="ca", phases="full",
 ):
+    band = [r[:] for r in rest[:n_band]]
+    (idx_ref, val_ref, nbr_ref, nh_ref, sre_ref, sim_ref) = rest[
+        n_band : n_band + 6
+    ]
+    mask_s, p_s, zr_s, zi_s, vals_s, idxs_s = rest[n_band + 6 :]
     dot, split = _make_dot(precision)
     art = split(art_ref[:])
     ait = split(ait_ref[:])
     fr = split(fr_ref[:])
     fi = split(fi_ref[:])
-    td = td_ref[:]
-    sr = sr_ref[:]
-    gd = gd_ref[:]
-    gr = gr_ref[:]
+    thresh = _make_threshold(cfar_kind, band, coef)
     sentinel = jnp.float32(_F32_MIN)
 
     # -- phase A: per-frame front-end; maps live only in VMEM scratch ----
@@ -453,7 +509,7 @@ def _mega_detect_kernel(
             tv=tv, r_size=r_size, mean_clutter=mean_clutter, tx=tx,
             n_chirps=n_chirps,
         )
-        th = band_threshold(p, td, sr, gd, gr, coef)
+        th = thresh(p)
         # sentinel (not -inf) for non-hits: the knockout's -inf then sorts
         # strictly below every untaken cell, reproducing lax.top_k's
         # exhausted-slot order exactly (same trick as topk_pallas).
@@ -725,10 +781,8 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
     ):
         s_pack //= 2
 
-    alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa)
-    consts = [art, ait, fr, fi, fr.T, fi.T, br, bi] + _padded_band_matrices(
-        cfg, d_size, r_true, r_size
-    )
+    band, coef = _cfar_kind_consts(cfg, d_size, r_true, r_size)
+    consts = [art, ait, fr, fi, fr.T, fi.T, br, bi] + band
 
     kern = functools.partial(
         _mega_detect_kernel,
@@ -736,8 +790,8 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
         d_size=d_size, tv=tv, r_size=r_size,
         precision=cfg.dft_precision,
         mean_clutter=base_cube is None, tx=tx, n_chirps=c,
-        coef=float(alpha / n_train), k_det=k_det, s_pack=s_pack,
-        phases=phases,
+        coef=coef, k_det=k_det, s_pack=s_pack, n_band=len(band),
+        cfar_kind=cfg.cfar_kind, phases=phases,
     )
 
     def const_spec(m):

@@ -170,8 +170,8 @@ class DistributedRDPipeline:
                 from radar_tpu.ops.pallas.megakernel import _K_LANE
 
                 interpret = jax.default_backend() != "tpu"
-                if (cfg.cfar_kind == "ca" and cfar_impl == "auto"
-                        and k <= _K_LANE):
+                if (cfg.cfar_kind in ("ca", "goca", "soca")
+                        and cfar_impl == "auto" and k <= _K_LANE):
                     # K > the kernel's 128-lane selection width falls
                     # through to the maps path below, matching RDPipeline
                     out = detections_from_shorts_pallas(

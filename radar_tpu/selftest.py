@@ -114,6 +114,26 @@ def check_mega_detect_bitexact():
     _det_fields(a, b)
 
 
+def check_mega_detect_go_so():
+    """GOCA/SOCA fused into the detect kernel (asymmetric band matmuls)
+    vs the maps kernel + Pallas top-K tail: bit-exact, compiled."""
+    import jax.numpy as jnp
+
+    from radar_tpu.config import RadarConfig
+    from radar_tpu.models.rd_pipeline import RDPipeline
+
+    for kind in ("goca", "soca"):
+        cfg = RadarConfig(cfar_kind=kind)
+        cap = _capture(cfg, 5, seed=14)
+        det = RDPipeline(cfg, max_detections=8, rd_impl="mega")
+        maps = RDPipeline(cfg, max_detections=8, rd_impl="mega-maps",
+                          topk_impl="pallas")
+        base = det.prepare_base(jnp.asarray(cap[0]))
+        a = det.detect(jnp.asarray(cap[1:]), base)
+        b = maps.detect(jnp.asarray(cap[1:]), base)
+        _det_fields(a, b)
+
+
 def check_mega_detect_mimo():
     """Detect kernel under TDM-MIMO (tx=2)."""
     import jax.numpy as jnp
@@ -307,6 +327,7 @@ CHECKS = [
     ("mega-maps ca-cfar (base clutter)", lambda: check_mega_maps_ca(True)),
     ("mega-maps ca-cfar (mean clutter)", lambda: check_mega_maps_ca(False)),
     ("mega-detect bit-exact vs maps", check_mega_detect_bitexact),
+    ("mega-detect GOCA/SOCA", check_mega_detect_go_so),
     ("mega-detect TDM-MIMO", check_mega_detect_mimo),
     ("mega-detect mean clutter", check_mega_mean_clutter),
     ("topk tie order vs lax.top_k", check_topk_tie_order),

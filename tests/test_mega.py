@@ -241,6 +241,32 @@ def test_mega_detect_variant_mimo(targets):
                                np.asarray(b.azimuth_deg), atol=1e-3)
 
 
+@pytest.mark.parametrize("kind", ["goca", "soca"])
+def test_mega_detect_go_so_cfar(kind, targets):
+    """GOCA/SOCA fused into the detect kernel (asymmetric band matmuls,
+    round 4): bit-identical to the maps kernel + Pallas top-K tail
+    (which shares the in-kernel threshold code), and detection-identical
+    to the fused XLA pipeline with the einsum GO/SO path."""
+    cfg2 = RadarConfig(cfar_kind=kind)
+    shorts = synthesize_capture(targets, 4, cfg2, noise_std=2.0, seed=71)
+    det = RDPipeline(cfg2, max_detections=8, rd_impl="mega-interpret")
+    maps = RDPipeline(cfg2, max_detections=8, rd_impl="mega-maps-interpret",
+                      topk_impl="pallas-interpret")
+    fused = RDPipeline(cfg2, max_detections=8, rd_impl="fused")
+    base = det.prepare_base(jnp.asarray(shorts[0]))
+    a = det.detect(jnp.asarray(shorts[1:]), base)
+    b = maps.detect(jnp.asarray(shorts[1:]), base)
+    for f in _EXACT_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            err_msg=f,
+        )
+    c = fused.detect(jnp.asarray(shorts[1:]), base)
+    _assert_same_detections(a, c)
+    # and the two kinds genuinely differ (different thresholds)
+    assert bool(np.asarray(a.num_hits).max() >= 1)
+
+
 def test_mega_detect_exhausted_slots_match_topk(cfg):
     """With nearly-empty hit maps, exhausted slots must carry the same
     ascending untaken indices as lax.top_k (the e586119 bug class)."""
