@@ -30,6 +30,8 @@ def _build_cfg(args) -> RadarConfig:
         kw["cfar_kind"] = args.cfar_kind
     if getattr(args, "dft_precision", None):
         kw["dft_precision"] = args.dft_precision
+    if getattr(args, "window_kind", None):
+        kw["window_kind"] = args.window_kind
     return RadarConfig(**kw)
 
 
@@ -45,6 +47,11 @@ def _add_pipeline_flags(sp) -> None:
                     choices=["ca", "os", "goca", "soca"],
                     help="cell-averaging (default), ordered-statistic, "
                          "greatest-of or smallest-of CA-CFAR")
+    sp.add_argument("--window-kind", default=None,
+                    choices=["hann", "hamming", "blackman",
+                             "blackmanharris", "rect"],
+                    help="FFT window (sidelobe level vs main-lobe width; "
+                         "default hann)")
     sp.add_argument("--dft-precision", default=None,
                     choices=["high", "highest", "default"],
                     help="MXU matmul precision: 'high' 3-pass (~8e-6 vs "

@@ -73,6 +73,12 @@ class RadarConfig:
     # rather than a necessity (the XLA gather+sort fallback still pays
     # ~118 fps full-pipeline at stride 1).
     cfar_os_stride: int = 1
+    # Window applied on both FFT axes before the range/Doppler DFTs:
+    # trades main-lobe width for sidelobe level (strong-target sidelobes
+    # masking weak targets).  'hann' (-31 dB, the default and the only
+    # kind the native C++ reference-parity twin implements), 'hamming'
+    # (-43), 'blackman' (-58), 'blackmanharris' (-92), 'rect' (none).
+    window_kind: str = "hann"
     # MXU matmul precision for the DFT paths.  'high' (default): 3 bf16
     # MXU passes, ~8e-6 relative vs float64 golden — two orders inside the
     # 1e-3 BASELINE gate at ~12% less cost than full f32.  'highest':
@@ -100,6 +106,8 @@ class RadarConfig:
                 raise ValueError(f"{name} must be one of {allowed}, got {value!r}")
 
         _check("cfar_kind", self.cfar_kind, ("ca", "os", "goca", "soca"))
+        _check("window_kind", self.window_kind,
+               ("hann", "hamming", "blackman", "blackmanharris", "rect"))
         _check("cfar_range_mode", self.cfar_range_mode, ("reflect", "wrap"))
         _check("dft_precision", self.dft_precision,
                ("high", "highest", "default"))

@@ -165,6 +165,37 @@ def hann_window(n: int) -> np.ndarray:
     return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
 
 
+# periodic cosine-sum window coefficients (a0 - a1 cos + a2 cos2 - a3 cos3)
+_WINDOW_COEFS = {
+    "hann": (0.5, 0.5, 0.0, 0.0),
+    "hamming": (0.54, 0.46, 0.0, 0.0),
+    "blackman": (0.42, 0.5, 0.08, 0.0),
+    "blackmanharris": (0.35875, 0.48829, 0.14128, 0.01168),
+    "rect": (1.0, 0.0, 0.0, 0.0),
+}
+
+
+def window_fn(n: int, kind: str = "hann") -> np.ndarray:
+    """Periodic window of the named kind (float64).
+
+    The kinds trade main-lobe width for sidelobe level — the knob a
+    radar engineer turns against strong-target sidelobes masking weak
+    ones: hann (-31 dB first sidelobe), hamming (-43), blackman (-58),
+    blackmanharris (4-term, -92), rect (none; max resolution).  All
+    periodic (2*pi*k/n) to match :func:`hann_window`'s convention, so
+    ``window_fn(n, 'hann') == hann_window(n)`` exactly.
+    """
+    try:
+        a0, a1, a2, a3 = _WINDOW_COEFS[kind]
+    except KeyError:
+        raise ValueError(
+            f"window kind must be one of {sorted(_WINDOW_COEFS)}, "
+            f"got {kind!r}"
+        ) from None
+    t = 2.0 * np.pi * np.arange(n) / n
+    return a0 - a1 * np.cos(t) + a2 * np.cos(2 * t) - a3 * np.cos(3 * t)
+
+
 def virtual_cube(cube: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG) -> np.ndarray:
     """TDM-MIMO de-multiplex: physical cube -> virtual-array cube.
 
@@ -206,7 +237,8 @@ def mimo_doppler_compensate(
 
 
 def range_doppler_map(
-    cube: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG, window: bool = True
+    cube: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG,
+    window: bool | str = True,
 ) -> np.ndarray:
     """Range-Doppler map per (virtual) RX channel.
 
@@ -214,6 +246,8 @@ def range_doppler_map(
       cube: complex (..., rx, chirps, samples) — chirps may be
         chirps_per_tx for a virtual cube; clutter already handled by the
         caller (subtract base frame or mean over chirps).
+      window: False for none; True for the config default convention
+        (cfg.window_kind); a kind string from :func:`window_fn`.
 
     Returns:
       complex (..., rx, doppler_fft_size, range_fft_size) — Doppler axis
@@ -221,8 +255,9 @@ def range_doppler_map(
     """
     x = np.asarray(cube, dtype=np.complex128)
     if window:
-        x = x * hann_window(x.shape[-1])
-        x = x * hann_window(x.shape[-2])[:, None]
+        kind = cfg.window_kind if window is True else window
+        x = x * window_fn(x.shape[-1], kind)
+        x = x * window_fn(x.shape[-2], kind)[:, None]
     rng = np.fft.fft(x, n=cfg.range_fft_size, axis=-1)
     dopp = np.fft.fft(rng, n=cfg.doppler_fft_size, axis=-2)
     return np.fft.fftshift(dopp, axes=-2)

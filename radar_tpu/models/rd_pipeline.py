@@ -473,7 +473,7 @@ class RDPipeline:
         """
         from radar_tpu.ops.aoa import capon_aoa_at_cells
         from radar_tpu.ops.rangefft import range_fft  # noqa: F401 (doc ref)
-        from radar_tpu.ops.window import hann
+        from radar_tpu.ops.window import make_window
 
         cfg = self.cfg
         cube = decode_to_cube(shorts, cfg)
@@ -482,7 +482,7 @@ class RDPipeline:
         else:
             cube = mean_clutter_removal(cube)
         cube = virtualize_cube(cube, cfg)  # (B, V, CPT, S)
-        x = cube * hann(cube.shape[-1], jnp.float32)
+        x = cube * make_window(cube.shape[-1], cfg.window_kind, jnp.float32)
         rng = jnp.fft.fft(x, n=cfg.range_fft_size, axis=-1)
         return capon_aoa_at_cells(rng, d_bin, r_bin, cfg)
 

@@ -26,29 +26,33 @@ import jax.numpy as jnp
 import numpy as np
 
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
-from radar_tpu.golden import hann_window
+from radar_tpu.golden import window_fn
+from radar_tpu.ops.window import resolve_window
 
 
 @lru_cache(maxsize=16)
 def _dft_factors(
-    n_in: int, n_fft: int, windowed: bool, shift: bool
+    n_in: int, n_fft: int, windowed, shift: bool
 ) -> np.ndarray:
     """(n_fft, n_in) complex64 matrix: windowed, implicitly zero-padding DFT.
 
     F[k, t] = w[t] * exp(-2pi i k t / n_fft); rows optionally fftshifted.
+    ``windowed``: False for none, True for hann, or a window-kind string
+    (golden.window_fn).
     """
     k = np.arange(n_fft)[:, None]
     t = np.arange(n_in)[None, :]
     mat = np.exp(-2j * np.pi * k * t / n_fft)
     if windowed:
-        mat = mat * hann_window(n_in)[None, :]
+        kind = "hann" if windowed is True else windowed
+        mat = mat * window_fn(n_in, kind)[None, :]
     if shift:
         mat = np.fft.fftshift(mat, axes=0)
     return mat.astype(np.complex64)
 
 
 def dft_matrix(
-    n_in: int, n_fft: int, windowed: bool = False, shift: bool = False
+    n_in: int, n_fft: int, windowed=False, shift: bool = False
 ) -> jnp.ndarray:
     return jnp.asarray(_dft_factors(n_in, n_fft, windowed, shift))
 
@@ -104,6 +108,7 @@ def range_doppler_planes(
     Returns:
       (dr, di) float32 (..., doppler_fft, range_fft), Doppler fftshifted.
     """
+    window = resolve_window(window, cfg)
     f_rng = dft_matrix(re.shape[-1], cfg.range_fft_size, window)
     f_dop = dft_matrix(re.shape[-2], cfg.doppler_fft_size, window, shift=True)
     prec = resolve_precision(cfg.dft_precision)
@@ -133,6 +138,7 @@ def range_doppler_mxu(
     Returns:
       complex64 (..., doppler_fft, range_fft), Doppler axis fftshifted.
     """
+    window = resolve_window(window, cfg)
     if not planar:
         f_rng = dft_matrix(cube.shape[-1], cfg.range_fft_size, window)
         f_dop = dft_matrix(

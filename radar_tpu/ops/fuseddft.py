@@ -36,22 +36,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
-from radar_tpu.golden import hann_window
+from radar_tpu.golden import window_fn
 from radar_tpu.ops.dftmat import _cmatmul_planar, dft_matrix, resolve_precision
+from radar_tpu.ops.window import resolve_window
 
 
 @lru_cache(maxsize=16)
 def _interleaved_range_factors(
-    n_samples: int, n_fft: int, windowed: bool
+    n_samples: int, n_fft: int, windowed
 ) -> tuple[np.ndarray, np.ndarray]:
     """(A_re, A_im), each (n_fft, 2*n_samples) f32: windowed range DFT that
-    consumes the raw ``(I0, I1, Q0, Q1)`` interleaved short vector."""
+    consumes the raw ``(I0, I1, Q0, Q1)`` interleaved short vector.
+    ``windowed``: False | True (hann) | window-kind string."""
     if n_samples % 2:
         raise ValueError("interleaved decode needs an even sample count")
     r = np.arange(n_fft)[:, None]
     t = np.arange(n_samples)[None, :]
     theta = 2.0 * np.pi * r * t / n_fft
-    w = hann_window(n_samples)[None, :] if windowed else np.ones((1, n_samples))
+    w = (window_fn(n_samples, "hann" if windowed is True else windowed)[None, :]
+         if windowed else np.ones((1, n_samples)))
     cos, sin = np.cos(theta) * w, np.sin(theta) * w
     # interleave position of I_t / Q_t within the 4-short groups
     ti = np.arange(n_samples)
@@ -67,16 +70,17 @@ def _interleaved_range_factors(
 
 
 def interleaved_range_matrices(
-    n_samples: int, n_fft: int, windowed: bool = True
+    n_samples: int, n_fft: int, windowed=True
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     a_re, a_im = _interleaved_range_factors(n_samples, n_fft, windowed)
     return jnp.asarray(a_re), jnp.asarray(a_im)
 
 
-def _base_range_planes(base_cube, cfg: RadarConfig, window: bool):
+def _base_range_planes(base_cube, cfg: RadarConfig, window):
     """Windowed range transform of the base cube, laid out (C, V, R) to
     match the fused path's post-range orientation."""
-    f_rng = dft_matrix(base_cube.shape[-1], cfg.range_fft_size, window)
+    f_rng = dft_matrix(base_cube.shape[-1], cfg.range_fft_size,
+                       resolve_window(window, cfg))
     return _cmatmul_planar(
         base_cube.real, base_cube.imag, f_rng.real, f_rng.imag,
         "vcs,rs->cvr", resolve_precision(cfg.dft_precision),
@@ -95,6 +99,7 @@ def fused_range_planes(
     for stage-level verification (the production TPU path runs the same
     math inside the Pallas mega-kernel, ``ops.pallas.megakernel``).
     """
+    window = resolve_window(window, cfg)
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     raw = shorts.reshape(shorts.shape[:-1] + (c, v, s2)).astype(jnp.float32)
     a_re, a_im = interleaved_range_matrices(
@@ -155,7 +160,8 @@ def doppler_from_range_planes(
     rng_re = rng_re.reshape(shape)
     rng_im = rng_im.reshape(shape)
 
-    f_dop = dft_matrix(k, cfg.doppler_fft_size, window, shift=True)
+    f_dop = dft_matrix(k, cfg.doppler_fft_size, resolve_window(window, cfg),
+                       shift=True)
     # (D, K) x (..., K, TX, V, R) -> (..., TX, V, D, R)
     dr, di = _cmatmul_planar(
         f_dop.real, f_dop.imag, rng_re, rng_im, "dk,...ktvr->...tvdr",

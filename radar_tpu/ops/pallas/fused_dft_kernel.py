@@ -64,6 +64,9 @@ def fused_rd_planes_pallas(
     raw = shorts.reshape((-1, rows, s2))
     b = raw.shape[0]
 
+    from radar_tpu.ops.window import resolve_window
+
+    window = resolve_window(window, cfg)
     a_re, a_im = interleaved_range_matrices(cfg.num_samples, r, window)
     a_re_t, a_im_t = a_re.T, a_im.T  # (2S, R) for the row-major dot
     if base_cube is not None:

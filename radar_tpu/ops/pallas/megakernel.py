@@ -245,6 +245,9 @@ def _plan(shorts, base_cube, cfg, window):
         interleaved_range_matrices,
     )
 
+    from radar_tpu.ops.window import resolve_window
+
+    window = resolve_window(window, cfg)
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     r_true, rp = cfg.range_fft_size, _r_pad(cfg)
     lead = shorts.shape[:-1]
@@ -935,6 +938,9 @@ def snapshots_from_shorts(
     r_size = cfg.range_fft_size
     lead = shorts.shape[:-1]
     raw = shorts.reshape((-1, c * v, s2)).astype(jnp.float32)
+    from radar_tpu.ops.window import resolve_window
+
+    window = resolve_window(window, cfg)
     k_det = top_idx.shape[-1]
     top_idx = top_idx.reshape((-1, k_det))
     b = raw.shape[0]

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
-from radar_tpu.ops.window import hann
+from radar_tpu.ops.window import make_window, resolve_window
 
 
 def range_fft(
@@ -43,9 +43,10 @@ def range_doppler(
       ``radar_tpu.golden.range_doppler_map``.
     """
     x = cube
+    window = resolve_window(window, cfg)
     if window:
-        x = x * hann(x.shape[-1], x.real.dtype)
-        x = x * hann(x.shape[-2], x.real.dtype)[:, None]
+        x = x * make_window(x.shape[-1], window, x.real.dtype)
+        x = x * make_window(x.shape[-2], window, x.real.dtype)[:, None]
     rng = jnp.fft.fft(x, n=cfg.range_fft_size, axis=-1)
     dopp = jnp.fft.fft(rng, n=cfg.doppler_fft_size, axis=-2)
     return jnp.fft.fftshift(dopp, axes=-2)

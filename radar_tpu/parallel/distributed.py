@@ -251,7 +251,7 @@ class DistributedRDPipeline:
                 )
 
                 a_re, a_im = interleaved_range_matrices(
-                    cfg.num_samples, cfg.range_fft_size, True
+                    cfg.num_samples, cfg.range_fft_size, cfg.window_kind
                 )
                 prec = resolve_precision(cfg.dft_precision)
                 raw = shorts_local.reshape(
@@ -267,7 +267,8 @@ class DistributedRDPipeline:
                 rng_im = jnp.einsum(
                     "...cvj,rj->...cvr", raw_l, a_im, precision=prec
                 )
-                b_re, b_im = _base_range_planes(base_local, cfg, True)
+                b_re, b_im = _base_range_planes(base_local, cfg,
+                                                cfg.window_kind)
                 dr, di = doppler_from_range_planes(
                     rng_re - b_re, rng_im - b_im, cfg
                 )
