@@ -11,10 +11,14 @@ threshold is four MXU matmuls::
 
     threshold = (Td @ p @ Sr^T  -  Gd @ p @ Gr^T) * alpha / n
 
-run at HIGHEST (true f32) precision — the total-inner cancellation would
-amplify bf16-pass rounding to ~5e-4 near strong peaks, while exact f32
-multiplies keep it at f32 accumulation-order error (measured on v5e: up
-to ~3e-4 relative vs reduce_window near strong peaks, hit decisions
+run with the exact-band split scheme (see ``split3`` below): the band
+matrices are exact in bf16 and the f32 map splits exactly into three
+bf16 terms, so each product costs THREE bf16 MXU passes with pure
+f32-accumulation-order error — the same class as a true-f32 (HIGHEST)
+product at half its MXU cost.  The total-inner cancellation amplifies
+any operand-representation error near strong peaks (a single bf16 pass
+would leave ~5e-4 relative there; the exact scheme, like HIGHEST,
+measures up to ~3e-4 relative vs reduce_window, hit decisions
 identical; the test gate is 1e-3).  This replaced a
 separable ``pltpu.roll`` shift-add kernel that was VPU-bound (2.28 ms vs
 1.48 ms for XLA's ``reduce_window`` on a 512x128x128 batch on v5e; the
@@ -39,32 +43,95 @@ from jax.experimental.pallas import tpu as pltpu
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
 from radar_tpu.ops.cfar import cfar_alpha, cfar_band_matrices
 
-# The canonical band matmul pair, shared with the mega kernel
-# (ops/pallas/megakernel.py): run at HIGHEST (true f32) precision — the
-# box sums cancel in (total - inner), so bf16-split passes would leave
-# ~5e-4 relative threshold error near strong peaks, while exact f32
-# multiplies keep it at f32 accumulation-order error (observed up to
-# ~3e-4 relative near strong peaks on v5e; hit decisions identical, test
-# gate 1e-3) for negligible MXU cost (four small products per map).
+# HIGHEST-precision band matmul: kept for the mega kernel's one-hot
+# gather dots (ops/pallas/megakernel.py phase B2), where the result must
+# reproduce map values BIT-exactly.  The THRESHOLD products below use the
+# cheaper exact-band split scheme instead.
 mm_band = functools.partial(
     jax.lax.dot_general,
     dimension_numbers=(((1,), (0,)), ((), ())),
     preferred_element_type=jnp.float32,
     precision=jax.lax.Precision.HIGHEST,
 )
-mm_band_r = functools.partial(
+
+# Threshold products: the band matrices are 0/1/2-valued — EXACT in
+# bfloat16 — and an f32 value splits EXACTLY into three bf16 terms
+# (round-to-nearest: the residual after each cast spans <= 8 mantissa
+# bits, so h1 + h2 + h3 == p bit-for-bit).  band @ p therefore equals
+# [band band band] @ [h1; h2; h3] with NO representation error — ONE
+# bf16 dot whose K=3D contraction accumulates every term in a single
+# f32 chain (summing three separate products instead pays two extra
+# output-magnitude roundings, which the total-inner cancellation
+# amplified past the 1e-3 gate on razor-edge cells) — i.e. the same
+# f32-accumulation-order class as a true-f32 (HIGHEST) product at
+# THREE bf16 MXU passes instead of HIGHEST's six.  (Same trick as the
+# detect kernel's bf16-exact one-hot gather dots, applied to the other
+# exactly-representable operand family.)  Band constants arrive
+# pre-tiled 3x along the contraction axis (``tile3``).
+_BDOT = functools.partial(
+    jax.lax.dot_general,
+    dimension_numbers=(((1,), (0,)), ((), ())),
+    preferred_element_type=jnp.float32,
+)
+_BDOT_R = functools.partial(
     jax.lax.dot_general,
     dimension_numbers=(((1,), (1,)), ((), ())),
     preferred_element_type=jnp.float32,
-    precision=jax.lax.Precision.HIGHEST,
 )
 
 
-def band_threshold(p, td, sr, gd, gr, coef):
-    """One map's CA-CFAR threshold from its band matrices (VMEM values)."""
-    tot = mm_band_r(mm_band(td, p), sr)
-    inn = mm_band_r(mm_band(gd, p), gr)
-    return (tot - inn) * coef
+def tile3(m):
+    """Band matrix -> bf16 constant tiled 3x along the contraction
+    (minor) axis, the operand format ``band_mm``/``band_mm_r`` consume."""
+    import numpy as np
+
+    return jnp.asarray(np.tile(np.asarray(m), (1, 3)), jnp.bfloat16)
+
+
+def split3(p):
+    """f32 -> three bf16 terms with h1 + h2 + h3 == p exactly.
+
+    h1 = RN_bf16(p) leaves a residual spanning <= 16 mantissa bits
+    (exact in f32 by Sterbenz), h2 takes its top 8, and the final
+    residual spans <= 8 bits — exactly representable in bf16."""
+    h1 = p.astype(jnp.bfloat16)
+    r1 = p - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    r2 = r1 - h2.astype(jnp.float32)
+    return h1, h2, r2.astype(jnp.bfloat16)
+
+
+def band_mm(band3, parts):
+    """band @ p as ONE bf16 dot: band3 (N, 3N) pre-tiled, p pre-split3."""
+    return _BDOT(band3, jnp.concatenate(parts, axis=0))
+
+
+def band_mm_r(parts, band3):
+    """m @ band^T as ONE bf16 dot: m pre-split3, band3 (N, 3N)."""
+    return _BDOT_R(jnp.concatenate(parts, axis=1), band3)
+
+
+def band_threshold(p, td_tb, sr, gd, gr_lr, coef):
+    """One map's CA-CFAR threshold from its tiled bf16 band matrices
+    (VMEM values), in the CANCELLATION-FREE strip form.
+
+    The classic (Td @ p @ Sr^T - Gd @ p @ Gr^T) rounds both box sums at
+    cell-under-test magnitude before they cancel — near a ~1e12 peak
+    that amplifies f32 accumulation error to the 1e-3 gate.  The ring
+    partitions exactly into two disjoint strip pairs instead::
+
+        ring = (Td - Gd) @ p @ Sr^T  +  Gd @ p @ (Sr - Gr)^T
+
+    (algebraically identical — expand and the cross terms cancel — and
+    both difference matrices are small non-negative ints, the wider
+    window's multiplicities dominating the narrower's, so still exact
+    in bf16).  The cell under test and its guard box never enter any
+    partial sum, so every accumulation stays at training-ring
+    magnitude.  ``td_tb``/``gr_lr`` are the pre-tiled differences."""
+    pp = split3(p)
+    s1 = band_mm_r(split3(band_mm(td_tb, pp)), sr)
+    s2 = band_mm_r(split3(band_mm(gd, pp)), gr_lr)
+    return (s1 + s2) * coef
 
 
 def _cfar_kernel(p_ref, td_ref, sr_ref, gd_ref, gr_ref, th_ref, *,
@@ -91,15 +158,19 @@ def ca_cfar_2d_pallas(
     d, r = power.shape[-2], power.shape[-1]
     x = power.reshape((-1, d, r)).astype(jnp.float32)
     b = x.shape[0]
-    consts = [jnp.asarray(m) for m in cfar_band_matrices(cfg, d, r)]
+    # bf16 band constants in the cancellation-free strip form (see
+    # band_threshold), tiled 3x along the contraction axis for the
+    # split-scheme single-dot products (tile3/split3 notes above)
+    td, sr, gd, gr = cfar_band_matrices(cfg, d, r)
+    consts = [tile3(m) for m in (td - gd, sr, gd, sr - gr)]
 
     # working set per step: rows maps in + rows out + tot/inn temporaries
-    # + the four band matrices (two (D,D) + two (R,R) f32).  64 KB/map at
-    # the default geometry, but at D=R=1024 the band matrices alone are
-    # 16 MB — shrink rows first, then fail with a pointer at the XLA path
-    # instead of a raw Mosaic scoped-VMEM error.
+    # + the four tiled band matrices (two (D,3D) + two (R,3R) bf16).
+    # 64 KB/map at the default geometry, but at D=R=1024 the band
+    # matrices alone are 24 MB — shrink rows first, then fail with a
+    # pointer at the XLA path instead of a raw Mosaic scoped-VMEM error.
     rows = max(1, min(maps_per_step, b))
-    band_bytes = 8 * (d * d + r * r)
+    band_bytes = 12 * (d * d + r * r)
     budget = 13 << 20
     while rows > 1 and rows * d * r * 12 + band_bytes > budget:
         rows //= 2

@@ -33,12 +33,14 @@ Matmul precision: Mosaic lowers only DEFAULT/HIGHEST dot precisions, so
 explicitly — split each operand into a bf16 hi part and a bf16 residual
 and accumulate hi*hi + hi*lo + lo*hi in f32 (~1.4e-5 relative on the
 default geometry, same class as the XLA fused path).  The CFAR band
-matmuls run at HIGHEST (true f32) precision instead: (total - inner)
-cancels, so bf16 passes would leave ~5e-4 relative threshold error near
-strong peaks, while exact f32 multiplies keep it at f32
-accumulation-order error (observed up to ~3e-4 relative near strong
-peaks on v5e; hit decisions identical, test gate 1e-3) for negligible
-MXU cost.
+matmuls use the exact-band split scheme instead (cfar_kernel.split3):
+(total - inner) cancels, so operand-representation error would amplify
+to ~5e-4 relative near strong peaks — but the 0/1/2 band matrices are
+EXACT in bf16 and the f32 map splits EXACTLY into three bf16 terms, so
+three bf16 passes per product carry pure f32-accumulation-order error
+(observed up to ~3e-4 relative near strong peaks on v5e, same class as
+a true-f32 HIGHEST product at half its MXU passes; hit decisions
+identical, test gate 1e-3).
 
 Reference contrast: the reference materializes every intermediate and
 crosses the PCIe boundary per frame (acceleration.cu:435-519); here the
@@ -58,9 +60,12 @@ from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
 from radar_tpu.ops.cfar import cfar_alpha, cfar_band_matrices
 from radar_tpu.ops.dftmat import dft_matrix, resolve_precision
 from radar_tpu.ops.pallas.cfar_kernel import (
+    band_mm,
+    band_mm_r,
     band_threshold,
     mm_band,
-    mm_band_r,
+    split3,
+    tile3,
 )
 
 
@@ -108,11 +113,15 @@ def _make_dot(precision: str):
 def _frame_maps(raw_f, art, ait, fr, fi, br_ref, bi_ref, *, dot, split,
                 cv, s2, kc, tvr, d_size, tv, r_size, mean_clutter, tx,
                 n_chirps):
-    """One frame's (zr, zi, p) from its raw int16 block, all in VMEM;
-    art/ait/fr/fi arrive pre-split at the configured precision.  The
-    returned range planes are CLUTTER-REMOVED (base subtracted or
-    chirp-mean subtracted) so the detect variant can gather per-detection
-    AoA snapshots from them directly.
+    """One frame's (zr parts, zi parts, p) from its raw int16 block, all
+    in VMEM; art/ait/fr/fi arrive pre-split at the configured precision.
+    The returned range planes are CLUTTER-REMOVED (base subtracted or
+    chirp-mean subtracted) and PRE-SPLIT at the configured precision
+    (a (hi, lo) bf16 pair for 'high', the plain f32 plane otherwise) —
+    split is elementwise, so splitting BEFORE the demux reshape yields
+    the same Doppler operands while letting the detect variant store the
+    parts and gather AoA snapshots from them without re-splitting (and,
+    for 'high', halving the bytes the demux relayout moves).
 
     Chirp-mean clutter removal runs in zr space — mean over all chirps
     per (v, r) via the (C*V, R) -> (C, V*R) lane-merge reshape — which is
@@ -131,12 +140,14 @@ def _frame_maps(raw_f, art, ait, fr, fi, br_ref, bi_ref, *, dot, split,
     else:
         zr = zr - br_ref[:]
         zi = zi - bi_ref[:]
-    xr = split(zr.reshape(kc, tvr))   # TDM demux: contiguous reshape
-    xi = split(zi.reshape(kc, tvr))
+    zrp = split(zr)
+    zip_ = split(zi)
+    xr = tuple(t.reshape(kc, tvr) for t in zrp)   # TDM demux: contiguous
+    xi = tuple(t.reshape(kc, tvr) for t in zip_)  # in-VMEM reshape
     dr = dot(fr, xr) - dot(fi, xi)   # (D, TV*R) Doppler planes
     di = dot(fr, xi) + dot(fi, xr)
     p = (dr * dr + di * di).reshape(d_size, tv, r_size).sum(axis=1)
-    return zr, zi, p
+    return zrp, zip_, p
 
 
 def _mega_kernel(
@@ -275,16 +286,22 @@ def _plan(shorts, base_cube, cfg, window):
 
 
 def _padded_band_matrices(cfg, d_size, r_true, rp):
-    """CFAR band matrices with the range pair embedded in (rp, rp):
-    rows/cols >= R are zero, so pad cells get threshold 0 over power 0 —
-    never hits — while real cells see exactly the unpadded matrices."""
+    """CFAR band matrices — cancellation-free strip form (see
+    ``cfar_kernel.band_threshold``) — with the range pair embedded in
+    (rp, rp): rows/cols >= R are zero, so pad cells get threshold 0 over
+    power 0 — never hits — while real cells see exactly the unpadded
+    matrices."""
     import numpy as np
 
     td, sr, gd, gr = cfar_band_matrices(cfg, d_size, r_true)
+    mats = (td - gd, sr, gd, sr - gr)
     if rp != r_true:
-        sr = np.pad(sr, ((0, rp - r_true), (0, rp - r_true)))
-        gr = np.pad(gr, ((0, rp - r_true), (0, rp - r_true)))
-    return [jnp.asarray(m) for m in (td, sr, gd, gr)]
+        pad = ((0, rp - r_true), (0, rp - r_true))
+        mats = (mats[0], np.pad(mats[1], pad), mats[2],
+                np.pad(mats[3], pad))
+    # tiled bf16: small-int values are exact, and the split-scheme
+    # threshold products consume 3x-tiled bf16 operands (cfar_kernel)
+    return [tile3(m) for m in mats]
 
 
 def _cfar_kind_consts(cfg, d_size, r_true, rp):
@@ -307,11 +324,15 @@ def _cfar_kind_consts(cfg, d_size, r_true, rp):
             f"{cfg.cfar_kind!r} (OS runs on the power kernel's output)"
         )
     _, t = go_so_params(cfg, cfg.cfar_kind[:2])
-    mats = list(go_so_band_matrices(cfg, d_size, r_true))
+    td, gd, al, alg, bl, blg = go_so_band_matrices(cfg, d_size, r_true)
+    # cancellation-free strip form (cfar_kernel.band_threshold notes):
+    # lead = Td@p@AL - Gd@p@ALg == (Td-Gd)@p@AL + Gd@p@(AL-ALg), lag
+    # mirrored; every difference is small non-negative ints (exact bf16)
+    mats = [td - gd, gd, al, al - alg, bl, bl - blg]
     if rp != r_true:
         mats[2:] = [np.pad(m, ((0, rp - r_true), (0, rp - r_true)))
                     for m in mats[2:]]
-    return [jnp.asarray(m) for m in mats], t
+    return [tile3(m) for m in mats], t
 
 
 @functools.partial(
@@ -462,23 +483,28 @@ _K_LANE = 128  # one-hot gather matmuls run at the full lane width
 def _make_threshold(cfar_kind, band, coef):
     """p -> CFAR threshold from VMEM-loaded band matrices.
 
-    'ca': the classic (Td@p@Sr^T - Gd@p@Gr^T)*alpha/n.  'goca'/'soca':
-    the GO/SO half-window sums share the Doppler products —
-    lead = (Td@p)@AL^T - (Gd@p)@ALg^T and lag mirrored — then max/min
-    and the Gandhi-Kassam multiplier (ops/cfar.go_so_params).  All
-    products HIGHEST f32: the half sums feed a max/min whose loser
-    still gates borderline cells, same cancellation argument as CA."""
+    'ca': (Td@p@Sr^T - Gd@p@Gr^T)*alpha/n in the cancellation-free
+    strip form (cfar_kernel.band_threshold).  'goca'/'soca': the GO/SO
+    half-window sums share the Doppler products — lead = Td@p@AL^T -
+    Gd@p@ALg^T rewritten as (Td-Gd)@p@AL^T + Gd@p@(AL-ALg)^T, lag
+    mirrored — then max/min and the Gandhi-Kassam multiplier
+    (ops/cfar.go_so_params).  All products use the exact-band split
+    scheme (cfar_kernel.split3/tile3: bf16 band operands exact, the f32
+    map split exactly into three bf16 terms, one accumulation chain per
+    product) — pure training-ring-magnitude f32 accumulation error at
+    half the former HIGHEST form's MXU passes."""
     if cfar_kind == "ca":
         td, sr, gd, gr = band
         return lambda p: band_threshold(p, td, sr, gd, gr, coef)
     take = jnp.maximum if cfar_kind == "goca" else jnp.minimum
-    tdm, gdm, al, alg, bl, blg = band
+    td_tb, gd, al, al_d, bl, bl_d = band   # strip form, _cfar_kind_consts
 
     def thresh(p):
-        m1 = mm_band(tdm, p)
-        m2 = mm_band(gdm, p)
-        lead = mm_band_r(m1, al) - mm_band_r(m2, alg)
-        lag = mm_band_r(m1, bl) - mm_band_r(m2, blg)
+        pp = split3(p)
+        m1 = split3(band_mm(td_tb, pp))
+        m2 = split3(band_mm(gd, pp))
+        lead = band_mm_r(m1, al) + band_mm_r(m2, al_d)
+        lag = band_mm_r(m1, bl) + band_mm_r(m2, bl_d)
         return take(lead, lag) * coef
 
     return thresh
@@ -495,7 +521,15 @@ def _mega_detect_kernel(
     (idx_ref, val_ref, nbr_ref, nh_ref, sre_ref, sim_ref) = rest[
         n_band : n_band + 6
     ]
-    mask_s, p_s, zr_s, zi_s, vals_s, idxs_s = rest[n_band + 6 :]
+    # range-plane scratch holds the PRE-SPLIT parts _frame_maps returns:
+    # (hi, lo) bf16 pairs for 'high' (same bytes as one f32 plane),
+    # the plain f32 plane otherwise — B3 gathers without re-splitting
+    n_zp = 2 if precision == "high" else 1
+    scr = rest[n_band + 6 :]
+    mask_s, p_s = scr[0], scr[1]
+    zr_refs = scr[2 : 2 + n_zp]
+    zi_refs = scr[2 + n_zp : 2 + 2 * n_zp]
+    vals_s, idxs_s = scr[2 + 2 * n_zp :]
     dot, split = _make_dot(precision)
     art = split(art_ref[:])
     ait = split(ait_ref[:])
@@ -506,7 +540,7 @@ def _mega_detect_kernel(
 
     # -- phase A: per-frame front-end; maps live only in VMEM scratch ----
     for f in range(rows):
-        zr, zi, p = _frame_maps(
+        zrp, zip_, p = _frame_maps(
             raw_ref[f], art, ait, fr, fi, br_ref, bi_ref, dot=dot,
             split=split, cv=cv, s2=s2, kc=kc, tvr=tvr, d_size=d_size,
             tv=tv, r_size=r_size, mean_clutter=mean_clutter, tx=tx,
@@ -527,8 +561,10 @@ def _mega_detect_kernel(
             p > th, p, sentinel
         ).reshape(s_pack, (d_size * r_size) // s_pack)
         p_s[f] = p
-        zr_s[f] = zr
-        zi_s[f] = zi
+        for t_ref, t in zip(zr_refs, zrp):
+            t_ref[f] = t
+        for t_ref, t in zip(zi_refs, zip_):
+            t_ref[f] = t
 
     # -- phase B1: top-K knockout, vectorized across the step's frames ---
     # m is (rows*s_pack, n2): frame f's cells [c*n2, (c+1)*n2) live in row
@@ -671,25 +707,32 @@ def _mega_detect_kernel(
     # Gather-dot precision: one-hot matrices are EXACT in bf16, so the
     # 'high' 3-pass form's ah@bl pass multiplies by an exactly-zero
     # residual — the 2-pass hi/lo form below is BIT-IDENTICAL to it and
-    # 1/3 cheaper.  'highest' keeps exact-f32 gathers; 'default' keeps
-    # its single bf16 pass for the plane gathers and upgrades the DFT-row
-    # gathers to the 2-pass form (the rows are unit-magnitude trig values
-    # whose bf16 rounding would dominate the mode's error budget).
+    # 1/3 cheaper.  The plane gathers consume the PRE-SPLIT parts phase A
+    # stored (for 'high' the (hi, lo) pair is the same decomposition the
+    # former per-frame _split produced — values bit-identical, the VPU
+    # split work paid once in phase A instead of again here).  'highest'
+    # keeps exact-f32 gathers; 'default' keeps its single bf16 pass for
+    # the plane gathers and upgrades the DFT-row gathers to the 2-pass
+    # form (the rows are unit-magnitude trig values whose bf16 rounding
+    # would dominate the mode's error budget).
     if precision == "highest":
-        def g_dot(x, oh_b):
-            return _DOT(x, oh_b.astype(jnp.float32),
+        def g_dot(parts, oh_b):
+            return _DOT(parts[0], oh_b.astype(jnp.float32),
                         precision=jax.lax.Precision.HIGHEST)
 
-        f_dot = g_dot
+        def f_dot(x, oh_b):
+            return _DOT(x, oh_b.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST)
     elif precision == "high":
-        def g_dot(x, oh_b):
+        def g_dot(parts, oh_b):
+            return _DOT(parts[0], oh_b) + _DOT(parts[1], oh_b)
+
+        def f_dot(x, oh_b):
             hi, lo = _split(x)
             return _DOT(hi, oh_b) + _DOT(lo, oh_b)
-
-        f_dot = g_dot
     else:
-        def g_dot(x, oh_b):
-            return _DOT(x, oh_b.astype(jnp.float32))
+        def g_dot(parts, oh_b):
+            return _DOT(parts[0], oh_b.astype(jnp.float32))
 
         def f_dot(x, oh_b):
             hi, lo = _split(x)
@@ -708,8 +751,8 @@ def _mega_detect_kernel(
         oh_d = (iota_d == jnp.concatenate(
             [top_row // r_size, pad], axis=1
         )).astype(jnp.bfloat16)
-        g_re = g_dot(zr_s[f], oh_r)                     # (C*V, 128)
-        g_im = g_dot(zi_s[f], oh_r)
+        g_re = g_dot([t[f] for t in zr_refs], oh_r)     # (C*V, 128)
+        g_im = g_dot([t[f] for t in zi_refs], oh_r)
         fsel_re = f_dot(frt, oh_d)                      # (Kc, 128)
         fsel_im = f_dot(fit, oh_d)
         g3r = g_re.reshape(kc, tv, _K_LANE)
@@ -830,8 +873,17 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
                 jnp.float32,                                   # packed 2D
             ),
             pltpu.VMEM((rows, d_size, r_size), jnp.float32),   # power
-            pltpu.VMEM((rows, c * v, r_size), jnp.float32),    # zr
-            pltpu.VMEM((rows, c * v, r_size), jnp.float32),    # zi
+        ] + [
+            # zr/zi parts (pre-split; see _frame_maps): two bf16 planes
+            # per component for 'high' — same total bytes as one f32 —
+            # one f32 plane otherwise
+            pltpu.VMEM(
+                (rows, c * v, r_size),
+                jnp.bfloat16 if cfg.dft_precision == "high"
+                else jnp.float32,
+            )
+            for _ in range(4 if cfg.dft_precision == "high" else 2)
+        ] + [
             pltpu.VMEM((rows * s_pack, k_det), jnp.float32),   # val columns
             pltpu.VMEM((rows * s_pack, k_det), jnp.int32),     # idx columns
         ],

@@ -338,6 +338,59 @@ def test_cfar_band_matrices_match_padded_boxsum():
             )
 
 
+def test_cfar_strip_form_exact_identity():
+    """The kernels' cancellation-free strip form is an exact algebraic
+    rewrite of total-minus-inner, and every strip matrix is non-negative
+    small ints exactly representable in bf16 (cfar_kernel.band_threshold
+    relies on both properties)."""
+    import numpy as np
+
+    from radar_tpu.ops.cfar import cfar_band_matrices, go_so_band_matrices
+
+    rng = np.random.default_rng(7)
+    for cfg_kw in [{}, {"cfar_range_mode": "wrap"},
+                   {"cfar_guard": (1, 1), "cfar_train": (2, 2)}]:
+        c = RadarConfig(**cfg_kw)
+        d, r = 32, 32
+        p = rng.exponential(1.0, (d, r))
+        p[11, 7] = 1e9  # strong peak: the regime the rewrite protects
+        td, sr, gd, gr = (np.asarray(m, np.float64)
+                          for m in cfar_band_matrices(c, d, r))
+        classic = td @ p @ sr.T - gd @ p @ gr.T
+        strips = (td - gd) @ p @ sr.T + gd @ p @ (sr - gr).T
+        # the residual IS the classic form's own f64 cancellation error
+        # around the 1e9 peak (~1e-9 relative) — the thing the strip
+        # form removes; away from exact zero they agree to f64 roundoff
+        np.testing.assert_allclose(strips, classic, rtol=1e-8)
+        mats = [td - gd, sr - gr]
+        t2, g2, al, alg, bl, blg = (np.asarray(m, np.float64)
+                                    for m in go_so_band_matrices(c, d, r))
+        np.testing.assert_allclose(
+            (t2 - g2) @ p @ al.T + g2 @ p @ (al - alg).T,
+            t2 @ p @ al.T - g2 @ p @ alg.T, rtol=1e-8)
+        mats += [t2 - g2, al - alg, bl - blg]
+        for m in mats:
+            assert m.min() >= 0, "strip matrix went negative"
+            as_bf16 = jnp.asarray(m, jnp.bfloat16).astype(np.float64)
+            np.testing.assert_array_equal(np.asarray(as_bf16), m)
+
+
+def test_split3_exact():
+    """split3 reconstructs f32 bit-for-bit: h1 + h2 + h3 == p (the
+    exact-band threshold scheme is representation-error-free)."""
+    import numpy as np
+
+    from radar_tpu.ops.pallas.cfar_kernel import split3
+
+    rng = np.random.default_rng(3)
+    p = np.abs(rng.normal(size=(64, 64)).astype(np.float32))
+    p *= np.exp2(rng.integers(-20, 40, p.shape)).astype(np.float32)
+    h1, h2, h3 = split3(jnp.asarray(p))
+    rec = (h1.astype(jnp.float32) + h2.astype(jnp.float32)
+           + h3.astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(rec), p)
+
+
 # ---------------------------------------------------------------------------
 # GOCA / SOCA CFAR
 
