@@ -93,7 +93,11 @@ def split3(p):
 
     h1 = RN_bf16(p) leaves a residual spanning <= 16 mantissa bits
     (exact in f32 by Sterbenz), h2 takes its top 8, and the final
-    residual spans <= 8 bits — exactly representable in bf16."""
+    residual spans <= 8 bits — exactly representable in bf16.
+
+    Domain: finite f32 below bf16 max (~3.39e38) — above it h1
+    overflows to inf and the residual goes NaN.  RD power maps (sums of
+    squares of int16-derived values, <= ~1e21) are far inside this."""
     h1 = p.astype(jnp.bfloat16)
     r1 = p - h1.astype(jnp.float32)
     h2 = r1.astype(jnp.bfloat16)
@@ -134,14 +138,14 @@ def band_threshold(p, td_tb, sr, gd, gr_lr, coef):
     return (s1 + s2) * coef
 
 
-def _cfar_kernel(p_ref, td_ref, sr_ref, gd_ref, gr_ref, th_ref, *,
+def _cfar_kernel(p_ref, td_tb_ref, sr_ref, gd_ref, gr_lr_ref, th_ref, *,
                  rows, coef):
-    td = td_ref[:]
+    td_tb = td_tb_ref[:]
     sr = sr_ref[:]
     gd = gd_ref[:]
-    gr = gr_ref[:]
+    gr_lr = gr_lr_ref[:]
     for f in range(rows):
-        th_ref[f] = band_threshold(p_ref[f], td, sr, gd, gr, coef)
+        th_ref[f] = band_threshold(p_ref[f], td_tb, sr, gd, gr_lr, coef)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "maps_per_step"))
@@ -151,7 +155,11 @@ def ca_cfar_2d_pallas(
     interpret: bool = False,
     maps_per_step: int = 8,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """CA-CFAR via the band-matrix Pallas kernel.  power: f32 (..., D, R)."""
+    """CA-CFAR via the band-matrix Pallas kernel.
+
+    power: f32 (..., D, R), finite and below bf16 max (~3.39e38) — the
+    split-scheme products overflow past that (see ``split3``); RD power
+    maps are orders of magnitude inside the bound."""
     alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa)
 
     lead = power.shape[:-2]
@@ -164,7 +172,8 @@ def ca_cfar_2d_pallas(
     td, sr, gd, gr = cfar_band_matrices(cfg, d, r)
     consts = [tile3(m) for m in (td - gd, sr, gd, sr - gr)]
 
-    # working set per step: rows maps in + rows out + tot/inn temporaries
+    # working set per step: rows maps in + rows out + strip-sum
+    # temporaries
     # + the four tiled band matrices (two (D,3D) + two (R,3R) bf16).
     # 64 KB/map at the default geometry, but at D=R=1024 the band
     # matrices alone are 24 MB — shrink rows first, then fail with a

@@ -232,12 +232,37 @@ def _rows_for(transient: int, per_row: int, b: int) -> int:
     return rows
 
 
+def _const_vmem_bytes(cfg: RadarConfig, detect: bool) -> int:
+    """VMEM-resident constant operands, charged to the transient budget:
+    the DFT matrices and base planes (x2: their in-kernel bf16 hi/lo
+    split copies live alongside the f32 originals at 'high') plus the
+    3x-tiled bf16 band matrices (12 bytes per source element for the
+    doppler/range pair, doubled on the range side for GO/SO's four
+    asymmetric half-window matrices).  Round 4's review found these
+    uncounted just as the band constants grew 1.5x — a borderline
+    geometry the gate admitted could die with a raw Mosaic scoped-VMEM
+    error instead of the intended fused-path fallback."""
+    c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
+    d, r = cfg.doppler_fft_size, _r_pad(cfg)
+    kc = cfg.chirps_per_tx
+    dft = (s2 * r * 8) + (d * kc * 8) + (c * v * r * 8)   # art/ait, fr/fi, br/bi
+    if detect:
+        dft += d * kc * 8                                 # frt/fit
+    dft *= 2                                              # + split copies
+    if cfg.cfar_kind in ("goca", "soca"):
+        band = 12 * d * d + 24 * r * r
+    else:                                                 # ca (and the
+        band = 12 * (d * d + r * r)                       # power-only twin)
+    return dft + band
+
+
 def _maps_vmem_parts(cfg: RadarConfig) -> tuple[int, int]:
     """(transient, per_row) bytes for the maps kernel (power+threshold out)."""
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     d, r = cfg.doppler_fft_size, _r_pad(cfg)
     tvr = cfg.num_tx * v * r
-    transient = (c * v * s2 * 8) + (c * v * r * 16) + (d * tvr * 16)
+    transient = ((c * v * s2 * 8) + (c * v * r * 16) + (d * tvr * 16)
+                 + _const_vmem_bytes(cfg, detect=False))
     per_row = (c * v * s2 * 4) + (d * r * 16)   # in blocks + out blocks, 2x
     return transient, per_row
 
@@ -494,8 +519,8 @@ def _make_threshold(cfar_kind, band, coef):
     product) — pure training-ring-magnitude f32 accumulation error at
     half the former HIGHEST form's MXU passes."""
     if cfar_kind == "ca":
-        td, sr, gd, gr = band
-        return lambda p: band_threshold(p, td, sr, gd, gr, coef)
+        td_tb, sr, gd, gr_lr = band   # strip form, _padded_band_matrices
+        return lambda p: band_threshold(p, td_tb, sr, gd, gr_lr, coef)
     take = jnp.maximum if cfar_kind == "goca" else jnp.minimum
     td_tb, gd, al, al_d, bl, bl_d = band   # strip form, _cfar_kind_consts
 
@@ -775,7 +800,8 @@ def _detect_vmem_parts(cfg: RadarConfig) -> tuple[int, int]:
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     d, r = cfg.doppler_fft_size, _r_pad(cfg)
     tvr = cfg.num_tx * v * r
-    transient = (c * v * s2 * 8) + (c * v * r * 8) + (d * tvr * 16)
+    transient = ((c * v * s2 * 8) + (c * v * r * 8) + (d * tvr * 16)
+                 + _const_vmem_bytes(cfg, detect=True))
     per_row = (c * v * s2 * 4) + (c * v * r * 8) + (d * r * 12)
     return transient, per_row
 
