@@ -82,7 +82,7 @@ _BDOT_R = functools.partial(
 
 def tile3(m):
     """Band matrix -> bf16 constant tiled 3x along the contraction
-    (minor) axis, the operand format ``band_mm``/``band_mm_r`` consume."""
+    (minor) axis, the operand format ``band_mm`` consumes."""
     import numpy as np
 
     return jnp.asarray(np.tile(np.asarray(m), (1, 3)), jnp.bfloat16)
@@ -110,14 +110,45 @@ def band_mm(band3, parts):
     return _BDOT(band3, jnp.concatenate(parts, axis=0))
 
 
-def band_mm_r(parts, band3):
-    """m @ band^T as ONE bf16 dot: m pre-split3, band3 (N, 3N)."""
-    return _BDOT_R(jnp.concatenate(parts, axis=1), band3)
 
 
-def band_threshold(p, td_tb, sr, gd, gr_lr, coef):
-    """One map's CA-CFAR threshold from its tiled bf16 band matrices
-    (VMEM values), in the CANCELLATION-FREE strip form.
+def stack_rows(mats):
+    """Stage-1 LHS: band matrices tile3'd and stacked on ROWS — one
+    (n*D, 3D) bf16 operand so ``tg3 @ cat(split3(p))`` computes every
+    row-product in ONE dot (output rows [i*D, (i+1)*D) = mats[i] @ p)."""
+    return jnp.concatenate([tile3(m) for m in mats], axis=0)
+
+
+def stack_slots(mats, n_rows=1):
+    """Stage-2 RHS: band matrices tile3'd and packed for
+    :func:`_stage2` — ``n_rows`` output groups stacked on ROWS, each a
+    slot-concat along LANES pairing :func:`_stage2`'s fixed M layout.
+    mats is row-major: [out0_slot0, out0_slot1, ..., out1_slot0, ...]."""
+    per = len(mats) // n_rows
+    groups = [
+        jnp.concatenate([tile3(m) for m in mats[i * per : (i + 1) * per]],
+                        axis=1)
+        for i in range(n_rows)
+    ]
+    return jnp.concatenate(groups, axis=0)
+
+
+def _stage2(y, d, b6):
+    """sum_i Y_i @ B_i^T for the (2D, R) stacked stage-1 output ``y``:
+    split3 once, lay the six parts out along LANES in the slot order
+    ``stack_slots`` packed ``b6`` for, and contract in ONE dot.  With
+    ``b6`` of (n*R, 6R) the output is (D, n*R) — n independent band
+    combinations (e.g. GO/SO's lead and lag) from the same product."""
+    yh, ym, yl = split3(y)
+    m = jnp.concatenate(
+        [yh[:d], ym[:d], yl[:d], yh[d:], ym[d:], yl[d:]], axis=1
+    )                                                   # (D, 6R)
+    return _BDOT_R(m, b6)
+
+
+def band_threshold(p, tg3, b6, coef):
+    """One map's CA-CFAR threshold from its packed bf16 band operands
+    (VMEM values), in the CANCELLATION-FREE strip form — TWO dots total.
 
     The classic (Td @ p @ Sr^T - Gd @ p @ Gr^T) rounds both box sums at
     cell-under-test magnitude before they cancel — near a ~1e12 peak
@@ -130,22 +161,24 @@ def band_threshold(p, td_tb, sr, gd, gr_lr, coef):
     both difference matrices are small non-negative ints, the wider
     window's multiplicities dominating the narrower's, so still exact
     in bf16).  The cell under test and its guard box never enter any
-    partial sum, so every accumulation stays at training-ring
-    magnitude.  ``td_tb``/``gr_lr`` are the pre-tiled differences."""
-    pp = split3(p)
-    s1 = band_mm_r(split3(band_mm(td_tb, pp)), sr)
-    s2 = band_mm_r(split3(band_mm(gd, pp)), gr_lr)
-    return (s1 + s2) * coef
+    partial sum, so every accumulation stays at training-ring magnitude.
+
+    Both stages run as single dots over stacked operands (the same
+    contraction-concat identity as the split-scheme itself):
+    ``tg3 = stack_rows([Td-Gd, Gd])`` computes both row-products at
+    once, and ``b6 = stack_slots([Sr, Sr-Gr])`` contracts both column
+    products AND their sum in one K=6R dot — one f32 accumulation chain
+    end-to-end, half the dot dispatches of the pairwise form."""
+    d = p.shape[0]
+    y = _BDOT(tg3, jnp.concatenate(split3(p), axis=0))  # (2D, R)
+    return _stage2(y, d, b6) * coef
 
 
-def _cfar_kernel(p_ref, td_tb_ref, sr_ref, gd_ref, gr_lr_ref, th_ref, *,
-                 rows, coef):
-    td_tb = td_tb_ref[:]
-    sr = sr_ref[:]
-    gd = gd_ref[:]
-    gr_lr = gr_lr_ref[:]
+def _cfar_kernel(p_ref, tg3_ref, b6_ref, th_ref, *, rows, coef):
+    tg3 = tg3_ref[:]
+    b6 = b6_ref[:]
     for f in range(rows):
-        th_ref[f] = band_threshold(p_ref[f], td_tb, sr, gd, gr_lr, coef)
+        th_ref[f] = band_threshold(p_ref[f], tg3, b6, coef)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "maps_per_step"))
@@ -167,14 +200,14 @@ def ca_cfar_2d_pallas(
     x = power.reshape((-1, d, r)).astype(jnp.float32)
     b = x.shape[0]
     # bf16 band constants in the cancellation-free strip form (see
-    # band_threshold), tiled 3x along the contraction axis for the
-    # split-scheme single-dot products (tile3/split3 notes above)
+    # band_threshold), tiled 3x along the contraction axis and stacked
+    # so both stages run as ONE dot each (stack_rows/stack_slots notes)
     td, sr, gd, gr = cfar_band_matrices(cfg, d, r)
-    consts = [tile3(m) for m in (td - gd, sr, gd, sr - gr)]
+    consts = [stack_rows([td - gd, gd]), stack_slots([sr, sr - gr])]
 
     # working set per step: rows maps in + rows out + strip-sum
     # temporaries
-    # + the four tiled band matrices (two (D,3D) + two (R,3R) bf16).
+    # + the stacked band operands ((2D,3D) + (R,6R) bf16).
     # 64 KB/map at the default geometry, but at D=R=1024 the band
     # matrices alone are 24 MB — shrink rows first, then fail with a
     # pointer at the XLA path instead of a raw Mosaic scoped-VMEM error.

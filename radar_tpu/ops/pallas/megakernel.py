@@ -31,8 +31,15 @@ equivalent to gathering from materialized RD planes.
 Matmul precision: Mosaic lowers only DEFAULT/HIGHEST dot precisions, so
 ``cfg.dft_precision == 'high'`` (XLA's 3-pass bf16) is reproduced
 explicitly — split each operand into a bf16 hi part and a bf16 residual
-and accumulate hi*hi + hi*lo + lo*hi in f32 (~1.4e-5 relative on the
-default geometry, same class as the XLA fused path).  The CFAR band
+and keep the hi*hi + hi*lo + lo*hi terms (~1.4e-5 relative on the
+default geometry, same class as the XLA fused path).  The Doppler stage
+carries its terms in ONE dot per output plane: since
+``dot(concat(A_i, axis=1), concat(B_i, axis=0)) == sum_i A_i @ B_i``,
+the complex pair dr = fr@xr - fi@xi / di = fr@xi + fi@xr collapses to
+two K=6*Kc dots against slot-packed host-built LHS constants
+(:func:`_dop_lhs_consts`) and one shared per-frame RHS concat
+(:func:`_dop_rhs`) — a single f32 accumulation chain instead of five
+(D, TV*R)-sized VPU adds per plane.  The CFAR band
 matmuls use the exact-band split scheme instead (cfar_kernel.split3):
 (total - inner) cancels, so operand-representation error would amplify
 to ~5e-4 relative near strong peaks — but the 0/1/2 band matrices are
@@ -61,11 +68,9 @@ from radar_tpu.ops.cfar import cfar_alpha, cfar_band_matrices
 from radar_tpu.ops.dftmat import dft_matrix, resolve_precision
 from radar_tpu.ops.pallas.cfar_kernel import (
     band_mm,
-    band_mm_r,
     band_threshold,
     mm_band,
     split3,
-    tile3,
 )
 
 
@@ -86,35 +91,104 @@ _DOT = functools.partial(
 )
 
 
-def _make_dot(precision: str):
-    """(lhs, rhs) -> f32 matmul at the configured MXU precision.
-
-    Operands arrive pre-split as (hi, lo) pairs for 'high' so the bf16
-    decomposition of a reused operand is computed once, not per product.
-    """
+def _make_split(precision: str):
+    """Plane splitter: (hi, lo) bf16 pair for 'high', identity 1-tuple
+    otherwise (operands stay f32 and the dot precision does the work)."""
     if precision == "high":
-        def dot3(a, b):
-            (ah, al), (bh, bl) = a, b
-            return _DOT(ah, bh) + _DOT(ah, bl) + _DOT(al, bh)
+        return _split
+    return lambda x: (x,)
 
-        return dot3, _split
-    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
 
-    def dot1(a, b):
-        return _DOT(a[0], b[0], precision=prec)
+# ---------------------------------------------------------------------------
+# concat-packed front-end dots: the whole range stage and the whole
+# Doppler stage run as ONE MXU dot each.
+#
+# Two packing identities (both applied at trace time; the packed constant
+# operands are built on the host for free):
+#   contraction concat  dot(cat(A1..An, 1), cat(B1..Bn, 0)) == sum_i Ai@Bi
+#   output concat       cat(L1@B, L2@B, axis=0) == cat(L1, L2, axis=0) @ B
+#                       cat(A@B1, A@B2, axis=1) == A @ cat(B1, B2, axis=1)
+# so the 'high' mode's 3-pass bf16 scheme (hi*hi + hi*lo + lo*hi) carries
+# ALL its terms — for BOTH the real and imaginary outputs — in a single
+# dot with one f32 accumulation chain per output cell: the Doppler
+# stage's 12 bf16 products + 10 (D, TVR)-sized f32 VPU adds per frame
+# collapse into one (2D, 6Kc) @ (6Kc, TVR) dot, and the range stage's 6
+# products + 4 adds into one (CV, 3*2S) @ (3*2S, 2R) dot.  The only new
+# per-frame VPU work is building each stage's concat operand (for
+# Doppler: two duplicated hi-part block writes, ~5x cheaper than the
+# adds removed; for range: the lhs slot concat).
 
-    return dot1, (lambda x: (x,))
+
+def _dop_lhs_consts(fr, fi, precision):
+    """Row-stacked slot-packed Doppler LHS: ONE (2D, n*Kc) constant whose
+    product against :func:`_dop_rhs`'s fixed RHS emits dr as rows [0, D)
+    and di as rows [D, 2D).
+
+    'high' slot pairing against RHS [xr_h, xr_l, xr_h, xi_h, xi_l, xi_h]:
+    dr needs fr_h@xr_h + fr_h@xr_l + fr_l@xr_h (XLA's 3-pass terms) minus
+    the same three for fi@xi, so ldr = [fr_h, fr_h, fr_l, -fi_h, -fi_h,
+    -fi_l]; di swaps the operand families.  Single-pass modes pair
+    [fr, -fi] / [fi, fr] against RHS [xr, xi]."""
+    if precision == "high":
+        frh, frl = _split(fr)
+        fih, fil = _split(fi)
+        ldr = jnp.concatenate([frh, frh, frl, -fih, -fih, -fil], axis=1)
+        ldi = jnp.concatenate([fih, fih, fil, frh, frh, frl], axis=1)
+    else:
+        ldr = jnp.concatenate([fr, -fi], axis=1)
+        ldi = jnp.concatenate([fi, fr], axis=1)
+    return jnp.concatenate([ldr, ldi], axis=0)
+
+
+def _dop_rhs(xr, xi, precision):
+    """Per-frame Doppler RHS: the demuxed split planes stacked along the
+    contraction (sublane) axis in the slot order `_dop_lhs_consts` packed
+    its LHS for."""
+    if precision == "high":
+        return jnp.concatenate([xr[0], xr[1], xr[0], xi[0], xi[1], xi[0]],
+                               axis=0)
+    return jnp.concatenate([xr[0], xi[0]], axis=0)
+
+
+def _range_consts(art, ait, precision):
+    """Lane-stacked range DFT constant: ONE operand whose product against
+    the (split) raw frame emits zr as columns [0, R) and zi as columns
+    [R, 2R).
+
+    'high': (3*2S, 2R) bf16 with contraction slots [a_h, a_h, a_l]
+    pairing the kernel's raw slots [raw_h, raw_l, raw_h] (terms rh@ah +
+    rl@ah + rh@al — the 3-pass set; the dropped rl@al is the tiny-by-tiny
+    term every 3-pass form drops, and the int16 raw's hi/lo split is
+    EXACT, so accuracy matches the former per-operand form).  Other
+    modes: (2S, 2R) f32, the dot precision does the work."""
+    if precision == "high":
+        def pack3(a):
+            ah, al = _split(a)
+            return jnp.concatenate([ah, ah, al], axis=0)
+
+        return jnp.concatenate([pack3(art), pack3(ait)], axis=1)
+    return jnp.concatenate([art, ait], axis=1)
+
+
+def _range_lhs(raw_f32, precision):
+    """Per-frame range LHS in :func:`_range_consts`'s slot order."""
+    if precision == "high":
+        rh, rl = _split(raw_f32)
+        return jnp.concatenate([rh, rl, rh], axis=1)
+    return raw_f32
 
 
 # ---------------------------------------------------------------------------
 # the kernel
 
 
-def _frame_maps(raw_f, art, ait, fr, fi, br_ref, bi_ref, *, dot, split,
-                cv, s2, kc, tvr, d_size, tv, r_size, mean_clutter, tx,
-                n_chirps):
+def _frame_maps(raw_f, a2, l2, br_ref, bi_ref, *, split,
+                dprec, cv, s2, kc, tvr, d_size, tv, r_size, mean_clutter,
+                tx, n_chirps):
     """One frame's (zr parts, zi parts, p) from its raw int16 block, all
-    in VMEM; art/ait/fr/fi arrive pre-split at the configured precision.
+    in VMEM, via ONE range dot and ONE Doppler dot; a2/l2 are the packed
+    host-built constants (:func:`_range_consts` / :func:`_dop_lhs_consts`
+    — the kernel never splits, negates or re-stacks a DFT matrix).
     The returned range planes are CLUTTER-REMOVED (base subtracted or
     chirp-mean subtracted) and PRE-SPLIT at the configured precision
     (a (hi, lo) bf16 pair for 'high', the plain f32 plane otherwise) —
@@ -128,9 +202,11 @@ def _frame_maps(raw_f, art, ait, fr, fi, br_ref, bi_ref, *, dot, split,
     bit-identical to the former xr-space form (same ascending-chirp
     summation order, same cells) and keeps the demuxed planes clean.
     """
-    raw = split(raw_f.reshape(cv, s2).astype(jnp.float32))
-    zr = dot(raw, art)            # (C*V, R) range planes
-    zi = dot(raw, ait)
+    prec = jax.lax.Precision.HIGHEST if dprec == "highest" else None
+    lhs = _range_lhs(raw_f.reshape(cv, s2).astype(jnp.float32), dprec)
+    z2c = _DOT(lhs, a2, precision=prec)   # (C*V, 2R): [zr | zi] planes
+    zr = z2c[:, :r_size]
+    zi = z2c[:, r_size:]
     if mean_clutter:
         vr = (cv // n_chirps) * r_size
         z2 = zr.reshape(n_chirps, vr)
@@ -144,14 +220,16 @@ def _frame_maps(raw_f, art, ait, fr, fi, br_ref, bi_ref, *, dot, split,
     zip_ = split(zi)
     xr = tuple(t.reshape(kc, tvr) for t in zrp)   # TDM demux: contiguous
     xi = tuple(t.reshape(kc, tvr) for t in zip_)  # in-VMEM reshape
-    dr = dot(fr, xr) - dot(fi, xi)   # (D, TV*R) Doppler planes
-    di = dot(fr, xi) + dot(fi, xr)
+    rhs = _dop_rhs(xr, xi, dprec)    # slot-stacked along the contraction
+    dd = _DOT(l2, rhs, precision=prec)    # (2D, TV*R): [dr; di] planes,
+    dr = dd[:d_size]                      # ONE dot, ONE f32 chain/cell
+    di = dd[d_size:]
     p = (dr * dr + di * di).reshape(d_size, tv, r_size).sum(axis=1)
     return zrp, zip_, p
 
 
 def _mega_kernel(
-    raw_ref, art_ref, ait_ref, fr_ref, fi_ref, br_ref, bi_ref,
+    raw_ref, a2_ref, l2_ref, br_ref, bi_ref,
     *refs,
     rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
     mean_clutter, tx, n_chirps, with_cfar, coef, n_band=4,
@@ -163,18 +241,16 @@ def _mega_kernel(
         thresh = _make_threshold(cfar_kind, band, coef)
     else:
         (out_ref,) = refs
-    dot, split = _make_dot(precision)
-    art = split(art_ref[:])
-    ait = split(ait_ref[:])
-    fr = split(fr_ref[:])
-    fi = split(fi_ref[:])
+    split = _make_split(precision)
+    a2 = a2_ref[:]
+    l2 = l2_ref[:]
 
     for f in range(rows):
         _, _, p = _frame_maps(
-            raw_ref[f], art, ait, fr, fi, br_ref, bi_ref, dot=dot,
-            split=split, cv=cv, s2=s2, kc=kc, tvr=tvr, d_size=d_size,
-            tv=tv, r_size=r_size, mean_clutter=mean_clutter, tx=tx,
-            n_chirps=n_chirps,
+            raw_ref[f], a2, l2, br_ref, bi_ref,
+            split=split, dprec=precision, cv=cv, s2=s2, kc=kc, tvr=tvr,
+            d_size=d_size, tv=tv, r_size=r_size,
+            mean_clutter=mean_clutter, tx=tx, n_chirps=n_chirps,
         )
         out_ref[f] = p
         if with_cfar:
@@ -245,10 +321,11 @@ def _const_vmem_bytes(cfg: RadarConfig, detect: bool) -> int:
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     d, r = cfg.doppler_fft_size, _r_pad(cfg)
     kc = cfg.chirps_per_tx
-    dft = (s2 * r * 8) + (d * kc * 8) + (c * v * r * 8)   # art/ait, fr/fi, br/bi
+    dft = s2 * r * 12                  # a2: (3*2S, 2R) bf16 slot-packed
+    dft += c * v * r * 8 * 2           # br/bi (x2: headroom for transients)
+    dft += d * kc * 24                 # l2: (2D, 6Kc) bf16 slot-packed
     if detect:
-        dft += d * kc * 8                                 # frt/fit
-    dft *= 2                                              # + split copies
+        dft += d * kc * 8              # frt/fit: (Kc, 2D) bf16 [hi | lo]
     if cfg.cfar_kind in ("goca", "soca"):
         band = 12 * d * d + 24 * r * r
     else:                                                 # ca (and the
@@ -261,7 +338,10 @@ def _maps_vmem_parts(cfg: RadarConfig) -> tuple[int, int]:
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     d, r = cfg.doppler_fft_size, _r_pad(cfg)
     tvr = cfg.num_tx * v * r
-    transient = ((c * v * s2 * 8) + (c * v * r * 16) + (d * tvr * 16)
+    # c*v*s2: raw f32 (4) + hi/lo regs (4) + range lhs3 concat (6 bf16);
+    # c*v*r: [zr|zi] f32 (8) + bf16 splits (8) + the slot-packed Doppler
+    # RHS concat buffer (6 bf16 blocks of kc*tvr == c*v*r, = 12)
+    transient = ((c * v * s2 * 14) + (c * v * r * 28) + (d * tvr * 16)
                  + _const_vmem_bytes(cfg, detect=False))
     per_row = (c * v * s2 * 4) + (d * r * 16)   # in blocks + out blocks, 2x
     return transient, per_row
@@ -311,22 +391,23 @@ def _plan(shorts, base_cube, cfg, window):
 
 
 def _padded_band_matrices(cfg, d_size, r_true, rp):
-    """CFAR band matrices — cancellation-free strip form (see
-    ``cfar_kernel.band_threshold``) — with the range pair embedded in
-    (rp, rp): rows/cols >= R are zero, so pad cells get threshold 0 over
-    power 0 — never hits — while real cells see exactly the unpadded
-    matrices."""
+    """CFAR band operands — cancellation-free strip form, stacked for
+    the two-dot ``cfar_kernel.band_threshold`` — with the range pair
+    embedded in (rp, rp): rows/cols >= R are zero, so pad cells get
+    threshold 0 over power 0 — never hits — while real cells see exactly
+    the unpadded matrices."""
     import numpy as np
 
+    from radar_tpu.ops.pallas.cfar_kernel import stack_rows, stack_slots
+
     td, sr, gd, gr = cfar_band_matrices(cfg, d_size, r_true)
-    mats = (td - gd, sr, gd, sr - gr)
+    sr2 = (sr, sr - gr)
     if rp != r_true:
         pad = ((0, rp - r_true), (0, rp - r_true))
-        mats = (mats[0], np.pad(mats[1], pad), mats[2],
-                np.pad(mats[3], pad))
-    # tiled bf16: small-int values are exact, and the split-scheme
-    # threshold products consume 3x-tiled bf16 operands (cfar_kernel)
-    return [tile3(m) for m in mats]
+        sr2 = tuple(np.pad(m, pad) for m in sr2)
+    # stacked bf16: small-int values are exact; stage 1 takes both row
+    # products in one dot, stage 2 both column products + their sum
+    return [stack_rows([td - gd, gd]), stack_slots(list(sr2))]
 
 
 def _cfar_kind_consts(cfg, d_size, r_true, rp):
@@ -348,16 +429,21 @@ def _cfar_kind_consts(cfg, d_size, r_true, rp):
             f"in-kernel CFAR supports ca/goca/soca, not "
             f"{cfg.cfar_kind!r} (OS runs on the power kernel's output)"
         )
+    from radar_tpu.ops.pallas.cfar_kernel import stack_rows, stack_slots
+
     _, t = go_so_params(cfg, cfg.cfar_kind[:2])
     td, gd, al, alg, bl, blg = go_so_band_matrices(cfg, d_size, r_true)
     # cancellation-free strip form (cfar_kernel.band_threshold notes):
     # lead = Td@p@AL - Gd@p@ALg == (Td-Gd)@p@AL + Gd@p@(AL-ALg), lag
-    # mirrored; every difference is small non-negative ints (exact bf16)
-    mats = [td - gd, gd, al, al - alg, bl, bl - blg]
+    # mirrored; every difference is small non-negative ints (exact bf16).
+    # Stage 2 packs lead and lag as the TWO row groups of one (2R, 6R)
+    # operand, so both half-window sums come out of a single dot as the
+    # (D, 2R) halves of its output.
+    rmats = [al, al - alg, bl, bl - blg]
     if rp != r_true:
-        mats[2:] = [np.pad(m, ((0, rp - r_true), (0, rp - r_true)))
-                    for m in mats[2:]]
-    return [tile3(m) for m in mats], t
+        rmats = [np.pad(m, ((0, rp - r_true), (0, rp - r_true)))
+                 for m in rmats]
+    return [stack_rows([td - gd, gd]), stack_slots(rmats, n_rows=2)], t
 
 
 @functools.partial(
@@ -390,7 +476,9 @@ def _mega_call(
     if b_pad != b:
         raw = jnp.pad(raw, ((0, b_pad - b),) + ((0, 0),) * 3)
 
-    consts = [art, ait, fr, fi, br, bi]
+    a2 = _range_consts(art, ait, cfg.dft_precision)
+    l2 = _dop_lhs_consts(fr, fi, cfg.dft_precision)
+    consts = [a2, l2, br, bi]
     coef, n_band = 0.0, 0
     if with_cfar:
         band, coef = _cfar_kind_consts(cfg, d_size, r_true, r_size)
@@ -506,37 +594,38 @@ _K_LANE = 128  # one-hot gather matmuls run at the full lane width
 
 
 def _make_threshold(cfar_kind, band, coef):
-    """p -> CFAR threshold from VMEM-loaded band matrices.
+    """p -> CFAR threshold from VMEM-loaded packed band operands.
 
     'ca': (Td@p@Sr^T - Gd@p@Gr^T)*alpha/n in the cancellation-free
-    strip form (cfar_kernel.band_threshold).  'goca'/'soca': the GO/SO
-    half-window sums share the Doppler products — lead = Td@p@AL^T -
-    Gd@p@ALg^T rewritten as (Td-Gd)@p@AL^T + Gd@p@(AL-ALg)^T, lag
-    mirrored — then max/min and the Gandhi-Kassam multiplier
-    (ops/cfar.go_so_params).  All products use the exact-band split
-    scheme (cfar_kernel.split3/tile3: bf16 band operands exact, the f32
-    map split exactly into three bf16 terms, one accumulation chain per
-    product) — pure training-ring-magnitude f32 accumulation error at
-    half the former HIGHEST form's MXU passes."""
+    strip form — TWO dots (cfar_kernel.band_threshold).  'goca'/'soca':
+    the GO/SO half-window sums share the stage-1 row products, and
+    stage 2's (2R, 6R) operand emits lead and lag as the two (D, R)
+    halves of ONE dot's output — then max/min and the Gandhi-Kassam
+    multiplier (ops/cfar.go_so_params).  All products use the
+    exact-band split scheme (cfar_kernel.split3: bf16 band operands
+    exact, the f32 map split exactly into three bf16 terms, one
+    accumulation chain per output) — pure training-ring-magnitude f32
+    accumulation error at a fraction of the former HIGHEST form's MXU
+    passes and dot dispatches."""
+    from radar_tpu.ops.pallas.cfar_kernel import _stage2
+
     if cfar_kind == "ca":
-        td_tb, sr, gd, gr_lr = band   # strip form, _padded_band_matrices
-        return lambda p: band_threshold(p, td_tb, sr, gd, gr_lr, coef)
+        tg3, b6 = band   # strip form, _padded_band_matrices
+        return lambda p: band_threshold(p, tg3, b6, coef)
     take = jnp.maximum if cfar_kind == "goca" else jnp.minimum
-    td_tb, gd, al, al_d, bl, bl_d = band   # strip form, _cfar_kind_consts
+    tg3, b6 = band       # strip form, _cfar_kind_consts (b6 is (2R, 6R))
 
     def thresh(p):
-        pp = split3(p)
-        m1 = split3(band_mm(td_tb, pp))
-        m2 = split3(band_mm(gd, pp))
-        lead = band_mm_r(m1, al) + band_mm_r(m2, al_d)
-        lag = band_mm_r(m1, bl) + band_mm_r(m2, bl_d)
-        return take(lead, lag) * coef
+        d, r = p.shape
+        y = band_mm(tg3, split3(p))      # (2D, R): both row products
+        ll = _stage2(y, d, b6)           # (D, 2R): lead | lag
+        return take(ll[:, :r], ll[:, r:]) * coef
 
     return thresh
 
 
 def _mega_detect_kernel(
-    raw_ref, art_ref, ait_ref, fr_ref, fi_ref, frt_ref, fit_ref,
+    raw_ref, a2_ref, l2_ref, frt_ref, fit_ref,
     br_ref, bi_ref, *rest,
     rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
     mean_clutter, tx, n_chirps, coef, k_det, s_pack, n_band,
@@ -546,30 +635,25 @@ def _mega_detect_kernel(
     (idx_ref, val_ref, nbr_ref, nh_ref, sre_ref, sim_ref) = rest[
         n_band : n_band + 6
     ]
-    # range-plane scratch holds the PRE-SPLIT parts _frame_maps returns:
-    # (hi, lo) bf16 pairs for 'high' (same bytes as one f32 plane),
-    # the plain f32 plane otherwise — B3 gathers without re-splitting
-    n_zp = 2 if precision == "high" else 1
+    # range-plane scratch holds the PRE-SPLIT parts _frame_maps returns,
+    # LANE-PACKED as [hi | lo] for 'high' (same bytes as one f32 plane;
+    # B3's doubled one-hot contracts both halves in one dot), the plain
+    # f32 plane otherwise
     scr = rest[n_band + 6 :]
-    mask_s, p_s = scr[0], scr[1]
-    zr_refs = scr[2 : 2 + n_zp]
-    zi_refs = scr[2 + n_zp : 2 + 2 * n_zp]
-    vals_s, idxs_s = scr[2 + 2 * n_zp :]
-    dot, split = _make_dot(precision)
-    art = split(art_ref[:])
-    ait = split(ait_ref[:])
-    fr = split(fr_ref[:])
-    fi = split(fi_ref[:])
+    mask_s, p_s, zr_s, zi_s, vals_s, idxs_s = scr
+    split = _make_split(precision)
+    a2 = a2_ref[:]
+    l2 = l2_ref[:]
     thresh = _make_threshold(cfar_kind, band, coef)
     sentinel = jnp.float32(_F32_MIN)
 
     # -- phase A: per-frame front-end; maps live only in VMEM scratch ----
     for f in range(rows):
         zrp, zip_, p = _frame_maps(
-            raw_ref[f], art, ait, fr, fi, br_ref, bi_ref, dot=dot,
-            split=split, cv=cv, s2=s2, kc=kc, tvr=tvr, d_size=d_size,
-            tv=tv, r_size=r_size, mean_clutter=mean_clutter, tx=tx,
-            n_chirps=n_chirps,
+            raw_ref[f], a2, l2, br_ref, bi_ref,
+            split=split, dprec=precision, cv=cv, s2=s2, kc=kc, tvr=tvr,
+            d_size=d_size, tv=tv, r_size=r_size,
+            mean_clutter=mean_clutter, tx=tx, n_chirps=n_chirps,
         )
         th = thresh(p)
         # sentinel (not -inf) for non-hits: the knockout's -inf then sorts
@@ -586,10 +670,12 @@ def _mega_detect_kernel(
             p > th, p, sentinel
         ).reshape(s_pack, (d_size * r_size) // s_pack)
         p_s[f] = p
-        for t_ref, t in zip(zr_refs, zrp):
-            t_ref[f] = t
-        for t_ref, t in zip(zi_refs, zip_):
-            t_ref[f] = t
+        if precision == "high":
+            zr_s[f] = jnp.concatenate(zrp, axis=1)    # [hi | lo], aligned
+            zi_s[f] = jnp.concatenate(zip_, axis=1)
+        else:
+            zr_s[f] = zrp[0]
+            zi_s[f] = zip_[0]
 
     # -- phase B1: top-K knockout, vectorized across the step's frames ---
     # m is (rows*s_pack, n2): frame f's cells [c*n2, (c+1)*n2) live in row
@@ -731,53 +817,56 @@ def _mega_detect_kernel(
     #
     # Gather-dot precision: one-hot matrices are EXACT in bf16, so the
     # 'high' 3-pass form's ah@bl pass multiplies by an exactly-zero
-    # residual — the 2-pass hi/lo form below is BIT-IDENTICAL to it and
-    # 1/3 cheaper.  The plane gathers consume the PRE-SPLIT parts phase A
-    # stored (for 'high' the (hi, lo) pair is the same decomposition the
-    # former per-frame _split produced — values bit-identical, the VPU
-    # split work paid once in phase A instead of again here).  'highest'
-    # keeps exact-f32 gathers; 'default' keeps its single bf16 pass for
-    # the plane gathers and upgrades the DFT-row gathers to the 2-pass
-    # form (the rows are unit-magnitude trig values whose bf16 rounding
-    # would dominate the mode's error budget).
+    # residual — the 2-pass hi/lo form is BIT-IDENTICAL to it and 1/3
+    # cheaper.  Both 2-pass families run as ONE dot each: the plane
+    # gathers consume phase A's LANE-PACKED [hi | lo] scratch against a
+    # doubled (2R, 128) one-hot (rows r and R+r both one — the dot's f32
+    # accumulator adds hi[r] + lo[r], bitwise the two-dot-plus-add form),
+    # and the DFT-row gathers consume the host-packed (Kc, 2D) frt/fit
+    # constants against a doubled (2D, 128) one-hot — no per-frame
+    # splits, half the dot dispatches.  'highest' keeps exact-f32
+    # gathers; 'default' keeps its single bf16 pass for the plane
+    # gathers and the 2-pass form for the DFT rows (unit-magnitude trig
+    # values whose bf16 rounding would dominate the mode's error budget).
     if precision == "highest":
-        def g_dot(parts, oh_b):
-            return _DOT(parts[0], oh_b.astype(jnp.float32),
+        def g_dot(z_f, oh_b):
+            return _DOT(z_f, oh_b.astype(jnp.float32),
                         precision=jax.lax.Precision.HIGHEST)
 
-        def f_dot(x, oh_b):
-            return _DOT(x, oh_b.astype(jnp.float32),
+        def f_dot(x, oh2_b):
+            return _DOT(x, oh2_b.astype(jnp.float32),
                         precision=jax.lax.Precision.HIGHEST)
     elif precision == "high":
-        def g_dot(parts, oh_b):
-            return _DOT(parts[0], oh_b) + _DOT(parts[1], oh_b)
+        def g_dot(z_f, oh_b):
+            return _DOT(z_f, oh_b)
 
-        def f_dot(x, oh_b):
-            hi, lo = _split(x)
-            return _DOT(hi, oh_b) + _DOT(lo, oh_b)
+        def f_dot(x, oh2_b):
+            return _DOT(x, oh2_b)
     else:
-        def g_dot(parts, oh_b):
-            return _DOT(parts[0], oh_b.astype(jnp.float32))
+        def g_dot(z_f, oh_b):
+            return _DOT(z_f, oh_b.astype(jnp.float32))
 
-        def f_dot(x, oh_b):
-            hi, lo = _split(x)
-            return _DOT(hi, oh_b) + _DOT(lo, oh_b)
+        def f_dot(x, oh2_b):
+            return _DOT(x, oh2_b)
 
-    frt = frt_ref[:]                                    # (Kc, D)
+    frt = frt_ref[:]                    # (Kc, 2D) packed / (Kc, D) f32
     fit = fit_ref[:]
     pad = jnp.full((1, _K_LANE - k_det), -1, jnp.int32)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (r_size, _K_LANE), 0)
-    iota_d = jax.lax.broadcasted_iota(jnp.int32, (d_size, _K_LANE), 0)
+    r_rows = 2 * r_size if precision == "high" else r_size
+    iota_r = jax.lax.broadcasted_iota(
+        jnp.int32, (r_rows, _K_LANE), 0) % r_size
+    d_rows = d_size if precision == "highest" else 2 * d_size
+    iota_d = jax.lax.broadcasted_iota(
+        jnp.int32, (d_rows, _K_LANE), 0) % d_size
     for f in range(rows):
         top_row = idx_ref[f]                            # (1, K)
-        oh_r = (iota_r == jnp.concatenate(
-            [top_row % r_size, pad], axis=1
-        )).astype(jnp.bfloat16)
+        r_col = jnp.concatenate([top_row % r_size, pad], axis=1)
+        oh_r = (iota_r == r_col).astype(jnp.bfloat16)
         oh_d = (iota_d == jnp.concatenate(
             [top_row // r_size, pad], axis=1
         )).astype(jnp.bfloat16)
-        g_re = g_dot([t[f] for t in zr_refs], oh_r)     # (C*V, 128)
-        g_im = g_dot([t[f] for t in zi_refs], oh_r)
+        g_re = g_dot(zr_s[f], oh_r)                     # (C*V, 128)
+        g_im = g_dot(zi_s[f], oh_r)
         fsel_re = f_dot(frt, oh_d)                      # (Kc, 128)
         fsel_im = f_dot(fit, oh_d)
         g3r = g_re.reshape(kc, tv, _K_LANE)
@@ -800,7 +889,10 @@ def _detect_vmem_parts(cfg: RadarConfig) -> tuple[int, int]:
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     d, r = cfg.doppler_fft_size, _r_pad(cfg)
     tvr = cfg.num_tx * v * r
-    transient = ((c * v * s2 * 8) + (c * v * r * 8) + (d * tvr * 16)
+    # c*v*s2: raw f32 (4) + hi/lo regs (4) + range lhs3 concat (6 bf16);
+    # c*v*r: [zr|zi] f32 (8; the split parts live in per-row scratch) +
+    # the slot-packed Doppler RHS concat buffer (12)
+    transient = ((c * v * s2 * 14) + (c * v * r * 20) + (d * tvr * 16)
                  + _const_vmem_bytes(cfg, detect=True))
     per_row = (c * v * s2 * 4) + (c * v * r * 8) + (d * r * 12)
     return transient, per_row
@@ -854,7 +946,16 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
         s_pack //= 2
 
     band, coef = _cfar_kind_consts(cfg, d_size, r_true, r_size)
-    consts = [art, ait, fr, fi, fr.T, fi.T, br, bi] + band
+    a2 = _range_consts(art, ait, cfg.dft_precision)
+    l2 = _dop_lhs_consts(fr, fi, cfg.dft_precision)
+    if cfg.dft_precision == "highest":
+        frt, fit = fr.T, fi.T
+    else:
+        # host-packed [hi | lo] (Kc, 2D) bf16: B3's DFT-row gathers run
+        # as one dot against a doubled one-hot, no per-frame splits
+        frt = jnp.concatenate(_split(fr.T), axis=1)
+        fit = jnp.concatenate(_split(fi.T), axis=1)
+    consts = [a2, l2, frt, fit, br, bi] + band
 
     kern = functools.partial(
         _mega_detect_kernel,
@@ -900,15 +1001,16 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
             ),
             pltpu.VMEM((rows, d_size, r_size), jnp.float32),   # power
         ] + [
-            # zr/zi parts (pre-split; see _frame_maps): two bf16 planes
-            # per component for 'high' — same total bytes as one f32 —
-            # one f32 plane otherwise
+            # zr/zi parts (pre-split; see _frame_maps): one LANE-PACKED
+            # [hi | lo] bf16 plane per component for 'high' — same total
+            # bytes as one f32 plane — one f32 plane otherwise
             pltpu.VMEM(
-                (rows, c * v, r_size),
+                (rows, c * v,
+                 2 * r_size if cfg.dft_precision == "high" else r_size),
                 jnp.bfloat16 if cfg.dft_precision == "high"
                 else jnp.float32,
             )
-            for _ in range(4 if cfg.dft_precision == "high" else 2)
+            for _ in range(2)
         ] + [
             pltpu.VMEM((rows * s_pack, k_det), jnp.float32),   # val columns
             pltpu.VMEM((rows * s_pack, k_det), jnp.int32),     # idx columns

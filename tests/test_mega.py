@@ -368,3 +368,21 @@ def test_mega_detect_padded_geometry(targets):
         np.testing.assert_array_equal(ga[valid], gb[valid], err_msg=f)
     np.testing.assert_allclose(np.asarray(a.azimuth_deg)[valid],
                                np.asarray(b.azimuth_deg)[valid], atol=1e-3)
+
+
+def test_mega_go_so_padded_geometry(targets):
+    """GOCA at a non-lane-aligned geometry: the (2R, 6R) stage-2 stacked
+    band operand is range-padded (pad cells get lead = lag = 0 over
+    power 0 — never hits) and the padded kernel matches the fused XLA
+    GO/SO path on detections."""
+    cfg2 = RadarConfig(num_samples=64, num_chirps=64, num_rx=2,
+                       cfar_kind="goca")
+    assert cfg2.range_fft_size % 128 != 0  # actually exercises padding
+    shorts = synthesize_capture(targets, 3, cfg2, noise_std=2.0, seed=97)
+    fused = RDPipeline(cfg2, max_detections=8, rd_impl="fused",
+                       cfar_impl="xla")
+    mega = RDPipeline(cfg2, max_detections=8, rd_impl="mega-interpret")
+    base = fused.prepare_base(jnp.asarray(shorts[0]))
+    a = fused.detect(jnp.asarray(shorts[1:]), base)
+    b = mega.detect(jnp.asarray(shorts[1:]), base)
+    _assert_same_detections(a, b)
