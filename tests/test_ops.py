@@ -589,3 +589,59 @@ def test_window_kind_end_to_end_parity(targets):
     got = np.asarray(dr[0]) + 1j * np.asarray(di[0])
     scale = np.abs(want).max()
     assert np.abs(got - want).max() / scale < 1e-3
+
+
+def test_packed_front_end_slot_pairing():
+    """The mega kernel's packed single-dot stages carry exactly the
+    3-pass bf16 term set: the (2D, 6Kc) Doppler constant against the
+    fixed RHS slot order reproduces hi*hi + hi*lo + lo*hi for
+    dr = fr@xr - fi@xi / di = fr@xi + fi@xr, and the (3*2S, 2R) range
+    constant against [raw_h, raw_l, raw_h] reproduces it for zr/zi.
+    Guards the slot order in _dop_lhs_consts/_dop_rhs/_range_consts."""
+    import numpy as np
+
+    from radar_tpu.ops.pallas.megakernel import (
+        _dop_lhs_consts,
+        _dop_rhs,
+        _range_consts,
+        _range_lhs,
+        _split,
+    )
+
+    rng = np.random.default_rng(7)
+    d, kc, n = 16, 8, 32
+    fr = jnp.asarray(rng.normal(size=(d, kc)), jnp.float32)
+    fi = jnp.asarray(rng.normal(size=(d, kc)), jnp.float32)
+    xr = jnp.asarray(rng.normal(size=(kc, n)), jnp.float32)
+    xi = jnp.asarray(rng.normal(size=(kc, n)), jnp.float32)
+
+    def dot3(a, b):
+        (ah, al), (bh, bl) = _split(a), _split(b)
+        mm = lambda x, y: jnp.dot(
+            x, y, preferred_element_type=jnp.float32)
+        return mm(ah, bh) + mm(ah, bl) + mm(al, bh)
+
+    l2 = _dop_lhs_consts(fr, fi, "high")
+    rhs = _dop_rhs(_split(xr), _split(xi), "high")
+    dd = jnp.dot(l2, rhs, preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(dd[:d]), np.asarray(dot3(fr, xr) - dot3(fi, xi)),
+        rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dd[d:]), np.asarray(dot3(fr, xi) + dot3(fi, xr)),
+        rtol=2e-5, atol=1e-5)
+
+    s2, r = 24, 16
+    raw = jnp.asarray(
+        rng.integers(-2000, 2000, size=(kc, s2)), jnp.float32)
+    art = jnp.asarray(rng.normal(size=(s2, r)), jnp.float32)
+    ait = jnp.asarray(rng.normal(size=(s2, r)), jnp.float32)
+    a2 = _range_consts(art, ait, "high")
+    z2 = jnp.dot(_range_lhs(raw, "high"), a2,
+                 preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(z2[:, :r]), np.asarray(dot3(raw, art)),
+        rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(z2[:, r:]), np.asarray(dot3(raw, ait)),
+        rtol=2e-5, atol=1e-4)
