@@ -244,6 +244,26 @@ int radar_process_capture(const RadarParams* p, const char* path,
   return n;
 }
 
+// Periodic cosine-sum window value at index i of n.  Kinds (the int is
+// the ABI: 0/1 keep their historical rect/hann meaning):
+//   0 rect, 1 hann, 2 hamming, 3 blackman, 4 blackman-harris.
+// Independent twin of the Python golden's window_fn coefficients
+// (radar_tpu/golden.py): w = a0 - a1 cos t + a2 cos 2t - a3 cos 3t,
+// t = 2*pi*i/n.
+static double win_coef(int kind, int i, int n) {
+  static const double k[5][4] = {
+      {1.0, 0.0, 0.0, 0.0},
+      {0.5, 0.5, 0.0, 0.0},
+      {0.54, 0.46, 0.0, 0.0},
+      {0.42, 0.5, 0.08, 0.0},
+      {0.35875, 0.48829, 0.14128, 0.01168},
+  };
+  if (kind < 0 || kind > 4) kind = 1;
+  const double t = 2.0 * M_PI * i / n;
+  return k[kind][0] - k[kind][1] * std::cos(t) + k[kind][2] * std::cos(2 * t) -
+         k[kind][3] * std::cos(3 * t);
+}
+
 void radar_range_doppler(const double* in_re, const double* in_im,
                          int chirps_in, int samples_in, int doppler_fft,
                          int range_fft, int window, double* out_re,
@@ -252,11 +272,9 @@ void radar_range_doppler(const double* in_re, const double* in_im,
   std::vector<double> re((size_t)doppler_fft * range_fft, 0.0);
   std::vector<double> im((size_t)doppler_fft * range_fft, 0.0);
   for (int c = 0; c < chirps_in; ++c) {
-    const double wc =
-        window ? 0.5 - 0.5 * std::cos(2.0 * M_PI * c / chirps_in) : 1.0;
+    const double wc = win_coef(window, c, chirps_in);
     for (int s = 0; s < samples_in; ++s) {
-      const double ws =
-          window ? 0.5 - 0.5 * std::cos(2.0 * M_PI * s / samples_in) : 1.0;
+      const double ws = win_coef(window, s, samples_in);
       re[(size_t)c * range_fft + s] = wc * ws * in_re[c * samples_in + s];
       im[(size_t)c * range_fft + s] = wc * ws * in_im[c * samples_in + s];
     }

@@ -75,8 +75,10 @@ int radar_process_capture(const RadarParams* p, const char* path,
 
 // Windowed range-Doppler map for one channel: input (chirps_in, samples_in)
 // complex -> output (doppler_fft, range_fft) complex, Doppler axis
-// fftshifted.  Periodic Hann windows on both axes when window != 0.
-// Matches radar_tpu.golden.range_doppler_map.
+// fftshifted.  `window` selects the periodic cosine-sum window applied on
+// both axes: 0 rect, 1 hann, 2 hamming, 3 blackman, 4 blackman-harris
+// (0/1 keep their historical bool meaning).  Matches
+// radar_tpu.golden.range_doppler_map / golden.window_fn.
 void radar_range_doppler(const double* in_re, const double* in_im,
                          int chirps_in, int samples_in, int doppler_fft,
                          int range_fft, int window, double* out_re,

@@ -198,13 +198,25 @@ def base_frame(frame0_shorts: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG):
     return re + 1j * im
 
 
+# window-kind -> C enum for radar_range_doppler (cpp/golden.h); 0/1 keep
+# the historical rect/hann bool meaning.
+_WINDOW_ENUM = {
+    "rect": 0, "hann": 1, "hamming": 2, "blackman": 3, "blackmanharris": 4,
+}
+
+
 def range_doppler_map(
     channel: np.ndarray,
     cfg: RadarConfig = DEFAULT_CONFIG,
-    window: bool = True,
+    window: bool | str = True,
 ) -> np.ndarray:
     """Native RD map for one channel: complex (chirps, samples) ->
-    complex (doppler_fft, range_fft), Doppler fftshifted."""
+    complex (doppler_fft, range_fft), Doppler fftshifted.
+
+    ``window`` follows the package-wide convention (ops/window.py):
+    False for none, True for the config's kind (cfg.window_kind), or an
+    explicit kind string; the C++ twin computes the cosine-sum taps
+    itself (an independent implementation, not Python-fed)."""
     lib = load()
     x = np.asarray(channel, np.complex128)
     c, s = x.shape
@@ -213,9 +225,12 @@ def range_doppler_map(
     d, r = cfg.doppler_fft_size, cfg.range_fft_size
     out_re = np.empty((d, r), np.float64)
     out_im = np.empty((d, r), np.float64)
+    kind = "rect" if window is False else (
+        cfg.window_kind if window is True else window
+    )
     lib.radar_range_doppler(
-        _dptr(re), _dptr(im), c, s, d, r, int(window), _dptr(out_re),
-        _dptr(out_im),
+        _dptr(re), _dptr(im), c, s, d, r, _WINDOW_ENUM[kind],
+        _dptr(out_re), _dptr(out_im),
     )
     return out_re + 1j * out_im
 

@@ -88,6 +88,19 @@ def test_native_range_doppler_matches_numpy_golden(cfg):
     )
 
 
+def test_native_window_kinds_match_numpy_golden(cfg):
+    # every window kind: the C++ twin computes its own cosine-sum taps
+    rng = np.random.default_rng(68)
+    ch = (rng.standard_normal((cfg.num_chirps, cfg.num_samples))
+          + 1j * rng.standard_normal((cfg.num_chirps, cfg.num_samples)))
+    for kind in ("rect", "hann", "hamming", "blackman", "blackmanharris"):
+        np.testing.assert_allclose(
+            native.range_doppler_map(ch, cfg, window=kind),
+            golden.range_doppler_map(ch, cfg, window=kind),
+            rtol=1e-9, atol=1e-9, err_msg=kind,
+        )
+
+
 def test_native_cfar_matches_numpy_golden(cfg):
     rng = np.random.default_rng(71)
     power = rng.exponential(1.0, (cfg.doppler_fft_size, cfg.range_fft_size))
