@@ -225,8 +225,11 @@ def range_doppler_map(
     d, r = cfg.doppler_fft_size, cfg.range_fft_size
     out_re = np.empty((d, r), np.float64)
     out_im = np.empty((d, r), np.float64)
-    kind = "rect" if window is False else (
-        cfg.window_kind if window is True else window
+    # falsy -> rect, kind string -> itself, any other truthy -> the
+    # config's kind (same effective behavior as the golden twin's
+    # `if window:` gate for bools; tolerant of 0/1/np.bool_ flags)
+    kind = "rect" if not window else (
+        window if isinstance(window, str) else cfg.window_kind
     )
     lib.radar_range_doppler(
         _dptr(re), _dptr(im), c, s, d, r, _WINDOW_ENUM[kind],

@@ -232,7 +232,7 @@ def _mega_kernel(
     raw_ref, a2_ref, l2_ref, br_ref, bi_ref,
     *refs,
     rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
-    mean_clutter, tx, n_chirps, with_cfar, coef, n_band=4,
+    mean_clutter, tx, n_chirps, with_cfar, coef, n_band=2,
     cfar_kind="ca",
 ):
     if with_cfar:
@@ -310,14 +310,15 @@ def _rows_for(transient: int, per_row: int, b: int) -> int:
 
 def _const_vmem_bytes(cfg: RadarConfig, detect: bool) -> int:
     """VMEM-resident constant operands, charged to the transient budget:
-    the DFT matrices and base planes (x2: their in-kernel bf16 hi/lo
-    split copies live alongside the f32 originals at 'high') plus the
-    3x-tiled bf16 band matrices (12 bytes per source element for the
-    doppler/range pair, doubled on the range side for GO/SO's four
-    asymmetric half-window matrices).  Round 4's review found these
-    uncounted just as the band constants grew 1.5x — a borderline
-    geometry the gate admitted could die with a raw Mosaic scoped-VMEM
-    error instead of the intended fused-path fallback."""
+    the slot-packed DFT constants (built on the host — the kernel never
+    splits or re-stacks them), the f32 base planes (x2: generic headroom
+    for the subtraction's transients), and the 3x-tiled bf16 band
+    matrices (12 bytes per source element for the doppler/range pair,
+    doubled on the range side for GO/SO's four asymmetric half-window
+    matrices).  Round 4's review found these uncounted just as the band
+    constants grew 1.5x — a borderline geometry the gate admitted could
+    die with a raw Mosaic scoped-VMEM error instead of the intended
+    fused-path fallback."""
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     d, r = cfg.doppler_fft_size, _r_pad(cfg)
     kc = cfg.chirps_per_tx

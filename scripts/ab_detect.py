@@ -9,10 +9,11 @@ Prints one line::
 
     ab_detect <ms_per_batch> ms/<frames> = <fps> fps
 
-Usage: PYTHONPATH=<tree> python scripts/ab_detect.py [--frames 512]
-[--iters 32] — point PYTHONPATH at the repo revision under test; the
-script touches only long-stable public API (RDPipeline, synthetic
-capture, fence).
+Usage: copy this script into the checkout/worktree of the revision
+under test and run THAT copy (`python <tree>/scripts/ab_detect.py`) —
+it pins its own tree to the FRONT of sys.path, so PYTHONPATH cannot
+select the revision.  It touches only long-stable public API
+(RDPipeline, synthetic capture, fence).
 """
 
 from __future__ import annotations
