@@ -55,7 +55,42 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3, help="timed repetitions")
     ap.add_argument("--skip-h2d", action="store_true",
                     help="skip the (slow) tunnel H2D measurement")
+    ap.add_argument("--wait-device", type=int, default=1800,
+                    help="seconds to wait for the TPU backend before giving "
+                         "up (the dev relay wedges for 10-20 min after a "
+                         "killed run; 0 = no wait)")
     args = ap.parse_args()
+
+    # The dev relay can be down for 10-20 min at a time.  A backend-init
+    # failure is cached process-wide by JAX, so probe in SUBPROCESSES and
+    # only import-and-init here once a probe succeeds — this keeps a
+    # driver-invoked run from dying JSON-less on a transient wedge.
+    if args.wait_device:
+        import subprocess
+        deadline = time.time() + args.wait_device
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    capture_output=True, timeout=300,
+                )
+                ok = r.returncode == 0
+            except subprocess.TimeoutExpired:
+                ok = False  # init hung — the relay is wedged, not down
+            if ok:
+                if attempt > 1:
+                    log(f"backend up after {attempt} probes")
+                break
+            if time.time() >= deadline:
+                log("backend still unavailable after "
+                    f"{args.wait_device}s; proceeding to fail with the "
+                    "real error")
+                break
+            log(f"backend probe {attempt} failed; retrying in 60s "
+                f"({int(deadline - time.time())}s left)")
+            time.sleep(60)
 
     import jax
     import jax.numpy as jnp
