@@ -411,7 +411,7 @@ class RDPipeline:
             return "pallas" if jax.default_backend() == "tpu" else "xla"
         return self.topk_impl
 
-    def _cfar(self, power):
+    def _cfar(self, power, hits_only=False):
         from radar_tpu.ops.cfar import cfar_detect
 
         impl = self.cfar_impl
@@ -429,7 +429,8 @@ class RDPipeline:
         )
         if impl == "pallas-interpret":
             impl = "pallas"
-        return cfar_detect(power, self.cfg, impl, interpret=interpret)
+        return cfar_detect(power, self.cfg, impl, interpret=interpret,
+                           hits_only=hits_only)
 
     # -- base frame --------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
@@ -534,7 +535,7 @@ class RDPipeline:
             return self._detect_planar(shorts, base_cube, impl=impl)
         rd = self.rd_cube(shorts, base_cube)  # (B, rx, D, R)
         power = integrate_power(rd)
-        hits, _ = self._cfar(power)
+        hits, _ = self._cfar(power, hits_only=True)
         return assemble_result(
             power,
             lambda top_idx: gather_snapshots(rd, top_idx),
@@ -625,7 +626,7 @@ class RDPipeline:
                 power = power_from_shorts_pallas(
                     shorts, base, cfg, interpret=interpret
                 )
-                hits, _ = self._cfar(power)
+                hits, _ = self._cfar(power, hits_only=True)
             return assemble_result(
                 power,
                 lambda top_idx: snapshots_from_shorts(
@@ -665,7 +666,7 @@ class RDPipeline:
             im = virtualize_cube(im, cfg)
             dr, di = range_doppler_planes(re, im, cfg)  # (B, rx, D, R)
         power = jnp.sum(dr * dr + di * di, axis=-3)
-        hits, _ = self._cfar(power)
+        hits, _ = self._cfar(power, hits_only=True)
         return assemble_result(
             power,
             lambda top_idx: jax.lax.complex(

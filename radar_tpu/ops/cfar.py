@@ -307,18 +307,32 @@ def cfar_detect(
     cfg: RadarConfig = DEFAULT_CONFIG,
     impl: str = "xla",
     interpret: bool = False,
+    hits_only: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Single dispatch point for the CFAR family: ``cfg.cfar_kind``
     ('ca'/'os'/'goca'/'soca') crossed with ``impl`` ('xla' or 'pallas').
 
     Both the local pipeline and the shard_map pipeline route through this,
     so kind/impl validation and dispatch live in exactly one place.
+
+    ``hits_only=True`` declares the caller discards the threshold map
+    (every detection pipeline does — they unpack ``hits, _``).  For OS on
+    the Pallas path that selects the one-pass counting kernel
+    (``os_cfar_hits_pallas``: hit <=> count(RN(alpha*v) < p) >= k, exactly
+    the ``p > alpha*T_k`` decision at ~1/20 the vector work) and returns
+    ``(hits, None)``.  Other kinds produce the threshold as a byproduct
+    and ignore the flag.
     """
     if cfg.cfar_kind == "os":
         if impl == "xla":
             return os_cfar_2d(power, cfg)
-        from radar_tpu.ops.pallas.oscfar_kernel import os_cfar_2d_pallas
+        from radar_tpu.ops.pallas.oscfar_kernel import (
+            os_cfar_2d_pallas,
+            os_cfar_hits_pallas,
+        )
 
+        if hits_only:
+            return os_cfar_hits_pallas(power, cfg, interpret=interpret), None
         return os_cfar_2d_pallas(power, cfg, interpret=interpret)
     if cfg.cfar_kind in ("goca", "soca"):
         # the band-matmul form already rides the MXU under jit; there is

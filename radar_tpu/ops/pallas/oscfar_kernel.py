@@ -207,3 +207,147 @@ def os_cfar_2d_pallas(
     )(x)
     thresh = thresh.reshape(lead + (d_size, r_size))
     return power > thresh, thresh
+
+
+# ---------------------------------------------------------------------------
+# one-pass hit decision: rank selection without finding the rank value
+# ---------------------------------------------------------------------------
+#
+# The detection pipeline never consumes the OS threshold MAP — every
+# caller unpacks ``hits, _`` (rd_pipeline._cfar, distributed) — so the
+# 31-iteration bit-space search above does 31x the work the decision
+# needs.  The decision itself is a SINGLE counting pass:
+#
+#     hit  <=>  p > RN(alpha * T_k)                (the contract above)
+#          <=>  count_j( RN(alpha * v_j) < p ) >= k
+#
+# EXACTLY, including every float rounding: v -> RN(alpha*v) is monotone
+# non-decreasing (RN is monotone, alpha > 0), so the k-th smallest of the
+# transformed ring values IS RN(alpha * T_k), and for any sorted w,
+# ``count(w < p) >= k  <=>  w_(k) < p``.  Ties behave right too: a cell
+# whose power exactly equals RN(alpha * T_k) counts fewer than k strict
+# inequalities, matching the strict ``power > threshold`` gate.
+#
+# The counting pass needs no ring scratch at all — the count accumulates
+# offset-by-offset against static slices of the (alpha-scaled) padded
+# map — so the whole Doppler extent fits one tile at default geometry
+# and the kernel does ~2 vector ops per (cell, ring-offset) pair vs the
+# search's ~2 per pair PER ITERATION (~20x less vector work).
+# ``os_cfar_2d_pallas`` above remains the path that materializes the
+# threshold map (cfar_detect without hits_only, selftest cross-checks).
+
+
+def _os_hits_kernel(
+    padded_ref,  # (1, D + 2*wd (+ align pad), R + 2*wr) f32, one padded map
+    hits_ref,    # (1, d_tile, R) int32 0/1 hit tile
+    *,
+    offsets,
+    wd: int,
+    wr: int,
+    d_tile: int,
+    r_size: int,
+    k: int,
+    alpha: float,
+):
+    d0 = pl.program_id(1) * d_tile
+    d_blk = -(-(d_tile + 2 * wd) // 8) * 8
+    blk = padded_ref[0, pl.ds(d0, d_blk), :]
+    # hoist RN(alpha * v) once per tile; each ring offset is then one
+    # compare + one add on the (d_tile, R) window
+    ab = jnp.float32(alpha) * blk
+    p = blk[wd : wd + d_tile, wr : wr + r_size]
+    cnt = jnp.zeros((d_tile, r_size), jnp.int32)
+    for dd, dr in offsets:
+        w = ab[wd + dd : wd + dd + d_tile, wr + dr : wr + dr + r_size]
+        cnt += (w < p).astype(jnp.int32)
+    hits_ref[0] = (cnt >= k).astype(jnp.int32)
+
+
+def _pick_hits_tile(d_size: int, wd: int, rp: int, r_size: int) -> int:
+    """Largest Doppler tile whose working set (padded block + its
+    alpha-scaled copy + count/center temporaries) stays inside a
+    conservative VMEM budget.  No ring scratch exists, so the full map
+    is one tile at every geometry up to ~1k x 1k."""
+    budget = 10 << 20
+    d_tile = d_size
+
+    def need(dt):
+        d_blk = -(-(dt + 2 * wd) // 8) * 8
+        return 8 * d_blk * rp + 8 * dt * r_size
+
+    while d_tile > 8 and need(d_tile) > budget:
+        d_tile //= 2
+    return max(1, d_tile)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def os_cfar_hits_pallas(
+    power: jnp.ndarray,
+    cfg,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """OS-CFAR hit map via the one-pass counting kernel (no threshold).
+
+    Bit-identical to ``power > os_cfar_2d_pallas(power, cfg)[1]`` (see
+    the counting-identity note above) at ~1/20 the vector work.
+
+    Args:
+      power: float32 (..., doppler, range) NON-NEGATIVE power map.
+
+    Returns:
+      hits bool, shape of ``power``.
+    """
+    from radar_tpu.ops.cfar import os_ring_params
+
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    wd, wr = gd + td, gr + tr
+    offsets, _, k, alpha = os_ring_params(cfg)
+
+    lead = power.shape[:-2]
+    d_size, r_size = power.shape[-2], power.shape[-1]
+    x = power.reshape((-1, d_size, r_size)).astype(jnp.float32)
+    b = x.shape[0]
+    x = jnp.pad(x, ((0, 0), (wd, wd), (0, 0)), mode="wrap")
+    x = jnp.pad(x, ((0, 0), (0, 0), (wr, wr)), mode=cfg.cfar_range_mode)
+
+    d_tile = _pick_hits_tile(d_size, wd, x.shape[-1], r_size)
+    n_tiles = -(-d_size // d_tile)
+    if n_tiles > 1 and (d_tile % 8 or n_tiles * d_tile != d_size):
+        # dynamic sublane starts must be provably 8-aligned, and partial
+        # edge tiles are never validated for this kernel (same policy as
+        # the threshold kernel above)
+        raise ValueError(
+            f"doppler size {d_size} does not tile into 8-aligned rows "
+            f"for the OS hits kernel; use cfar_impl='xla'"
+        )
+    # the aligned block load reads d_blk rows from tile start; pad junk
+    # rows at the bottom so the LAST tile's load stays in bounds
+    d_blk = -(-(d_tile + 2 * wd) // 8) * 8
+    rows_needed = (n_tiles - 1) * d_tile + d_blk
+    if rows_needed > x.shape[-2]:
+        x = jnp.pad(x, ((0, 0), (0, rows_needed - x.shape[-2]), (0, 0)))
+
+    kernel = functools.partial(
+        _os_hits_kernel,
+        offsets=tuple(offsets),
+        wd=wd, wr=wr, d_tile=d_tile, r_size=r_size, k=k, alpha=alpha,
+    )
+    hits = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, d_size, r_size), jnp.int32),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, x.shape[-2], r_size + 2 * wr),
+                lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, d_tile, r_size), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(x)
+    return hits.astype(bool).reshape(lead + (d_size, r_size))

@@ -183,7 +183,8 @@ class DistributedRDPipeline:
                     shorts_local, base_local, cfg, interpret=interpret
                 )
                 hits, _ = _cfar_detect(
-                    power, cfg, cfar_resolved, interpret=interpret
+                    power, cfg, cfar_resolved, interpret=interpret,
+                    hits_only=True,
                 )
                 return assemble_result(
                     power,
@@ -224,7 +225,8 @@ class DistributedRDPipeline:
                 )
                 power = jax.lax.psum(local_power, CHAN_AXIS)
                 hits, _ = _cfar_detect(
-                    power, cfg, cfar_resolved, interpret=interpret
+                    power, cfg, cfar_resolved, interpret=interpret,
+                    hits_only=True,
                 )
 
                 def snaps_mega(top_idx):

@@ -211,6 +211,33 @@ def check_oscfar_exact():
     np.testing.assert_array_equal(thresh_got, thresh_want)
 
 
+def check_oscfar_hits_one_pass():
+    """One-pass OS-CFAR counting kernel: hit map identical to the
+    rank-search kernel's ``power > threshold`` (the counting identity
+    must hold COMPILED, not just in interpret mode)."""
+    import jax.numpy as jnp
+
+    from radar_tpu.config import RadarConfig
+    from radar_tpu.ops.pallas.oscfar_kernel import (
+        os_cfar_2d_pallas,
+        os_cfar_hits_pallas,
+    )
+
+    cfg = RadarConfig(cfar_kind="os", cfar_os_stride=1)
+    rng = np.random.default_rng(21)
+    power = (rng.gamma(
+        2.0, 100.0, (4, cfg.doppler_fft_size, cfg.range_fft_size)
+    ).astype(np.float32))
+    pd = jnp.asarray(power)
+    hits_want, _ = _materialize(
+        os_cfar_2d_pallas(pd, cfg, interpret=_interpret())
+    )
+    hits_got = _materialize(
+        os_cfar_hits_pallas(pd, cfg, interpret=_interpret())
+    )
+    np.testing.assert_array_equal(hits_got, hits_want)
+
+
 def check_band_cfar():
     """Standalone band-matrix CA-CFAR kernel vs reduce_window."""
     import jax.numpy as jnp
@@ -332,6 +359,7 @@ CHECKS = [
     ("mega-detect mean clutter", check_mega_mean_clutter),
     ("topk tie order vs lax.top_k", check_topk_tie_order),
     ("os-cfar exact rank selection", check_oscfar_exact),
+    ("os-cfar one-pass hit decision", check_oscfar_hits_one_pass),
     ("band-matrix ca-cfar kernel", check_band_cfar),
     ("magargmax kernel", check_magargmax),
     ("fused dft kernel", check_fused_dft_kernel),

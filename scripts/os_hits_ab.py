@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""On-chip A/B: OS-CFAR one-pass hits kernel vs the rank-search kernel.
+
+Times three things with the stage_budget discipline (one jitted
+fori_loop, input XORed/permuted per iteration, every output folded into
+the carry):
+
+  stage-search : os_cfar_2d_pallas   (31-iteration bit-space rank search)
+  stage-hits   : os_cfar_hits_pallas (one counting pass, hits only)
+  pipe-os      : full RDPipeline.detect with cfar_kind='os' (auto impl —
+                 uses the hits kernel through cfar_detect(hits_only=True))
+
+Usage: python scripts/os_hits_ab.py [--frames 512] [--stride 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--skip-search", action="store_true",
+                    help="skip the slow rank-search baseline")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radar_tpu.config import RadarConfig
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+    from radar_tpu.models.rd_pipeline import RDPipeline
+    from radar_tpu.ops.pallas.oscfar_kernel import (
+        os_cfar_2d_pallas,
+        os_cfar_hits_pallas,
+    )
+    from radar_tpu.utils.timing import fence
+
+    cfg = RadarConfig(cfar_kind="os", cfar_os_stride=args.stride)
+    rng = np.random.default_rng(0)
+    power = rng.gamma(
+        2.0, 100.0,
+        (args.frames, cfg.doppler_fft_size, cfg.range_fft_size),
+    ).astype(np.float32)
+    p_dev = jax.device_put(power)
+    fence(p_dev)
+
+    def timed(name, make_run):
+        t0 = time.perf_counter()
+        run = make_run()
+        fence(run())
+        comp = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            fence(run())
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        print(f"{name:14s} {1000 * best:8.3f} ms/{args.frames} = "
+              f"{args.frames / best:8.0f} fps  (compile {comp:.1f}s)",
+              flush=True)
+
+    def stage_runner(fn, leaves):
+        @jax.jit
+        def run():
+            def body(i, acc):
+                out = fn(p_dev + i.astype(jnp.float32))
+                return acc + sum(
+                    jnp.sum(l).astype(jnp.float32) for l in leaves(out)
+                )
+            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+        return lambda: run
+
+    if not args.skip_search:
+        timed("stage-search", stage_runner(
+            lambda p: os_cfar_2d_pallas(p, cfg),
+            lambda out: [out[0].astype(jnp.float32), out[1]],
+        ))
+    timed("stage-hits", stage_runner(
+        lambda p: os_cfar_hits_pallas(p, cfg),
+        lambda out: [out.astype(jnp.float32)],
+    ))
+
+    pipe = RDPipeline(cfg, max_detections=16)
+    cap = synthesize_capture(
+        [SceneTarget(range_m=3.0, velocity_mps=2.0, azimuth_deg=20.0,
+                     amplitude=2500.0),
+         SceneTarget(range_m=8.0, velocity_mps=-4.0, azimuth_deg=-35.0,
+                     amplitude=1500.0)],
+        args.frames + 1, cfg, noise_std=5.0, seed=0,
+    )
+    base = pipe.prepare_base(jnp.asarray(cap[0]))
+    shorts = jax.device_put(cap[1:])
+    fence(shorts)
+
+    def make_pipe_run():
+        @jax.jit
+        def run():
+            def body(i, acc):
+                out = pipe.detect(
+                    jnp.bitwise_xor(shorts, i.astype(jnp.int16)), base
+                )
+                return acc + sum(jnp.sum(l).astype(jnp.float32)
+                                 for l in jax.tree.leaves(out))
+            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+        return run
+
+    timed("pipe-os", make_pipe_run)
+
+
+if __name__ == "__main__":
+    main()

@@ -275,6 +275,62 @@ class TestPallasOSCFAR:
         _, got = os_cfar_2d_pallas(jnp.asarray(power), cfg, interpret=True)
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4)
 
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {},
+            {"cfar_os_stride": 3},
+            {"cfar_range_mode": "wrap"},
+            {"cfar_os_k_frac": 0.9},
+            {"cfar_guard": (1, 1), "cfar_train": (2, 3)},
+        ],
+    )
+    def test_hits_kernel_matches_threshold_compare(self, kw):
+        """The one-pass counting kernel's hit map == power > threshold
+        from the rank-search kernel, bit-for-bit (the counting identity:
+        count(RN(alpha*v) < p) >= k  <=>  p > RN(alpha*T_k))."""
+        from radar_tpu.ops.pallas.oscfar_kernel import (
+            os_cfar_2d_pallas,
+            os_cfar_hits_pallas,
+        )
+
+        cfg = RadarConfig(cfar_kind="os", **kw)
+        power = self._power(cfg)
+        want_hits, _ = os_cfar_2d_pallas(jnp.asarray(power), cfg,
+                                         interpret=True)
+        got = os_cfar_hits_pallas(jnp.asarray(power), cfg, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want_hits))
+
+    def test_hits_kernel_exact_tie_is_not_a_hit(self):
+        """A cell whose power EQUALS its f32 threshold must not be a hit
+        (the gate is strict >), and one ulp above must be — the razor-edge
+        case where an inexact reformulation would diverge."""
+        from radar_tpu.ops.pallas.oscfar_kernel import (
+            os_cfar_2d_pallas,
+            os_cfar_hits_pallas,
+        )
+
+        cfg = RadarConfig(cfar_kind="os")
+        power = self._power(cfg, frames=1, seed=23)
+        _, thr = os_cfar_2d_pallas(jnp.asarray(power), cfg, interpret=True)
+        thr = np.asarray(thr)
+        d, r = 40, 60
+        for bump, want in [(0, False), (1, True)]:
+            p2 = power.copy()
+            t = thr[0, d, r]
+            # the cell is not in its own training ring, so changing it
+            # leaves its own threshold unchanged
+            p2[0, d, r] = t if bump == 0 else np.nextafter(
+                np.float32(t), np.float32(np.inf)
+            )
+            got = np.asarray(
+                os_cfar_hits_pallas(jnp.asarray(p2), cfg, interpret=True)
+            )
+            assert bool(got[0, d, r]) is want
+            _, thr2 = os_cfar_2d_pallas(jnp.asarray(p2), cfg,
+                                        interpret=True)
+            np.testing.assert_array_equal(got, p2 > np.asarray(thr2))
+
     def test_pipeline_dispatch(self, targets):
         """cfar_impl='pallas-interpret' with cfar_kind='os' must produce the
         same detections as the XLA OS path through the full pipeline."""
