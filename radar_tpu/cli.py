@@ -142,12 +142,23 @@ def cmd_detect(args) -> int:
     base_rx0 = det.prepare_base(capture[0])
     out = jax.tree.map(np.asarray, det.detect(todo, base_rx0))
 
+    cluster = getattr(args, "cluster", False)
+    if cluster and not args.full:
+        print("error: --cluster requires --full (clustering groups the "
+              "full pipeline's CFAR hit map)", file=sys.stderr)
+        return 2
     records = []
+    cl = None
     if args.full:
         pipe = RDPipeline(cfg, max_detections=args.max_detections,
                           rd_impl=args.rd_impl)
         base = pipe.prepare_base(capture[0])
-        rd = jax.tree.map(np.asarray, pipe.detect(todo, base))
+        if cluster:
+            rd, cl = jax.tree.map(
+                np.asarray, pipe.detect_objects(todo, base)
+            )
+        else:
+            rd = jax.tree.map(np.asarray, pipe.detect(todo, base))
     for j in range(len(todo)):
         dets = None
         if args.full:
@@ -160,6 +171,18 @@ def cmd_detect(args) -> int:
                     "range_m_interp": round(float(rd.range_m_interp[j, k]), 4),
                     "velocity_mps_interp":
                         round(float(rd.velocity_mps_interp[j, k]), 4),
+                    **({
+                        "cluster_id": int(cl.cluster_id[j, k]),
+                        "cluster_cells": int(cl.cells[j, k]),
+                        "cluster_range_m":
+                            round(float(cl.centroid_range_m[j, k]), 4),
+                        "cluster_velocity_mps":
+                            round(float(cl.centroid_velocity_mps[j, k]), 4),
+                        "cluster_extent_bins": [
+                            int(cl.extent_doppler_bins[j, k]),
+                            int(cl.extent_range_bins[j, k]),
+                        ],
+                    } if cl is not None else {}),
                 }
                 for k in range(rd.valid.shape[1])
                 if bool(rd.valid[j, k])
@@ -418,7 +441,15 @@ def cmd_track(args) -> int:
     pipe = RDPipeline(cfg, max_detections=args.max_detections,
                       rd_impl=args.rd_impl)
     base = pipe.prepare_base(capture[0])
-    out = materialize_result(pipe.detect(capture[1:], base))
+    if getattr(args, "cluster", False):
+        # one measurement per OBJECT: keep only each hit-blob's strongest
+        # detection so multi-cell blobs don't spawn duplicate tracks
+        res, cl = pipe.detect_objects(capture[1:], base)
+        k_idx = np.arange(res.valid.shape[-1], dtype=np.int32)
+        is_rep = np.asarray(res.valid) & (np.asarray(cl.cluster_id) == k_idx)
+        out = materialize_result(res)._replace(valid=is_rep)
+    else:
+        out = materialize_result(pipe.detect(capture[1:], base))
     params = None
     if args.refine:
         az, _ = _refined_azimuth(pipe, capture[1:], base, out.doppler_bin,
@@ -772,6 +803,10 @@ def main(argv=None) -> int:
     d.add_argument("--max-detections", type=int, default=16)
     d.add_argument("--resume", action="store_true",
                    help="append records after the last frame already in --out")
+    d.add_argument("--cluster", action="store_true",
+                   help="with --full: group CFAR hit blobs into objects "
+                        "and attach cluster id/centroid/extent per "
+                        "detection")
     _add_pipeline_flags(d)
     d.set_defaults(fn=cmd_detect)
 
@@ -812,6 +847,10 @@ def main(argv=None) -> int:
                    default="alpha-beta",
                    help="'ekf' = Cartesian constant-velocity EKF "
                         "(tracks crossing targets)")
+    t.add_argument("--cluster", action="store_true",
+                   help="feed one measurement per hit-blob object "
+                        "(suppress same-cluster duplicates before "
+                        "tracking)")
     _add_pipeline_flags(t)
     _add_refine_flag(t)
     t.set_defaults(fn=cmd_track)

@@ -661,3 +661,52 @@ def capon_spectrum(
         "ai,...ij,aj->...a", steering.conj(), r_inv, steering
     ).real
     return angles, 1.0 / np.maximum(denom, 1e-30)
+
+
+def cluster_hits(hits: np.ndarray) -> np.ndarray:
+    """Connected-component labels of a CFAR hit map (float64-free but
+    exact by construction): 8-connectivity, Doppler (axis -2) wraps,
+    range (axis -1) does not.
+
+    Twin of ``ops.cluster.label_hits``; both label each component with
+    its minimum flat cell index (d * R + r), so the arrays compare
+    bit-for-bit.  Plain BFS — this is the irregular CPU formulation the
+    TPU path replaces with vectorized min-label propagation.
+
+    Args:
+      hits: bool (..., D, R).
+
+    Returns:
+      int32 labels, same shape; -1 for non-hit cells.
+    """
+    hits = np.asarray(hits, bool)
+    lead = hits.shape[:-2]
+    d_sz, r_sz = hits.shape[-2], hits.shape[-1]
+    flat = hits.reshape((-1, d_sz, r_sz))
+    out = np.full(flat.shape, -1, np.int32)
+    for b in range(flat.shape[0]):
+        h = flat[b]
+        seen = np.zeros_like(h)
+        for d0 in range(d_sz):
+            for r0 in range(r_sz):
+                if not h[d0, r0] or seen[d0, r0]:
+                    continue
+                comp = [(d0, r0)]
+                seen[d0, r0] = True
+                q = [(d0, r0)]
+                while q:
+                    d, r = q.pop()
+                    for dd in (-1, 0, 1):
+                        for dr in (-1, 0, 1):
+                            nd = (d + dd) % d_sz  # Doppler wraps
+                            nr = r + dr
+                            if not 0 <= nr < r_sz:
+                                continue  # range does not
+                            if h[nd, nr] and not seen[nd, nr]:
+                                seen[nd, nr] = True
+                                comp.append((nd, nr))
+                                q.append((nd, nr))
+                label = min(d * r_sz + r for d, r in comp)
+                for d, r in comp:
+                    out[b, d, r] = label
+    return out.reshape(lead + (d_sz, r_sz))

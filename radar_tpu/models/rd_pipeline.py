@@ -516,34 +516,68 @@ class RDPipeline:
         snaps = mimo_compensate(snaps, d_bin, cfg)
         return aoa_2d_from_snapshots(snaps, cfg)
 
+    def _resolve_rd_impl(self) -> str:
+        impl = self.rd_impl
+        if impl == "auto":
+            if jax.default_backend() == "tpu":
+                from radar_tpu.ops.pallas.megakernel import mega_supported
+
+                impl = "mega" if mega_supported(self.cfg) else "fused"
+            else:
+                impl = "fft"
+        return impl
+
     # -- full pipeline ------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
     def detect(
         self, shorts: jnp.ndarray, base_cube: jnp.ndarray | None = None
     ) -> RDResult:
         cfg = self.cfg
-        impl = self.rd_impl
-        if impl == "auto":
-            if jax.default_backend() == "tpu":
-                from radar_tpu.ops.pallas.megakernel import mega_supported
-
-                impl = "mega" if mega_supported(cfg) else "fused"
-            else:
-                impl = "fft"
+        impl = self._resolve_rd_impl()
         if impl in ("planar", "fused", "fused-pallas", "mega",
                     "mega-interpret", "mega-maps", "mega-maps-interpret"):
             return self._detect_planar(shorts, base_cube, impl=impl)
-        rd = self.rd_cube(shorts, base_cube)  # (B, rx, D, R)
-        power = integrate_power(rd)
-        hits, _ = self._cfar(power, hits_only=True)
+        power, hits, snaps_fn = self._maps(shorts, base_cube, impl)
         return assemble_result(
             power,
-            lambda top_idx: gather_snapshots(rd, top_idx),
+            snaps_fn,
             hits,
             self.max_detections,
             cfg,
             topk_impl=self._topk_impl(),
         )
+
+    @partial(jax.jit, static_argnums=0)
+    def detect_objects(
+        self, shorts: jnp.ndarray, base_cube: jnp.ndarray | None = None
+    ):
+        """:meth:`detect` plus object-level clustering of the CFAR hit
+        map (``ops.cluster``): returns ``(RDResult, ClusterResult)``.
+
+        Clustering consumes the full power/hit maps, so the fused
+        detect kernel (which never materializes them) steps aside: the
+        mega impl runs in its maps flavor here.  Everything else —
+        CFAR kind/impl, top-K, AoA — is the normal dispatch.
+        """
+        from radar_tpu.ops.cluster import cluster_detections
+
+        cfg = self.cfg
+        impl = self._resolve_rd_impl()
+        if impl in ("mega", "mega-interpret"):
+            impl = "mega-maps" + impl[len("mega"):]
+        power, hits, snaps_fn = self._maps(shorts, base_cube, impl)
+        out = assemble_result(
+            power,
+            snaps_fn,
+            hits,
+            self.max_detections,
+            cfg,
+            topk_impl=self._topk_impl(),
+        )
+        clusters = cluster_detections(
+            power, hits, out.doppler_bin, out.range_bin, out.valid, cfg
+        )
+        return out, clusters
 
     # -- streaming ingest: donated input buffer ------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
@@ -581,25 +615,18 @@ class RDPipeline:
         other CFAR configurations run on the kernel's power output via
         the normal dispatch."""
         cfg = self.cfg
-        base = base_cube if self.use_base_frame else None
-        if impl in ("mega", "mega-interpret", "mega-maps",
-                    "mega-maps-interpret"):
+        if impl in ("mega", "mega-interpret"):
             from radar_tpu.ops.pallas.megakernel import (
+                _K_LANE,
                 detections_from_shorts_pallas,
-                power_cfar_from_shorts_pallas,
-                power_from_shorts_pallas,
-                snapshots_from_shorts,
             )
 
             interpret = (
                 impl.endswith("-interpret")
                 or jax.default_backend() != "tpu"
             )
-            from radar_tpu.ops.pallas.megakernel import _K_LANE
-
             if (
-                impl in ("mega", "mega-interpret")
-                and cfg.cfar_kind in ("ca", "goca", "soca")
+                cfg.cfar_kind in ("ca", "goca", "soca")
                 and self.cfar_impl == "auto"
                 and self.max_detections <= _K_LANE
             ):
@@ -609,11 +636,44 @@ class RDPipeline:
                 # tail for A/B benchmarking and as a verification twin;
                 # K > the kernel's 128-lane selection width also falls
                 # through to it (the round-3 behavior) instead of raising.
+                base = base_cube if self.use_base_frame else None
                 out = detections_from_shorts_pallas(
                     shorts, base, self.max_detections, cfg,
                     interpret=interpret,
                 )
                 return assemble_result_from_kernel(*out, cfg)
+        power, hits, snaps_fn = self._maps(shorts, base_cube, impl)
+        return assemble_result(
+            power,
+            snaps_fn,
+            hits,
+            self.max_detections,
+            cfg,
+            topk_impl=self._topk_impl(),
+        )
+
+    def _maps(self, shorts, base_cube, impl):
+        """Run the selected RD front-end up to its (power, hits) maps.
+
+        Returns ``(power, hits, snaps_fn)`` where ``snaps_fn(top_idx)``
+        gathers the per-detection complex virtual-RX snapshots.  Every
+        maps-producing impl routes through here ('mega'/'mega-interpret'
+        reaching this method means the fused detect kernel did not
+        apply, so they behave as 'mega-maps')."""
+        cfg = self.cfg
+        base = base_cube if self.use_base_frame else None
+        if impl in ("mega", "mega-interpret", "mega-maps",
+                    "mega-maps-interpret"):
+            from radar_tpu.ops.pallas.megakernel import (
+                power_cfar_from_shorts_pallas,
+                power_from_shorts_pallas,
+                snapshots_from_shorts,
+            )
+
+            interpret = (
+                impl.endswith("-interpret")
+                or jax.default_backend() != "tpu"
+            )
             # unsupported geometries raise inside _mega_call (one gate
             # for every entry point); 'auto' never reaches here for them
             if (cfg.cfar_kind in ("ca", "goca", "soca")
@@ -627,53 +687,45 @@ class RDPipeline:
                     shorts, base, cfg, interpret=interpret
                 )
                 hits, _ = self._cfar(power, hits_only=True)
-            return assemble_result(
-                power,
-                lambda top_idx: snapshots_from_shorts(
-                    shorts, base, top_idx, cfg
-                ),
-                hits,
-                self.max_detections,
-                cfg,
-                topk_impl=self._topk_impl(),
+            return power, hits, lambda top_idx: snapshots_from_shorts(
+                shorts, base, top_idx, cfg
             )
-        if impl == "fused":
-            from radar_tpu.ops.fuseddft import fused_rd_planes
+        if impl in ("fused", "fused-pallas", "planar"):
+            if impl == "fused":
+                from radar_tpu.ops.fuseddft import fused_rd_planes
 
-            dr, di = fused_rd_planes(shorts, base, cfg)
-        elif impl == "fused-pallas":
-            from radar_tpu.ops.pallas.fused_dft_kernel import (
-                fused_rd_planes_pallas,
-            )
+                dr, di = fused_rd_planes(shorts, base, cfg)
+            elif impl == "fused-pallas":
+                from radar_tpu.ops.pallas.fused_dft_kernel import (
+                    fused_rd_planes_pallas,
+                )
 
-            dr, di = fused_rd_planes_pallas(
-                shorts, base, cfg,
-                interpret=jax.default_backend() != "tpu",
-            )
-        else:
-            from radar_tpu.ops.decode import decode_to_planes
-            from radar_tpu.ops.dftmat import range_doppler_planes
-
-            re, im = decode_to_planes(shorts, cfg)
-            if base is not None:
-                re = re - base.real
-                im = im - base.imag
+                dr, di = fused_rd_planes_pallas(
+                    shorts, base, cfg,
+                    interpret=jax.default_backend() != "tpu",
+                )
             else:
-                # mean over chirps is linear: per-plane == complex mean
-                re = re - jnp.mean(re, axis=-2, keepdims=True)
-                im = im - jnp.mean(im, axis=-2, keepdims=True)
-            re = virtualize_cube(re, cfg)
-            im = virtualize_cube(im, cfg)
-            dr, di = range_doppler_planes(re, im, cfg)  # (B, rx, D, R)
-        power = jnp.sum(dr * dr + di * di, axis=-3)
-        hits, _ = self._cfar(power, hits_only=True)
-        return assemble_result(
-            power,
-            lambda top_idx: jax.lax.complex(
+                from radar_tpu.ops.decode import decode_to_planes
+                from radar_tpu.ops.dftmat import range_doppler_planes
+
+                re, im = decode_to_planes(shorts, cfg)
+                if base is not None:
+                    re = re - base.real
+                    im = im - base.imag
+                else:
+                    # mean over chirps is linear: per-plane == complex mean
+                    re = re - jnp.mean(re, axis=-2, keepdims=True)
+                    im = im - jnp.mean(im, axis=-2, keepdims=True)
+                re = virtualize_cube(re, cfg)
+                im = virtualize_cube(im, cfg)
+                dr, di = range_doppler_planes(re, im, cfg)  # (B, rx, D, R)
+            power = jnp.sum(dr * dr + di * di, axis=-3)
+            hits, _ = self._cfar(power, hits_only=True)
+            return power, hits, lambda top_idx: jax.lax.complex(
                 gather_snapshots(dr, top_idx), gather_snapshots(di, top_idx)
-            ),
-            hits,
-            self.max_detections,
-            cfg,
-            topk_impl=self._topk_impl(),
-        )
+            )
+        # complex-cube path ('fft', the CPU auto default)
+        rd = self.rd_cube(shorts, base_cube)  # (B, rx, D, R)
+        power = integrate_power(rd)
+        hits, _ = self._cfar(power, hits_only=True)
+        return power, hits, lambda top_idx: gather_snapshots(rd, top_idx)

@@ -106,6 +106,39 @@ def test_track_command(cap_path, capsys):
     assert any(abs(r["range_m"] - 4.0) < 1.0 for r in recs)
 
 
+def test_detect_cluster_fields(cap_path, tmp_path):
+    out = tmp_path / "dets.jsonl"
+    rc = cli.main(["detect", str(cap_path), "--out", str(out), "--full",
+                   "--cluster"])
+    assert rc == 0
+    lines = [json.loads(x) for x in out.read_text().splitlines()]
+    dets = [d for rec in lines for d in rec["detections"]]
+    assert dets
+    for d in dets:
+        assert d["cluster_id"] >= 0
+        assert d["cluster_cells"] >= 1
+        assert len(d["cluster_extent_bins"]) == 2
+    # the 4 m target's cluster centroid sits near the truth
+    assert any(abs(d["cluster_range_m"] - 4.0) < 1.0 for d in dets)
+
+
+def test_detect_cluster_requires_full(cap_path, capsys):
+    rc = cli.main(["detect", str(cap_path), "--cluster"])
+    assert rc == 2
+    assert "--cluster requires --full" in capsys.readouterr().err
+
+
+def test_track_cluster_dedupes(cap_path, capsys):
+    """--cluster: still exactly one confirmed track on the single-target
+    capture (duplicate same-blob measurements are suppressed upstream)."""
+    rc = cli.main(["track", str(cap_path), "--cluster"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    recs = [json.loads(x) for x in out.splitlines() if x.startswith("{")]
+    assert len(recs) == 1
+    assert abs(recs[0]["range_m"] - 4.0) < 1.0
+
+
 def test_bench_compare_one_shot(cap_path, capsys):
     """--compare = the reference main() with the verification loop ENABLED
     (cudaBenchMarking.cpp:397-449; loop disabled at :410-419): one
