@@ -120,7 +120,7 @@ class DistributedRDPipeline:
         return host_to_global(np.asarray(cube), self.base_sharding)
 
     # -- the sharded program --------------------------------------------------
-    def _build_detect(self):
+    def _build_detect(self, with_clusters: bool = False):
         cfg = self.cfg
         k = self.max_detections
         rx_per = self.rx_per_shard
@@ -147,6 +147,18 @@ class DistributedRDPipeline:
                 perm.append(shard * cfg.num_tx * rx_per + tx * rx_per + r_local)
             perm = jnp.asarray(perm)
 
+        def finish(power, hits, snaps_fn):
+            out = assemble_result(power, snaps_fn, hits, k, cfg)
+            if not with_clusters:
+                return out
+            from radar_tpu.ops.cluster import cluster_detections
+
+            # per-frame clustering shards trivially over 'data'; under
+            # chan-sharding power/hits are already replicated (post-psum)
+            return out, cluster_detections(
+                power, hits, out.doppler_bin, out.range_bin, out.valid, cfg
+            )
+
         def local_step(shorts_local: jnp.ndarray, base_local: jnp.ndarray):
             # shorts_local: (B_local, S) int16; base_local: (rx_per, C, Smp)
             chan_idx = jax.lax.axis_index(CHAN_AXIS)
@@ -171,7 +183,8 @@ class DistributedRDPipeline:
 
                 interpret = jax.default_backend() != "tpu"
                 if (cfg.cfar_kind in ("ca", "goca", "soca")
-                        and cfar_impl == "auto" and k <= _K_LANE):
+                        and cfar_impl == "auto" and k <= _K_LANE
+                        and not with_clusters):
                     # K > the kernel's 128-lane selection width falls
                     # through to the maps path below, matching RDPipeline
                     out = detections_from_shorts_pallas(
@@ -186,12 +199,12 @@ class DistributedRDPipeline:
                     power, cfg, cfar_resolved, interpret=interpret,
                     hits_only=True,
                 )
-                return assemble_result(
+                return finish(
                     power,
+                    hits,
                     lambda ti: snapshots_from_shorts(
                         shorts_local, base_local, ti, cfg
                     ),
-                    hits, k, cfg,
                 )
             if rd_impl == "mega":
                 # chan-sharded mega: each shard runs the SAME Pallas kernel
@@ -240,7 +253,7 @@ class DistributedRDPipeline:
                         full = full[..., perm]
                     return full
 
-                return assemble_result(power, snaps_mega, hits, k, cfg)
+                return finish(power, hits, snaps_mega)
             if rd_impl == "fused":
                 # interleave-aware DFT matmuls straight off the raw shorts,
                 # with this shard's RX group sliced BEFORE the contraction
@@ -332,7 +345,7 @@ class DistributedRDPipeline:
                     full = full[..., perm]
                 return full
 
-            return assemble_result(power, snaps, hits, k, cfg)
+            return finish(power, hits, snaps)
 
         out_specs = RDResult(
             num_hits=P(DATA_AXIS),
@@ -347,6 +360,19 @@ class DistributedRDPipeline:
             range_m_interp=P(DATA_AXIS, None),
             velocity_mps_interp=P(DATA_AXIS, None),
         )
+        if with_clusters:
+            from radar_tpu.ops.cluster import ClusterResult
+
+            out_specs = (out_specs, ClusterResult(
+                cluster_id=P(DATA_AXIS, None),
+                num_clusters=P(DATA_AXIS),
+                cells=P(DATA_AXIS, None),
+                total_power=P(DATA_AXIS, None),
+                centroid_range_m=P(DATA_AXIS, None),
+                centroid_velocity_mps=P(DATA_AXIS, None),
+                extent_doppler_bins=P(DATA_AXIS, None),
+                extent_range_bins=P(DATA_AXIS, None),
+            ))
         # check_vma=False: the AoA outputs derive from an all_gather over
         # 'chan' (identical on every chan member), but the VMA checker can't
         # infer replication through the gather + argmax chain.
@@ -362,3 +388,16 @@ class DistributedRDPipeline:
     def detect(self, shorts, base_cube) -> RDResult:
         """Run the sharded pipeline.  Batch must divide the 'data' axis."""
         return self._detect(shorts, base_cube)
+
+    def detect_objects(self, shorts, base_cube):
+        """:meth:`detect` plus per-frame object clustering
+        (``ops.cluster``): returns ``(RDResult, ClusterResult)``.
+
+        Mirrors ``RDPipeline.detect_objects``: the fused detect kernel
+        steps aside (clustering needs the maps), everything else is the
+        same sharded program; clustering itself is embarrassingly
+        data-parallel.  Built lazily — callers that never cluster pay
+        no extra compile."""
+        if not hasattr(self, "_detect_objects"):
+            self._detect_objects = self._build_detect(with_clusters=True)
+        return self._detect_objects(shorts, base_cube)

@@ -488,3 +488,39 @@ def test_two_process_udp_ingest(tmp_path):
     np.testing.assert_array_equal(got["valid"], np.asarray(want.valid))
     np.testing.assert_array_equal(got["num_hits"], np.asarray(want.num_hits))
     np.testing.assert_allclose(got["power"], np.asarray(want.power), rtol=1e-5)
+
+
+def test_distributed_detect_objects_matches_single(cfg, capture):
+    """Sharded detect_objects == single-device clustering, bit-for-bit
+    on assignments/counts and tight on centroid physics."""
+    mesh = build_mesh(n_devices=8, num_rx=cfg.num_rx)
+    dist = DistributedRDPipeline(mesh=mesh, cfg=cfg, max_detections=8)
+    single = RDPipeline(cfg, max_detections=8)
+
+    frames = capture[1:9]
+    base_single = single.prepare_base(jnp.asarray(capture[0]))
+    want_rd, want_cl = single.detect_objects(jnp.asarray(frames), base_single)
+
+    base = dist.prepare_base(capture[0])
+    got_rd, got_cl = dist.detect_objects(dist.shard_frames(frames), base)
+
+    np.testing.assert_array_equal(
+        np.asarray(got_rd.valid), np.asarray(want_rd.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_cl.cluster_id), np.asarray(want_cl.cluster_id)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_cl.num_clusters), np.asarray(want_cl.num_clusters)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_cl.cells), np.asarray(want_cl.cells)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_cl.centroid_range_m),
+        np.asarray(want_cl.centroid_range_m), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_cl.total_power),
+        np.asarray(want_cl.total_power), rtol=1e-5,
+    )
