@@ -388,6 +388,12 @@ def group_peaks(
     keeps two real targets at the same range/speed but different bearings
     (side-by-side objects) as separate detections — a target's own sidelobe
     cells share its azimuth, so they still collapse.
+
+    This is the cheap host-side heuristic used on the latency-critical
+    serve path (it needs only the packed detection list, no maps).  The
+    exact map-topology version — connected components of the CFAR hit
+    map with centroids and extents — is ``ops.cluster`` via
+    ``RDPipeline.detect_objects`` / ``cli detect --cluster``.
     """
     kept: list[dict] = []
     for d in sorted(detections, key=lambda x: -x.get("power", 0.0)):
