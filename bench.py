@@ -55,10 +55,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3, help="timed repetitions")
     ap.add_argument("--skip-h2d", action="store_true",
                     help="skip the (slow) tunnel H2D measurement")
-    ap.add_argument("--wait-device", type=int, default=1800,
+    ap.add_argument("--wait-device", type=int, default=5400,
                     help="seconds to wait for the TPU backend before giving "
                          "up (the dev relay wedges for 10-20 min after a "
-                         "killed run; 0 = no wait)")
+                         "killed run and full outages of 1h+ have been "
+                         "observed; 0 = no wait)")
     args = ap.parse_args()
 
     # The dev relay can be down for 10-20 min at a time.  A backend-init

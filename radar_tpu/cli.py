@@ -738,6 +738,13 @@ def cmd_eval(args) -> int:
             "amplitude": pt.amplitude, "pd": round(pt.pd, 4),
             "frames": pt.frames, "mean_hits": round(pt.mean_hits, 2),
         }), flush=True)
+    if args.objects:
+        from radar_tpu.evaluate import object_metrics
+
+        om = object_metrics(cfg, frames=args.frames, seed=args.seed,
+                            rd_impl=args.rd_impl)
+        print(json.dumps({"event": "objects", "cfar_kind": cfg.cfar_kind,
+                          **om}), flush=True)
     return 0
 
 
@@ -897,6 +904,10 @@ def main(argv=None) -> int:
     e.add_argument("--velocity", type=float, default=2.0,
                    help="target velocity (m/s)")
     e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--objects", action="store_true",
+                   help="also score the object level: clustered "
+                        "representatives matched to the true targets "
+                        "(count, Pd, centroid RMSE)")
     e.set_defaults(fn=cmd_eval)
 
     v = sub.add_parser("verify", help="TPU vs float64 golden, per frame")

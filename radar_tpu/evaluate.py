@@ -137,3 +137,87 @@ def pd_curve(
             mean_hits=float(np.asarray(out.num_hits).mean()),
         ))
     return points
+
+
+def object_metrics(
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    ranges_m: tuple[float, ...] = (3.0, 8.0),
+    velocities_mps: tuple[float, ...] = (2.0, -4.0),
+    amplitude: float = 2500.0,
+    frames: int = 16,
+    noise_std: float = 5.0,
+    seed: int = 0,
+    max_detections: int = 16,
+    rd_impl: str = "auto",
+    tol_range_m: float = 1.0,
+    tol_velocity_mps: float = 1.0,
+) -> dict:
+    """Object-level scoring of the clustering stage (``ops.cluster``).
+
+    The cell-level Pd above says "some cell near the truth fired"; a
+    tracker consumer cares about the OBJECT list: how many distinct
+    objects were reported (vs the true count — raw top-K lists carry
+    several cells per blob), and how accurate each object's centroid is.
+
+    Per frame: cluster representatives are greedily matched to the true
+    targets within (tol_range_m, tol_velocity_mps); a matched target
+    counts toward ``object_pd``, and matched centroids accumulate the
+    range/velocity RMSE.
+
+    Returns {'object_pd', 'mean_objects', 'true_objects',
+    'mean_valid_detections' (pre-grouping, for the dedupe ratio),
+    'range_rmse_m', 'velocity_rmse_mps', 'frames'}.
+    """
+    import jax.numpy as jnp
+
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+    from radar_tpu.models.rd_pipeline import RDPipeline
+
+    targets = [
+        SceneTarget(range_m=r, velocity_mps=v, azimuth_deg=0.0,
+                    amplitude=amplitude)
+        for r, v in zip(ranges_m, velocities_mps)
+    ]
+    cap = synthesize_capture(targets, frames + 1, cfg, noise_std=noise_std,
+                             seed=seed)
+    pipe = RDPipeline(cfg, max_detections=max_detections, rd_impl=rd_impl)
+    base = pipe.prepare_base(jnp.asarray(cap[0]))
+    out, cl = pipe.detect_objects(jnp.asarray(cap[1:]), base)
+
+    valid = np.asarray(out.valid)
+    cid = np.asarray(cl.cluster_id)
+    c_r = np.asarray(cl.centroid_range_m)
+    c_v = np.asarray(cl.centroid_velocity_mps)
+    k_idx = np.arange(valid.shape[-1])
+
+    matched = 0
+    sq_r = []
+    sq_v = []
+    n_objects = []
+    for b in range(valid.shape[0]):
+        reps = [k for k in k_idx if valid[b, k] and cid[b, k] == k]
+        n_objects.append(len(reps))
+        free = set(reps)
+        for r_true, v_true in zip(ranges_m, velocities_mps):
+            best = None
+            for k in free:
+                dr = abs(c_r[b, k] - r_true)
+                dv = abs(c_v[b, k] - v_true)
+                if dr <= tol_range_m and dv <= tol_velocity_mps:
+                    if best is None or dr < abs(c_r[b, best] - r_true):
+                        best = k
+            if best is not None:
+                free.discard(best)
+                matched += 1
+                sq_r.append((c_r[b, best] - r_true) ** 2)
+                sq_v.append((c_v[b, best] - v_true) ** 2)
+    n_true = len(targets) * valid.shape[0]
+    return {
+        "object_pd": matched / max(1, n_true),
+        "mean_objects": float(np.mean(n_objects)),
+        "true_objects": len(targets),
+        "mean_valid_detections": float(valid.sum(axis=-1).mean()),
+        "range_rmse_m": float(np.sqrt(np.mean(sq_r))) if sq_r else None,
+        "velocity_rmse_mps": float(np.sqrt(np.mean(sq_v))) if sq_v else None,
+        "frames": frames,
+    }

@@ -67,3 +67,34 @@ def test_cli_eval_smoke(capsys):
     assert {"pfa", "pd"} <= events
     pd_line = [l for l in lines if l["event"] == "pd"][0]
     assert pd_line["pd"] == 1.0
+
+
+def test_object_metrics_two_targets():
+    """Strong, well-separated targets: every frame reports both objects
+    with tight centroids, and clustering dedupes the raw cell list."""
+    from radar_tpu.evaluate import object_metrics
+
+    cfg = RadarConfig()
+    om = object_metrics(cfg, ranges_m=(3.0, 8.0),
+                        velocities_mps=(2.0, -4.0), amplitude=2500.0,
+                        frames=6, noise_std=5.0, seed=1)
+    assert om["object_pd"] == 1.0
+    assert om["true_objects"] == 2
+    assert om["range_rmse_m"] < 0.5
+    assert om["velocity_rmse_mps"] < 0.5
+    # the raw top-K list carries multiple cells per blob; objects <= cells
+    assert om["mean_objects"] <= om["mean_valid_detections"]
+
+
+def test_cli_eval_objects(capsys):
+    from radar_tpu.cli import main
+
+    rc = main(["eval", "--frames", "4", "--amplitudes", "1000",
+               "--seed", "2", "--objects"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    obj = [l for l in lines if l["event"] == "objects"]
+    assert len(obj) == 1
+    assert 0.0 <= obj[0]["object_pd"] <= 1.0
+    assert obj[0]["mean_objects"] >= 1.0
