@@ -100,6 +100,25 @@ def plot_range_doppler(
             "o", ms=9, mfc="none", mec="#66ccee", mew=1.8,
             label="CFAR detections",
         )
+        # object boxes when the dicts carry cluster fields (detect
+        # --cluster records): one rectangle per distinct cluster, sized
+        # by the component's bounding extent around its centroid
+        boxes = {
+            (det["cluster_range_m"], det["cluster_velocity_mps"],
+             tuple(det["cluster_extent_bins"]))
+            for det in detections if "cluster_extent_bins" in det
+        }
+        if boxes:
+            from matplotlib.patches import Rectangle
+
+            r_bin_m = r_max / (r - 1)
+            v_bin = cfg.wavelength_m / 2 / (d * cfg.slow_time_interval_s)
+            for cr, cv, (ext_d, ext_r) in sorted(boxes):
+                w, h = ext_r * r_bin_m, ext_d * v_bin
+                ax.add_patch(Rectangle(
+                    (cr - w / 2, cv - h / 2), w, h,
+                    fill=False, edgecolor="#88ddaa", linewidth=1.2,
+                ))
         ax.legend(frameon=False, loc="upper right", labelcolor="white")
     ax.set_xlabel("range (m)")
     ax.set_ylabel("radial velocity (m/s)")

@@ -52,3 +52,32 @@ def test_plot_tracks(tmp_path, cfg, scene):
     p = tmp_path / "tracks.png"
     viz.plot_tracks(tracker, cfg, path=str(p))
     assert p.stat().st_size > 5000
+
+
+def test_plot_range_doppler_with_cluster_boxes(tmp_path, cfg, scene):
+    """Detection dicts carrying cluster fields render object extent
+    boxes without error."""
+    pipe = RDPipeline(cfg, max_detections=8)
+    base = pipe.prepare_base(jnp.asarray(scene[0]))
+    out, cl = pipe.detect_objects(jnp.asarray(scene[1:]), base)
+    rd = pipe.rd_cube(jnp.asarray(scene[1:2]), base)
+    power = np.asarray(integrate_power(rd))[0]
+    dets = []
+    valid = np.asarray(out.valid)
+    for k in range(valid.shape[1]):
+        if valid[0, k]:
+            dets.append({
+                "range_m": float(out.range_m[0, k]),
+                "velocity_mps": float(out.velocity_mps[0, k]),
+                "cluster_range_m": float(cl.centroid_range_m[0, k]),
+                "cluster_velocity_mps":
+                    float(cl.centroid_velocity_mps[0, k]),
+                "cluster_extent_bins": [
+                    int(cl.extent_doppler_bins[0, k]),
+                    int(cl.extent_range_bins[0, k]),
+                ],
+            })
+    assert dets
+    p = tmp_path / "rd_clusters.png"
+    viz.plot_range_doppler(power, cfg, detections=dets, path=str(p))
+    assert p.stat().st_size > 10000
