@@ -7,6 +7,7 @@ from radar_tpu.ops.detect import (
     scan_window_argmax,
 )
 from radar_tpu.ops.cfar import ca_cfar_2d
+from radar_tpu.ops.cluster import ClusterResult, cluster_detections, label_hits
 from radar_tpu.ops.aoa import (
     angle_fft_spectrum,
     capon_spectrum,
@@ -24,6 +25,9 @@ __all__ = [
     "distance_from_bin",
     "scan_window_argmax",
     "ca_cfar_2d",
+    "ClusterResult",
+    "cluster_detections",
+    "label_hits",
     "angle_fft_spectrum",
     "capon_spectrum",
     "music_spectrum",
