@@ -263,18 +263,30 @@ def _os_hits_kernel(
     hits_ref[0] = (cnt >= k).astype(jnp.int32)
 
 
-def _pick_hits_tile(d_size: int, wd: int, rp: int, r_size: int) -> int:
-    """Largest Doppler tile whose working set (padded block + its
-    alpha-scaled copy + count/center temporaries) stays inside a
-    conservative VMEM budget.  No ring scratch exists, so the full map
-    is one tile at every geometry up to ~1k x 1k."""
+def _pick_hits_tile(d_size: int, wd: int, dp: int, rp: int,
+                    r_size: int) -> int:
+    """Largest Doppler tile whose working set stays inside a
+    conservative VMEM budget.  The whole padded frame map (dp x rp) is
+    the kernel's VMEM block (Pallas blocks cannot overlap, and each
+    tile needs a 2*wd halo), so tiling bounds only the per-tile
+    transients: the alpha-scaled slice copy + count/center temporaries.
+    No ring scratch exists, so the full map is one tile at every
+    geometry up to ~1k x 1k; beyond that the resident map itself
+    overflows and we raise rather than hit a raw Mosaic error."""
     budget = 10 << 20
-    d_tile = d_size
+    resident = 4 * dp * rp
 
     def need(dt):
         d_blk = -(-(dt + 2 * wd) // 8) * 8
-        return 8 * d_blk * rp + 8 * dt * r_size
+        return resident + 8 * d_blk * rp + 8 * dt * r_size
 
+    if need(8) > budget:
+        raise ValueError(
+            f"padded power map ({dp} x {rp} f32 = {resident >> 20} MB) "
+            "does not fit the OS hits kernel's VMEM budget even at an "
+            "8-row tile; use cfar_impl='xla'"
+        )
+    d_tile = d_size
     while d_tile > 8 and need(d_tile) > budget:
         d_tile //= 2
     return max(1, d_tile)
@@ -311,7 +323,7 @@ def os_cfar_hits_pallas(
     x = jnp.pad(x, ((0, 0), (wd, wd), (0, 0)), mode="wrap")
     x = jnp.pad(x, ((0, 0), (0, 0), (wr, wr)), mode=cfg.cfar_range_mode)
 
-    d_tile = _pick_hits_tile(d_size, wd, x.shape[-1], r_size)
+    d_tile = _pick_hits_tile(d_size, wd, x.shape[-2], x.shape[-1], r_size)
     n_tiles = -(-d_size // d_tile)
     if n_tiles > 1 and (d_tile % 8 or n_tiles * d_tile != d_size):
         # dynamic sublane starts must be provably 8-aligned, and partial
