@@ -66,7 +66,13 @@ def main() -> None:
     # failure is cached process-wide by JAX, so probe in SUBPROCESSES and
     # only import-and-init here once a probe succeeds — this keeps a
     # driver-invoked run from dying JSON-less on a transient wedge.
-    if args.wait_device:
+    # If jax is ALREADY imported (bench.main() called in-process, e.g.
+    # the pytest smoke), the backend choice is already cached and the
+    # probe can only waste time — worse, the probe subprocesses don't
+    # inherit an in-process CPU override and would hang on a downed
+    # relay.  The driver always runs bench.py as a fresh process, so it
+    # still gets the wait.
+    if args.wait_device and "jax" not in sys.modules:
         import subprocess
         deadline = time.time() + args.wait_device
         attempt = 0

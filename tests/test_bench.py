@@ -13,7 +13,7 @@ def test_bench_main_emits_json_line(monkeypatch, capsys):
     monkeypatch.setattr(
         sys, "argv",
         ["bench.py", "--frames", "32", "--batch", "16", "--reps", "1",
-         "--skip-h2d"],
+         "--skip-h2d", "--wait-device", "0"],
     )
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
