@@ -126,6 +126,10 @@ def cmd_detect(args) -> int:
               "resumed)", file=sys.stderr)
         return 2
 
+    if getattr(args, "cluster", False) and not args.full:
+        print("error: --cluster requires --full (clustering groups the "
+              "full pipeline's CFAR hit map)", file=sys.stderr)
+        return 2
     cfg = _build_cfg(args)
     capture = read_capture(args.path, cfg)
     start_frame = 1
@@ -143,10 +147,6 @@ def cmd_detect(args) -> int:
     out = jax.tree.map(np.asarray, det.detect(todo, base_rx0))
 
     cluster = getattr(args, "cluster", False)
-    if cluster and not args.full:
-        print("error: --cluster requires --full (clustering groups the "
-              "full pipeline's CFAR hit map)", file=sys.stderr)
-        return 2
     records = []
     cl = None
     if args.full:
@@ -741,8 +741,12 @@ def cmd_eval(args) -> int:
     if args.objects:
         from radar_tpu.evaluate import object_metrics
 
+        # same operating point as the Pd/Pfa metrics above: the user's
+        # noise level and the strong end of the amplitude sweep; the
+        # emitted record carries the full scene so nothing is implicit
         om = object_metrics(cfg, frames=args.frames, seed=args.seed,
-                            rd_impl=args.rd_impl)
+                            rd_impl=args.rd_impl, noise_std=args.noise,
+                            amplitude=max(amps))
         print(json.dumps({"event": "objects", "cfar_kind": cfg.cfar_kind,
                           **om}), flush=True)
     return 0

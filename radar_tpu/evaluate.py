@@ -213,6 +213,10 @@ def object_metrics(
                 sq_v.append((c_v[b, best] - v_true) ** 2)
     n_true = len(targets) * valid.shape[0]
     return {
+        "ranges_m": list(ranges_m),
+        "velocities_mps": list(velocities_mps),
+        "amplitude": amplitude,
+        "noise_std": noise_std,
         "object_pd": matched / max(1, n_true),
         "mean_objects": float(np.mean(n_objects)),
         "true_objects": len(targets),

@@ -329,10 +329,16 @@ def cfar_detect(
         from radar_tpu.ops.pallas.oscfar_kernel import (
             os_cfar_2d_pallas,
             os_cfar_hits_pallas,
+            os_hits_supported,
         )
 
-        if hits_only:
+        if hits_only and os_hits_supported(
+            power.shape[-2], power.shape[-1], cfg
+        ):
             return os_cfar_hits_pallas(power, cfg, interpret=interpret), None
+        # geometries the hits kernel can't tile (its gate is the resident
+        # padded map; the rank kernel's is the ring scratch — different
+        # sets) fall back to the rank-search kernel rather than erroring
         return os_cfar_2d_pallas(power, cfg, interpret=interpret)
     if cfg.cfar_kind in ("goca", "soca"):
         # the band-matmul form already rides the MXU under jit; there is

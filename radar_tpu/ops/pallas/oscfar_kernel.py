@@ -113,6 +113,36 @@ def _pick_d_tile(d_size: int, r_size: int, n_pad: int) -> int:
     return max(1, d_tile)
 
 
+def _prepare(power, cfg):
+    """Host-side scaffolding SHARED by the rank-search and hits kernels
+    (their selftest cross-check is bit-exact only while the padding
+    semantics stay identical): flatten the lead axes, cast f32, wrap-pad
+    Doppler, edge-pad range per ``cfg.cfar_range_mode``.
+
+    Returns (x (b, dp, rp), lead, d_size, r_size, wd, wr).
+    """
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    wd, wr = gd + td, gr + tr
+    lead = power.shape[:-2]
+    d_size, r_size = power.shape[-2], power.shape[-1]
+    x = power.reshape((-1, d_size, r_size)).astype(jnp.float32)
+    x = jnp.pad(x, ((0, 0), (wd, wd), (0, 0)), mode="wrap")
+    x = jnp.pad(x, ((0, 0), (0, 0), (wr, wr)), mode=cfg.cfar_range_mode)
+    return x, lead, d_size, r_size, wd, wr
+
+
+def _bottom_pad(x, d_tile: int, n_tiles: int, wd: int):
+    """Junk rows below the padded map so every tile's ALIGNED block load
+    (d_blk rows from the tile start) stays in bounds — the other half of
+    the shared scaffolding contract (see :func:`_prepare`)."""
+    d_blk = -(-(d_tile + 2 * wd) // 8) * 8
+    rows_needed = (n_tiles - 1) * d_tile + d_blk
+    if rows_needed > x.shape[-2]:
+        x = jnp.pad(x, ((0, 0), (0, rows_needed - x.shape[-2]), (0, 0)))
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def os_cfar_2d_pallas(
     power: jnp.ndarray,
@@ -130,18 +160,11 @@ def os_cfar_2d_pallas(
     """
     from radar_tpu.ops.cfar import os_ring_params
 
-    gd, gr = cfg.cfar_guard
-    td, tr = cfg.cfar_train
-    wd, wr = gd + td, gr + tr
     offsets, n_train, k, alpha = os_ring_params(cfg)
     n_pad = -(-n_train // 8) * 8  # sublane-multiple ring depth
 
-    lead = power.shape[:-2]
-    d_size, r_size = power.shape[-2], power.shape[-1]
-    x = power.reshape((-1, d_size, r_size)).astype(jnp.float32)
+    x, lead, d_size, r_size, wd, wr = _prepare(power, cfg)
     b = x.shape[0]
-    x = jnp.pad(x, ((0, 0), (wd, wd), (0, 0)), mode="wrap")
-    x = jnp.pad(x, ((0, 0), (0, 0), (wr, wr)), mode=cfg.cfar_range_mode)
 
     d_tile = _pick_d_tile(d_size, r_size, n_pad)
     n_tiles = -(-d_size // d_tile)
@@ -174,12 +197,7 @@ def os_cfar_2d_pallas(
                 f"tile the ring budget forces; use a multiple-of-8 doppler "
                 "FFT size or the XLA path (cfar_impl='xla')"
             )
-    # the kernel's aligned block load reads d_blk rows from tile start; pad
-    # junk rows at the bottom so the LAST tile's load stays in bounds
-    d_blk = -(-(d_tile + 2 * wd) // 8) * 8
-    rows_needed = (n_tiles - 1) * d_tile + d_blk
-    if rows_needed > x.shape[-2]:
-        x = jnp.pad(x, ((0, 0), (0, rows_needed - x.shape[-2]), (0, 0)))
+    x = _bottom_pad(x, d_tile, n_tiles, wd)
 
     kernel = functools.partial(
         _os_kernel,
@@ -292,6 +310,24 @@ def _pick_hits_tile(d_size: int, wd: int, dp: int, rp: int,
     return max(1, d_tile)
 
 
+def os_hits_supported(d_size: int, r_size: int, cfg) -> bool:
+    """True when :func:`os_cfar_hits_pallas` can run this geometry —
+    the non-raising form of its two gates (VMEM-resident padded map,
+    8-aligned Doppler tiling).  ``cfar_detect(hits_only=True)`` checks
+    this and falls back to the rank-search kernel (whose ring-scratch
+    budget admits a different set of geometries) when False."""
+    gd, gr = cfg.cfar_guard
+    td, tr = cfg.cfar_train
+    wd, wr = gd + td, gr + tr
+    dp, rp = d_size + 2 * wd, r_size + 2 * wr
+    try:
+        d_tile = _pick_hits_tile(d_size, wd, dp, rp, r_size)
+    except ValueError:
+        return False
+    n_tiles = -(-d_size // d_tile)
+    return n_tiles == 1 or (d_tile % 8 == 0 and n_tiles * d_tile == d_size)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def os_cfar_hits_pallas(
     power: jnp.ndarray,
@@ -311,17 +347,10 @@ def os_cfar_hits_pallas(
     """
     from radar_tpu.ops.cfar import os_ring_params
 
-    gd, gr = cfg.cfar_guard
-    td, tr = cfg.cfar_train
-    wd, wr = gd + td, gr + tr
     offsets, _, k, alpha = os_ring_params(cfg)
 
-    lead = power.shape[:-2]
-    d_size, r_size = power.shape[-2], power.shape[-1]
-    x = power.reshape((-1, d_size, r_size)).astype(jnp.float32)
+    x, lead, d_size, r_size, wd, wr = _prepare(power, cfg)
     b = x.shape[0]
-    x = jnp.pad(x, ((0, 0), (wd, wd), (0, 0)), mode="wrap")
-    x = jnp.pad(x, ((0, 0), (0, 0), (wr, wr)), mode=cfg.cfar_range_mode)
 
     d_tile = _pick_hits_tile(d_size, wd, x.shape[-2], x.shape[-1], r_size)
     n_tiles = -(-d_size // d_tile)
@@ -333,12 +362,7 @@ def os_cfar_hits_pallas(
             f"doppler size {d_size} does not tile into 8-aligned rows "
             f"for the OS hits kernel; use cfar_impl='xla'"
         )
-    # the aligned block load reads d_blk rows from tile start; pad junk
-    # rows at the bottom so the LAST tile's load stays in bounds
-    d_blk = -(-(d_tile + 2 * wd) // 8) * 8
-    rows_needed = (n_tiles - 1) * d_tile + d_blk
-    if rows_needed > x.shape[-2]:
-        x = jnp.pad(x, ((0, 0), (0, rows_needed - x.shape[-2]), (0, 0)))
+    x = _bottom_pad(x, d_tile, n_tiles, wd)
 
     kernel = functools.partial(
         _os_hits_kernel,

@@ -328,6 +328,7 @@ class DistributedRDPipeline:
             hits, _ = cfar_detect(
                 power, cfg, cfar_resolved,
                 interpret=jax.default_backend() != "tpu",
+                hits_only=True,
             )
 
             def snaps(top_idx):

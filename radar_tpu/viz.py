@@ -101,19 +101,24 @@ def plot_range_doppler(
             label="CFAR detections",
         )
         # object boxes when the dicts carry cluster fields (detect
-        # --cluster records): one rectangle per distinct cluster, sized
-        # by the component's bounding extent around its centroid
-        boxes = {
-            (det["cluster_range_m"], det["cluster_velocity_mps"],
-             tuple(det["cluster_extent_bins"]))
-            for det in detections if "cluster_extent_bins" in det
-        }
+        # --cluster records): ONE rectangle per cluster_id (member slots
+        # repeat the stats with last-ulp and Doppler-alias differences,
+        # so value-keying would duplicate boxes), sized by the
+        # component's bounding extent around its centroid
+        boxes = {}
+        for i, det in enumerate(detections):
+            if "cluster_extent_bins" in det:
+                boxes.setdefault(
+                    det.get("cluster_id", i),
+                    (det["cluster_range_m"], det["cluster_velocity_mps"],
+                     tuple(det["cluster_extent_bins"])),
+                )
         if boxes:
             from matplotlib.patches import Rectangle
 
             r_bin_m = r_max / (r - 1)
             v_bin = cfg.wavelength_m / 2 / (d * cfg.slow_time_interval_s)
-            for cr, cv, (ext_d, ext_r) in sorted(boxes):
+            for cr, cv, (ext_d, ext_r) in boxes.values():
                 w, h = ext_r * r_bin_m, ext_d * v_bin
                 ax.add_patch(Rectangle(
                     (cr - w / 2, cv - h / 2), w, h,

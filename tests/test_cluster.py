@@ -205,13 +205,16 @@ class TestDetectObjects:
 
     def test_detect_objects_detections_match_detect(self):
         """detect_objects' RDResult must equal detect()'s on the same
-        maps impl (clustering is a pure addition, not a fork)."""
+        maps impl (clustering is a pure addition, not a fork).  The impl
+        is pinned to a maps path: on a TPU backend an unpinned detect()
+        takes the fused detect kernel, whose azimuth agrees with the
+        maps path only to ~1e-5."""
         cfg = RadarConfig()
         cap = synthesize_capture(
             [SceneTarget(range_m=5.0, velocity_mps=1.0, amplitude=2500.0)],
             3, cfg, noise_std=2.0, seed=5,
         )
-        pipe = RDPipeline(cfg, max_detections=8)
+        pipe = RDPipeline(cfg, max_detections=8, rd_impl="fft")
         base = pipe.prepare_base(jnp.asarray(cap[0]))
         want = pipe.detect(jnp.asarray(cap[1:]), base)
         got, _ = pipe.detect_objects(jnp.asarray(cap[1:]), base)

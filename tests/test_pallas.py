@@ -331,6 +331,28 @@ class TestPallasOSCFAR:
                                         interpret=True)
             np.testing.assert_array_equal(got, p2 > np.asarray(thr2))
 
+    def test_hits_supported_predicate_and_fallback(self):
+        """os_hits_supported mirrors the hits kernel's gates without
+        raising; cfar_detect(hits_only=True) falls back to the
+        rank-search kernel (threshold returned) when it says False."""
+        from radar_tpu.ops.cfar import cfar_detect
+        from radar_tpu.ops.pallas.oscfar_kernel import os_hits_supported
+
+        cfg = RadarConfig(cfar_kind="os")
+        assert os_hits_supported(cfg.doppler_fft_size, cfg.range_fft_size,
+                                 cfg)
+        # resident padded map >> 10 MB: the predicate refuses instead of
+        # letting the kernel raise
+        assert not os_hits_supported(2048, 2048, cfg)
+        # supported geometry: hits-only dispatch returns no threshold
+        power = self._power(cfg, frames=1)
+        hits, thr = cfar_detect(jnp.asarray(power), cfg, "pallas",
+                                interpret=True, hits_only=True)
+        assert thr is None
+        want, _ = cfar_detect(jnp.asarray(power), cfg, "pallas",
+                              interpret=True)
+        np.testing.assert_array_equal(np.asarray(hits), np.asarray(want))
+
     def test_pipeline_dispatch(self, targets):
         """cfar_impl='pallas-interpret' with cfar_kind='os' must produce the
         same detections as the XLA OS path through the full pipeline."""
