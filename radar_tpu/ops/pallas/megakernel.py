@@ -57,6 +57,7 @@ two largest intermediates of the whole pipeline stop existing.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -273,6 +274,32 @@ def _r_pad(cfg: RadarConfig) -> int:
     return -(-cfg.range_fft_size // 128) * 128
 
 
+_VMEM_DEFAULT = 16 << 20
+
+
+def _vmem_limit() -> int:
+    """Scoped-VMEM budget the mega kernels plan against, in bytes.
+
+    Mosaic's default scoped-VMEM ceiling is ~16 MB; the physical VMEM is
+    far larger (128 MB on v5e), the rest being XLA's share for the
+    non-Pallas program.  ``RADAR_TPU_VMEM_LIMIT_MB`` raises the budget —
+    the kernels then both PLAN against it (deeper ``rows`` tiling) and
+    REQUEST it from Mosaic via ``CompilerParams.vmem_limit_bytes``.
+    Experimental knob: set it before the first traced call (``rows`` and
+    the compiler params bake in at trace time), and only on programs
+    whose XLA tail is small enough to live in the remainder.
+    """
+    return int(os.environ.get("RADAR_TPU_VMEM_LIMIT_MB", "16")) << 20
+
+
+def _compiler_params():
+    """Non-default scoped-VMEM request, or None for Mosaic's default."""
+    lim = _vmem_limit()
+    if lim == _VMEM_DEFAULT:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=lim)
+
+
 def mega_supported(cfg: RadarConfig) -> bool:
     """Whether the mega kernel can run this geometry on TPU.
 
@@ -284,7 +311,7 @@ def mega_supported(cfg: RadarConfig) -> bool:
     ``rd_impl='auto'`` falls back to the fused XLA path when this is
     False."""
     need = max(sum(_maps_vmem_parts(cfg)), sum(_detect_vmem_parts(cfg)))
-    return need <= (16 << 20)
+    return need <= _vmem_limit()
 
 
 def _rows_for(transient: int, per_row: int, b: int) -> int:
@@ -300,9 +327,13 @@ def _rows_for(transient: int, per_row: int, b: int) -> int:
     (rows=16 correctly fails Mosaic's scoped-VMEM check at ~20 MB).
     Power-of-two only: odd tile counts mis-tile power-of-two batches
     (rows=3 pads 512 -> 513 over a 171-step grid, measured 3.11 vs
-    2.69 ms/512 at rows=4 on v5e)."""
-    budget = (16 << 20) - transient
-    rows = max(1, min(int(budget // max(per_row, 1)), 8, b))
+    2.69 ms/512 at rows=4 on v5e).  The <= 8 cap scales with a raised
+    scoped-VMEM budget (see :func:`_vmem_limit`): 32 MB admits 16, etc.
+    """
+    lim = _vmem_limit()
+    budget = lim - transient
+    cap = 8 * max(1, lim // _VMEM_DEFAULT)
+    rows = max(1, min(int(budget // max(per_row, 1)), cap, b))
     while rows & (rows - 1):
         rows -= 1
     return rows
@@ -512,6 +543,7 @@ def _mega_call(
                                memory_space=pltpu.VMEM)]
         + [const_spec(m) for m in consts],
         out_specs=(map_spec, map_spec) if with_cfar else map_spec,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(raw, *consts)
     if with_cfar:
@@ -1016,6 +1048,7 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
             pltpu.VMEM((rows * s_pack, k_det), jnp.float32),   # val columns
             pltpu.VMEM((rows * s_pack, k_det), jnp.int32),     # idx columns
         ],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(raw, *consts)
 

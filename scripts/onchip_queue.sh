@@ -52,6 +52,7 @@ step 04_cluster     1200 python -m radar_tpu.cli detect --full --cluster \
   --out "$LOG/cluster.jsonl" "$CAP"
 step 05_os_hits_ab  2400 python scripts/os_hits_ab.py --frames 512
 step 06_bench       3000 python bench.py
+step 07_vmem_sweep  3600 python scripts/vmem_sweep.py --frames 512
 
 echo "=== queue done $(date -u +%H:%M:%S) ==="
 cat "$LOG/summary.txt"

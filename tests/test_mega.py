@@ -386,3 +386,51 @@ def test_mega_go_so_padded_geometry(targets):
     a = fused.detect(jnp.asarray(shorts[1:]), base)
     b = mega.detect(jnp.asarray(shorts[1:]), base)
     _assert_same_detections(a, b)
+
+
+def test_vmem_limit_knob(monkeypatch):
+    """RADAR_TPU_VMEM_LIMIT_MB raises the planned scoped-VMEM budget:
+    the rows cap scales with it (8 per 16 MB — the round-4 retiling win
+    extended past Mosaic's default ceiling), mega_supported admits
+    bigger geometries, and the kernels request the raised limit via
+    CompilerParams.  Default (env unset) must stay EXACTLY the shipped
+    16 MB / rows<=8 behavior with no compiler-params override."""
+    from radar_tpu.ops.pallas import megakernel as mk
+
+    monkeypatch.delenv("RADAR_TPU_VMEM_LIMIT_MB", raising=False)
+    t, p = mk._detect_vmem_parts(RadarConfig())
+    assert mk._vmem_limit() == 16 << 20
+    assert mk._compiler_params() is None
+    base_rows = mk._rows_for(t, p, 512)
+    assert base_rows <= 8
+    big = RadarConfig(num_samples=2048, num_chirps=1024)
+    assert not mk.mega_supported(big)
+
+    monkeypatch.setenv("RADAR_TPU_VMEM_LIMIT_MB", "64")
+    assert mk._vmem_limit() == 64 << 20
+    params = mk._compiler_params()
+    assert params is not None and params.vmem_limit_bytes == 64 << 20
+    assert mk._rows_for(t, p, 512) > base_rows
+
+    # a limit just above the big geometry's working set admits it
+    need = max(sum(mk._maps_vmem_parts(big)), sum(mk._detect_vmem_parts(big)))
+    monkeypatch.setenv("RADAR_TPU_VMEM_LIMIT_MB", str((need >> 20) + 1))
+    assert mk.mega_supported(big)
+
+
+def test_mega_detect_rows16_parity(cfg, targets):
+    """Deeper frame tiling (rows=16, reachable under a raised VMEM
+    limit) is a pure schedule change: every detect-kernel output is
+    bit-identical to the shipped rows=8 tiling."""
+    from radar_tpu.ops.pallas.megakernel import detections_from_shorts_pallas
+
+    cfg2 = RadarConfig(num_samples=64, num_chirps=32, num_rx=2)
+    shorts = jnp.asarray(
+        synthesize_capture(targets, 33, cfg2, noise_std=5.0, seed=0)[1:]
+    )
+    o8 = detections_from_shorts_pallas(shorts, None, 8, cfg2,
+                                       interpret=True, rows=8)
+    o16 = detections_from_shorts_pallas(shorts, None, 8, cfg2,
+                                        interpret=True, rows=16)
+    for a, b in zip(jax.tree.leaves(o8), jax.tree.leaves(o16)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
