@@ -749,6 +749,14 @@ def cmd_eval(args) -> int:
                             amplitude=max(amps))
         print(json.dumps({"event": "objects", "cfar_kind": cfg.cfar_kind,
                           **om}), flush=True)
+    if args.tracks:
+        from radar_tpu.evaluate import track_metrics
+
+        tm = track_metrics(cfg, frames=args.frames, seed=args.seed,
+                           rd_impl=args.rd_impl, noise_std=args.noise,
+                           amplitude=max(amps), tracker_kind=args.tracker)
+        print(json.dumps({"event": "tracks", "cfar_kind": cfg.cfar_kind,
+                          **tm}), flush=True)
     return 0
 
 
@@ -912,6 +920,12 @@ def main(argv=None) -> int:
                    help="also score the object level: clustered "
                         "representatives matched to the true targets "
                         "(count, Pd, centroid RMSE)")
+    e.add_argument("--tracks", action="store_true",
+                   help="also score the track level: the tracker against "
+                        "analytic moving-target trajectories (track Pd, "
+                        "ID switches, fragmentation, state RMSE)")
+    e.add_argument("--tracker", choices=["ekf", "alpha-beta"], default="ekf",
+                   help="tracker kind for --tracks")
     e.set_defaults(fn=cmd_eval)
 
     v = sub.add_parser("verify", help="TPU vs float64 golden, per frame")

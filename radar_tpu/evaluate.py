@@ -225,3 +225,147 @@ def object_metrics(
         "velocity_rmse_mps": float(np.sqrt(np.mean(sq_v))) if sq_v else None,
         "frames": frames,
     }
+
+
+def track_metrics(
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    ranges_m: tuple[float, ...] = (3.0, 8.0),
+    velocities_mps: tuple[float, ...] = (2.0, -4.0),
+    azimuths_deg: tuple[float, ...] = (15.0, -30.0),
+    amplitude: float = 2500.0,
+    frames: int = 32,
+    noise_std: float = 5.0,
+    seed: int = 0,
+    max_detections: int = 16,
+    rd_impl: str = "auto",
+    tracker_kind: str = "ekf",
+    cluster: bool = True,
+    tol_range_m: float = 1.5,
+    tol_velocity_mps: float = 1.5,
+) -> dict:
+    """Track-level scoring: the tracker against analytic trajectories.
+
+    ``pd_curve`` scores cells and ``object_metrics`` scores per-frame
+    object lists; this closes the loop on the LAST pipeline stage, the
+    multi-frame tracker.  The synthetic generator moves each target
+    coherently (``io/synthetic.py``: range r0 + v * frame * interval,
+    constant radial velocity and azimuth), so the truth at every frame
+    is analytic and the standard multi-object tracking metrics follow:
+
+    * ``track_pd`` — fraction of post-warmup truth-frames covered by a
+      confirmed track within (tol_range_m, tol_velocity_mps); warmup is
+      the tracker's confirmation window (first ``confirm_hits`` frames),
+      during which no tracker can report.
+    * ``id_switches`` — matched-track identity changes between
+      consecutive covered frames of one truth (association errors).
+    * ``fragments_per_truth`` — distinct track ids that ever covered
+      each truth (1.0 = every truth held by one unbroken track).
+    * ``range/velocity/azimuth RMSE`` — state error over covered frames
+      (the filter's accuracy, on top of the detector's).
+    * ``false_track_frames`` — confirmed-track frames matched to no
+      truth.
+
+    Detections feed the tracker exactly as ``cli track`` does: cluster
+    representatives when ``cluster=True`` (one measurement per object),
+    raw grouped peaks otherwise.
+    """
+    import jax.numpy as jnp
+
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+    from radar_tpu.models.rd_pipeline import RDPipeline
+    from radar_tpu.models.tracker import (
+        EKFConfig,
+        EKFTracker,
+        Tracker,
+        TrackerConfig,
+        detections_from_result,
+        materialize_result,
+    )
+
+    targets = [
+        SceneTarget(range_m=r, velocity_mps=v, azimuth_deg=a,
+                    amplitude=amplitude)
+        for r, v, a in zip(ranges_m, velocities_mps, azimuths_deg)
+    ]
+    cap = synthesize_capture(targets, frames + 1, cfg, noise_std=noise_std,
+                             seed=seed)
+    pipe = RDPipeline(cfg, max_detections=max_detections, rd_impl=rd_impl)
+    base = pipe.prepare_base(jnp.asarray(cap[0]))
+    if cluster:
+        out, cl = pipe.detect_objects(jnp.asarray(cap[1:]), base)
+        out = materialize_result(out)
+        k_idx = np.arange(out.valid.shape[-1])
+        out = out._replace(
+            valid=out.valid & (np.asarray(cl.cluster_id) == k_idx)
+        )
+    else:
+        out = materialize_result(pipe.detect(jnp.asarray(cap[1:]), base))
+
+    if tracker_kind == "ekf":
+        tracker = EKFTracker(cfg, EKFConfig())
+        warmup = EKFConfig().confirm_hits
+    else:
+        tracker = Tracker(cfg, TrackerConfig())
+        warmup = TrackerConfig().confirm_hits
+
+    dt = cfg.num_chirps * cfg.chirp_interval_s
+    n_truth = len(targets)
+    covered = [0] * n_truth            # post-warmup frames matched
+    id_hist: list[list[int]] = [[] for _ in range(n_truth)]
+    sq_r: list[float] = []
+    sq_v: list[float] = []
+    sq_a: list[float] = []
+    false_frames = 0
+    scoreable = 0                      # post-warmup frames per truth
+    for f in range(frames):
+        confirmed = tracker.update(detections_from_result(out, f))
+        # capture frame f+1 (frame 0 is the target-free base frame)
+        t_rng = [t.range_m + t.velocity_mps * (f + 1) * dt for t in targets]
+        matched_tracks = set()
+        post_warmup = f >= warmup
+        if post_warmup:
+            scoreable += 1
+        for i, t in enumerate(targets):
+            best, best_dr = None, None
+            for tr in confirmed:
+                if id(tr) in matched_tracks:
+                    continue
+                dr = abs(tr.range_m - t_rng[i])
+                dv = abs(tr.velocity_mps - t.velocity_mps)
+                if dr <= tol_range_m and dv <= tol_velocity_mps and (
+                    best is None or dr < best_dr
+                ):
+                    best, best_dr = tr, dr
+            if best is None:
+                continue
+            matched_tracks.add(id(best))
+            id_hist[i].append(best.track_id)
+            if post_warmup:
+                covered[i] += 1
+                sq_r.append((best.range_m - t_rng[i]) ** 2)
+                sq_v.append((best.velocity_mps - t.velocity_mps) ** 2)
+                da = (best.azimuth_deg - t.azimuth_deg + 180.0) % 360.0 - 180.0
+                sq_a.append(da ** 2)
+        false_frames += sum(
+            1 for tr in confirmed if id(tr) not in matched_tracks
+        )
+    switches = sum(
+        sum(1 for a, b in zip(ids, ids[1:]) if a != b) for ids in id_hist
+    )
+    fragments = [len(set(ids)) for ids in id_hist]
+    return {
+        "tracker": tracker_kind,
+        "ranges_m": list(ranges_m),
+        "velocities_mps": list(velocities_mps),
+        "azimuths_deg": list(azimuths_deg),
+        "frames": frames,
+        "warmup_frames": warmup,
+        "track_pd": (sum(covered) / max(1, scoreable * n_truth)),
+        "id_switches": switches,
+        "fragments_per_truth": float(np.mean(fragments)) if fragments else 0.0,
+        "range_rmse_m": float(np.sqrt(np.mean(sq_r))) if sq_r else None,
+        "velocity_rmse_mps": float(np.sqrt(np.mean(sq_v))) if sq_v else None,
+        "azimuth_rmse_deg": float(np.sqrt(np.mean(sq_a))) if sq_a else None,
+        "false_track_frames": false_frames,
+        "n_truths": n_truth,
+    }

@@ -98,3 +98,38 @@ def test_cli_eval_objects(capsys):
     assert len(obj) == 1
     assert 0.0 <= obj[0]["object_pd"] <= 1.0
     assert obj[0]["mean_objects"] >= 1.0
+
+
+@pytest.mark.parametrize("kind", ["ekf", "alpha-beta"])
+def test_track_metrics_clean_scene(kind):
+    """On a clean 2-moving-target scene both trackers must hold one
+    unbroken track per truth: full post-warmup coverage, zero identity
+    switches, no false confirmed tracks, and state RMSE well inside a
+    bin width (the synthetic generator moves targets coherently, so the
+    truth trajectory is analytic)."""
+    from radar_tpu.evaluate import track_metrics
+
+    m = track_metrics(frames=12, tracker_kind=kind, rd_impl="fused",
+                      seed=3)
+    assert m["track_pd"] == 1.0
+    assert m["id_switches"] == 0
+    assert m["fragments_per_truth"] == 1.0
+    assert m["false_track_frames"] == 0
+    assert m["range_rmse_m"] < 0.3
+    assert m["velocity_rmse_mps"] < 0.3
+    assert m["azimuth_rmse_deg"] < 2.0
+
+
+def test_cli_eval_tracks(capsys):
+    from radar_tpu.cli import main
+
+    rc = main(["eval", "--frames", "6", "--amplitudes", "2500",
+               "--seed", "2", "--tracks"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    tr = [l for l in lines if l["event"] == "tracks"]
+    assert len(tr) == 1
+    assert tr[0]["tracker"] == "ekf"
+    assert 0.0 <= tr[0]["track_pd"] <= 1.0
+    assert tr[0]["n_truths"] == 2
