@@ -133,3 +133,22 @@ def test_cli_eval_tracks(capsys):
     assert tr[0]["tracker"] == "ekf"
     assert 0.0 <= tr[0]["track_pd"] <= 1.0
     assert tr[0]["n_truths"] == 2
+
+
+def test_track_metrics_crossing_targets_ekf():
+    """Two targets whose ranges CROSS mid-sequence (4+6t vs 7-6t meet at
+    t=0.25 s = frame 30 of 40): the EKF's Cartesian constant-velocity
+    model must carry both identities through the crossing — zero ID
+    switches, one unbroken track per truth — the scenario the
+    alpha-beta tracker's polar nearest-neighbor association exists to
+    be upgraded from (DESIGN's EKF rationale)."""
+    from radar_tpu.evaluate import track_metrics
+
+    m = track_metrics(ranges_m=(4.0, 7.0), velocities_mps=(6.0, -6.0),
+                      azimuths_deg=(20.0, -20.0), frames=40,
+                      tracker_kind="ekf", rd_impl="fused", seed=5)
+    assert m["track_pd"] == 1.0
+    assert m["id_switches"] == 0
+    assert m["fragments_per_truth"] == 1.0
+    assert m["false_track_frames"] == 0
+    assert m["range_rmse_m"] < 0.3
