@@ -445,8 +445,10 @@ def cmd_track(args) -> int:
         # one measurement per OBJECT: keep only each hit-blob's strongest
         # detection so multi-cell blobs don't spawn duplicate tracks
         res, cl = pipe.detect_objects(capture[1:], base)
-        k_idx = np.arange(res.valid.shape[-1], dtype=np.int32)
-        is_rep = np.asarray(res.valid) & (np.asarray(cl.cluster_id) == k_idx)
+        from radar_tpu.ops.cluster import representatives
+
+        is_rep = representatives(np.asarray(res.valid),
+                                 np.asarray(cl.cluster_id))
         out = materialize_result(res)._replace(valid=is_rep)
     else:
         out = materialize_result(pipe.detect(capture[1:], base))

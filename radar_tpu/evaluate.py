@@ -184,33 +184,40 @@ def object_metrics(
     base = pipe.prepare_base(jnp.asarray(cap[0]))
     out, cl = pipe.detect_objects(jnp.asarray(cap[1:]), base)
 
+    from radar_tpu.ops.cluster import representatives
+
     valid = np.asarray(out.valid)
     cid = np.asarray(cl.cluster_id)
     c_r = np.asarray(cl.centroid_range_m)
     c_v = np.asarray(cl.centroid_velocity_mps)
-    k_idx = np.arange(valid.shape[-1])
+    rep_mask = representatives(valid, cid)
 
     matched = 0
     sq_r = []
     sq_v = []
     n_objects = []
     for b in range(valid.shape[0]):
-        reps = [k for k in k_idx if valid[b, k] and cid[b, k] == k]
+        reps = list(np.flatnonzero(rep_mask[b]))
         n_objects.append(len(reps))
-        free = set(reps)
-        for r_true, v_true in zip(ranges_m, velocities_mps):
-            best = None
-            for k in free:
+        # globally distance-ordered greedy (see track_metrics): fixed
+        # truth order could steal a nearer truth's representative
+        pairs = []
+        for i, (r_true, v_true) in enumerate(zip(ranges_m, velocities_mps)):
+            for k in reps:
                 dr = abs(c_r[b, k] - r_true)
                 dv = abs(c_v[b, k] - v_true)
                 if dr <= tol_range_m and dv <= tol_velocity_mps:
-                    if best is None or dr < abs(c_r[b, best] - r_true):
-                        best = k
-            if best is not None:
-                free.discard(best)
-                matched += 1
-                sq_r.append((c_r[b, best] - r_true) ** 2)
-                sq_v.append((c_v[b, best] - v_true) ** 2)
+                    pairs.append((dr, i, k))
+        pairs.sort(key=lambda x: x[0])
+        used_i, used_k = set(), set()
+        for dr, i, k in pairs:
+            if i in used_i or k in used_k:
+                continue
+            used_i.add(i)
+            used_k.add(k)
+            matched += 1
+            sq_r.append((c_r[b, k] - ranges_m[i]) ** 2)
+            sq_v.append((c_v[b, k] - velocities_mps[i]) ** 2)
     n_true = len(targets) * valid.shape[0]
     return {
         "ranges_m": list(ranges_m),
@@ -292,11 +299,12 @@ def track_metrics(
     pipe = RDPipeline(cfg, max_detections=max_detections, rd_impl=rd_impl)
     base = pipe.prepare_base(jnp.asarray(cap[0]))
     if cluster:
+        from radar_tpu.ops.cluster import representatives
+
         out, cl = pipe.detect_objects(jnp.asarray(cap[1:]), base)
         out = materialize_result(out)
-        k_idx = np.arange(out.valid.shape[-1])
         out = out._replace(
-            valid=out.valid & (np.asarray(cl.cluster_id) == k_idx)
+            valid=representatives(out.valid, np.asarray(cl.cluster_id))
         )
     else:
         out = materialize_result(pipe.detect(jnp.asarray(cap[1:]), base))
@@ -321,30 +329,36 @@ def track_metrics(
         confirmed = tracker.update(detections_from_result(out, f))
         # capture frame f+1 (frame 0 is the target-free base frame)
         t_rng = [t.range_m + t.velocity_mps * (f + 1) * dt for t in targets]
-        matched_tracks = set()
         post_warmup = f >= warmup
         if post_warmup:
             scoreable += 1
+        # globally distance-ordered greedy assignment (the same rule the
+        # trackers use to associate): per-truth first-come order would
+        # let truth 0 steal truth 1's track when both are inside both
+        # gates — exactly the crossing scenario this metric exists to
+        # score — and report spurious id switches on a correct tracker
+        pairs = []
         for i, t in enumerate(targets):
-            best, best_dr = None, None
             for tr in confirmed:
-                if id(tr) in matched_tracks:
-                    continue
                 dr = abs(tr.range_m - t_rng[i])
                 dv = abs(tr.velocity_mps - t.velocity_mps)
-                if dr <= tol_range_m and dv <= tol_velocity_mps and (
-                    best is None or dr < best_dr
-                ):
-                    best, best_dr = tr, dr
-            if best is None:
+                if dr <= tol_range_m and dv <= tol_velocity_mps:
+                    pairs.append((dr, i, tr))
+        pairs.sort(key=lambda x: x[0])
+        matched_tracks: set[int] = set()
+        matched_truths: set[int] = set()
+        for dr, i, tr in pairs:
+            if i in matched_truths or id(tr) in matched_tracks:
                 continue
-            matched_tracks.add(id(best))
-            id_hist[i].append(best.track_id)
+            matched_truths.add(i)
+            matched_tracks.add(id(tr))
+            id_hist[i].append(tr.track_id)
             if post_warmup:
                 covered[i] += 1
-                sq_r.append((best.range_m - t_rng[i]) ** 2)
-                sq_v.append((best.velocity_mps - t.velocity_mps) ** 2)
-                da = (best.azimuth_deg - t.azimuth_deg + 180.0) % 360.0 - 180.0
+                t = targets[i]
+                sq_r.append((tr.range_m - t_rng[i]) ** 2)
+                sq_v.append((tr.velocity_mps - t.velocity_mps) ** 2)
+                da = (tr.azimuth_deg - t.azimuth_deg + 180.0) % 360.0 - 180.0
                 sq_a.append(da ** 2)
         false_frames += sum(
             1 for tr in confirmed if id(tr) not in matched_tracks

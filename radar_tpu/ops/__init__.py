@@ -7,7 +7,12 @@ from radar_tpu.ops.detect import (
     scan_window_argmax,
 )
 from radar_tpu.ops.cfar import ca_cfar_2d
-from radar_tpu.ops.cluster import ClusterResult, cluster_detections, label_hits
+from radar_tpu.ops.cluster import (
+    ClusterResult,
+    cluster_detections,
+    label_hits,
+    representatives,
+)
 from radar_tpu.ops.aoa import (
     angle_fft_spectrum,
     capon_spectrum,
@@ -27,6 +32,7 @@ __all__ = [
     "ca_cfar_2d",
     "ClusterResult",
     "cluster_detections",
+    "representatives",
     "label_hits",
     "angle_fft_spectrum",
     "capon_spectrum",

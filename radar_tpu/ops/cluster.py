@@ -54,6 +54,21 @@ class ClusterResult(NamedTuple):
     extent_range_bins: jnp.ndarray     # int32 (..., K) bounding width
 
 
+def representatives(valid, cluster_id):
+    """Boolean (..., K) mask: detection k is its component's
+    representative (the strongest member — ``cluster_id`` names itself).
+
+    THE definition of "one output per object"; `cli track --cluster`
+    and the eval harness must agree with the clustering op, so all
+    three call this.  Works on NumPy and JAX arrays alike (the
+    comparison promotes to the input's namespace).
+    """
+    import numpy as np
+
+    k = valid.shape[-1]
+    return valid & (cluster_id == np.arange(k, dtype=np.int32))
+
+
 def _shift_range(a: jnp.ndarray, s: int, fill) -> jnp.ndarray:
     """Shift along the last (range) axis WITHOUT wrap, filling with
     ``fill`` (range bins are physical distances; bin R-1 is not adjacent
@@ -156,7 +171,7 @@ def cluster_detections(
     both = valid[..., :, None] & valid[..., None, :]
     first = jnp.argmax(same & both, axis=-1).astype(jnp.int32)
     cluster_id = jnp.where(valid, first, jnp.int32(-1))
-    is_rep = valid & (cluster_id == jnp.arange(k, dtype=jnp.int32))
+    is_rep = representatives(valid, cluster_id)
     num_clusters = jnp.sum(is_rep, axis=-1).astype(jnp.int32)
 
     d_idx = jnp.arange(d_size, dtype=jnp.int32)[:, None]

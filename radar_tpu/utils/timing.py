@@ -96,6 +96,49 @@ def fence(tree) -> None:
     float(total)
 
 
+def onchip_time(program: Callable, shorts, base, iters: int = 32,
+                reps: int = 3) -> float:
+    """Best-of-``reps`` per-iteration ON-CHIP time of ``program(shorts,
+    base)`` — the measurement discipline every perf script shares.
+
+    The dev relay adds ~26 ms of dispatch+fence RTT per call, which
+    swamps millisecond-scale programs in a host-side loop, so the
+    program runs inside ONE jitted ``lax.fori_loop``: the body perturbs
+    the int16 input with the iteration index (an elementwise XOR that
+    XLA fuses into the first consumer — defeats loop-invariant
+    hoisting) and folds EVERY output leaf into a scalar carry (folding
+    only one leaf lets XLA dead-code-eliminate the rest — this silently
+    zeroed the round-2 tail measurements).  The warmed harness overhead
+    (one dispatch + fence of a no-op on the same operand) is subtracted
+    before dividing by ``iters``.
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(s, b):
+        def body(i, acc):
+            out = program(jnp.bitwise_xor(s, i.astype(jnp.int16)), b)
+            return acc + sum(jnp.sum(leaf).astype(jnp.float32)
+                             for leaf in jax.tree.leaves(out))
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    noop = jax.jit(lambda s: jnp.float32(0))
+    fence(noop(shorts))
+    t0 = time.perf_counter()
+    fence(noop(shorts))
+    fixed = time.perf_counter() - t0
+
+    fence(run(shorts, base))  # compile + warm
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fence(run(shorts, base))
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return max(best - fixed, 0.0) / iters
+
+
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
     """Mean per-iteration wall time of ``fn(*args)``.
 

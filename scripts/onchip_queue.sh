@@ -5,12 +5,15 @@
 # bounded and logged separately, so a single relay window covers the
 # whole backlog even if the session isn't watching.  Steps (in order of
 # value):
+#   0. generate a synthetic capture for steps 2-4
 #   1. compiled-kernel selftest (13 checks, NON-interpret)
 #   2. cli verify (golden parity on chip)
 #   3. bench --compare (the enabled reference verification loop)
 #   4. detect --cluster smoke (objects path on hardware)
 #   5. OS hits-vs-rank A/B (scripts/os_hits_ab.py)
 #   6. fresh bench.py headline (full JSON line)
+#   7. scoped-VMEM limit x rows sweep (scripts/vmem_sweep.py; 6 combos,
+#      each its own 1200 s-bounded subprocess)
 #
 # Usage: bash scripts/onchip_queue.sh [logdir]   (default /tmp/onchip_r4)
 # Each step writes <logdir>/NN_name.log and a PASS/FAIL line to
@@ -52,7 +55,7 @@ step 04_cluster     1200 python -m radar_tpu.cli detect --full --cluster \
   --out "$LOG/cluster.jsonl" "$CAP"
 step 05_os_hits_ab  2400 python scripts/os_hits_ab.py --frames 512
 step 06_bench       3000 python bench.py
-step 07_vmem_sweep  3600 python scripts/vmem_sweep.py --frames 512
+step 07_vmem_sweep  7500 python scripts/vmem_sweep.py --frames 512
 
 echo "=== queue done $(date -u +%H:%M:%S) ==="
 cat "$LOG/summary.txt"

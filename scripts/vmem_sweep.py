@@ -25,7 +25,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,15 +38,19 @@ COMBOS = [  # (limit_mb, rows) — 16/8 is the shipped default = control
 ]
 
 
-def child(frames: int, iters: int, rows: int) -> None:
+def child(frames: int, iters: int, limit_mb: int, rows: int) -> None:
+    # the knob is read from the env at trace time — set it from the flag
+    # BEFORE the first traced call so a manual `--child --limit-mb 64`
+    # run actually applies 64 MB (not whatever the shell exported)
+    os.environ["RADAR_TPU_VMEM_LIMIT_MB"] = str(limit_mb)
+
     import jax
-    import jax.numpy as jnp
 
     from radar_tpu.config import RadarConfig
     from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
     from radar_tpu.models.rd_pipeline import RDPipeline
     from radar_tpu.ops.pallas.megakernel import _mega_detect_call
-    from radar_tpu.utils.timing import fence
+    from radar_tpu.utils.timing import fence, onchip_time
 
     cfg = RadarConfig()
     pipe = RDPipeline(cfg, max_detections=16)
@@ -63,31 +66,13 @@ def child(frames: int, iters: int, rows: int) -> None:
     def program(s, b):
         return _mega_detect_call(s, b, cfg, True, 16, False, rows)
 
-    @jax.jit
-    def run(s, b):
-        def body(i, acc):
-            out = program(jnp.bitwise_xor(s, i.astype(jnp.int16)), b)
-            return acc + sum(jnp.sum(leaf).astype(jnp.float32)
-                             for leaf in jax.tree.leaves(out))
-
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    fence(run(shorts, base))  # compile + warm
-    best = min(
-        _timed(run, shorts, base, fence) for _ in range(3)
-    )
+    per_iter = onchip_time(program, shorts, base, iters=iters)
     print(json.dumps({
-        "limit_mb": int(os.environ.get("RADAR_TPU_VMEM_LIMIT_MB", "16")),
+        "limit_mb": limit_mb,
         "rows": rows,
-        "ms_per_batch": best / iters * 1e3,
-        "fps": frames * iters / best,
+        "ms_per_batch": per_iter * 1e3,
+        "fps": frames / per_iter,
     }), flush=True)
-
-
-def _timed(run, shorts, base, fence) -> float:
-    t0 = time.perf_counter()
-    fence(run(shorts, base))
-    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -100,17 +85,23 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.child:
-        child(args.frames, args.iters, args.rows)
+        child(args.frames, args.iters, args.limit_mb, args.rows)
         return
 
     for limit_mb, rows in COMBOS:
-        env = dict(os.environ, RADAR_TPU_VMEM_LIMIT_MB=str(limit_mb))
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             "--limit-mb", str(limit_mb), "--rows", str(rows),
-             "--frames", str(args.frames), "--iters", str(args.iters)],
-            env=env, capture_output=True, text=True, timeout=1800,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 "--limit-mb", str(limit_mb), "--rows", str(rows),
+                 "--frames", str(args.frames), "--iters", str(args.iters)],
+                capture_output=True, text=True, timeout=1200,
+            )
+        except subprocess.TimeoutExpired:
+            # a wedged combo (hung Mosaic compile / wedged relay) must
+            # not take the rest of the sweep down
+            print(json.dumps({"limit_mb": limit_mb, "rows": rows,
+                              "error": "timeout (1200s)"}), flush=True)
+            continue
         line = (r.stdout.strip().splitlines() or [""])[-1]
         if r.returncode == 0 and line.startswith("{"):
             print(line, flush=True)
