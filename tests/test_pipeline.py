@@ -418,3 +418,19 @@ def test_range_interp_zero_offset_at_map_edges():
     np.testing.assert_allclose(np.asarray(rng)[0], [0.0, (r_size - 1) * scale],
                                rtol=1e-6)
     assert float(rng[0, 0]) >= 0.0  # never negative range
+
+
+def test_onchip_time_harness(cfg, capture):
+    """The shared on-chip timing harness (utils.timing.onchip_time) must
+    execute its fori_loop program and return a non-negative per-iteration
+    time — every perf script (vmem_sweep, future A/Bs) leans on it."""
+    import jax.numpy as jnp
+
+    from radar_tpu.models.rd_pipeline import RDPipeline
+    from radar_tpu.utils.timing import onchip_time
+
+    pipe = RDPipeline(cfg, max_detections=8, rd_impl="fused")
+    base = pipe.prepare_base(jnp.asarray(capture[0]))
+    shorts = jnp.asarray(capture[1:3])
+    dt = onchip_time(pipe.detect, shorts, base, iters=2, reps=1)
+    assert dt >= 0.0
