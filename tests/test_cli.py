@@ -233,3 +233,14 @@ def test_bench_full_stages_resolution_note(cap_path, capsys):
     out = capsys.readouterr().out
     assert "resolved to rd_impl='fft'" in out
     assert "Mega detect kernel" not in out
+
+
+def test_selftest_plumbing_cpu():
+    """The compiled-kernel selftest harness must run off-chip too (it
+    falls back to interpret mode): guards the check registry and runner
+    so a broken check is caught before it costs a TPU relay window.
+    Runs a cheap subset; the full 13 compiled checks are
+    `cli selftest --require-tpu` on hardware."""
+    from radar_tpu.selftest import run_selftests
+
+    assert run_selftests(["topk", "band-matrix", "magargmax"]) == 0
