@@ -282,27 +282,30 @@ def _os_hits_kernel(
 
 
 def _pick_hits_tile(d_size: int, wd: int, dp: int, rp: int,
-                    r_size: int) -> int:
+                    r_size: int, n_off: int) -> int:
     """Largest Doppler tile whose working set stays inside a
     conservative VMEM budget.  The whole padded frame map (dp x rp) is
     the kernel's VMEM block (Pallas blocks cannot overlap, and each
-    tile needs a 2*wd halo), so tiling bounds only the per-tile
-    transients: the alpha-scaled slice copy + count/center temporaries.
-    No ring scratch exists, so the full map is one tile at every
-    geometry up to ~1k x 1k; beyond that the resident map itself
-    overflows and we raise rather than hit a raw Mosaic error."""
+    tile needs a 2*wd halo), so tiling bounds the per-tile transients.
+    The DOMINANT charge is Mosaic's stack for the fully unrolled
+    counting loop: each ring offset's shifted window is a lane/sublane-
+    offset slice whose copy + compare + count temporaries Mosaic keeps
+    as distinct stack values — measured 30.25 MB scoped at d_tile=128,
+    R=128, 332 offsets on v5e (~5.6 B per cell per offset); charged at
+    8 B/cell/offset so the estimate stays conservative."""
     budget = 10 << 20
     resident = 4 * dp * rp
 
     def need(dt):
         d_blk = -(-(dt + 2 * wd) // 8) * 8
-        return resident + 8 * d_blk * rp + 8 * dt * r_size
+        return resident + 8 * d_blk * rp + n_off * 8 * dt * r_size
 
     if need(8) > budget:
         raise ValueError(
-            f"padded power map ({dp} x {rp} f32 = {resident >> 20} MB) "
-            "does not fit the OS hits kernel's VMEM budget even at an "
-            "8-row tile; use cfar_impl='xla'"
+            f"padded power map ({dp} x {rp} f32) plus the {n_off}-offset "
+            "count loop's temporaries do not fit the OS hits kernel's "
+            "VMEM budget even at an 8-row tile; decimate the ring "
+            "(cfg.cfar_os_stride) or use cfar_impl='xla'"
         )
     d_tile = d_size
     while d_tile > 8 and need(d_tile) > budget:
@@ -316,12 +319,15 @@ def os_hits_supported(d_size: int, r_size: int, cfg) -> bool:
     8-aligned Doppler tiling).  ``cfar_detect(hits_only=True)`` checks
     this and falls back to the rank-search kernel (whose ring-scratch
     budget admits a different set of geometries) when False."""
+    from radar_tpu.ops.cfar import os_ring_params
+
     gd, gr = cfg.cfar_guard
     td, tr = cfg.cfar_train
     wd, wr = gd + td, gr + tr
     dp, rp = d_size + 2 * wd, r_size + 2 * wr
+    n_off = len(os_ring_params(cfg)[0])
     try:
-        d_tile = _pick_hits_tile(d_size, wd, dp, rp, r_size)
+        d_tile = _pick_hits_tile(d_size, wd, dp, rp, r_size, n_off)
     except ValueError:
         return False
     n_tiles = -(-d_size // d_tile)
@@ -352,7 +358,8 @@ def os_cfar_hits_pallas(
     x, lead, d_size, r_size, wd, wr = _prepare(power, cfg)
     b = x.shape[0]
 
-    d_tile = _pick_hits_tile(d_size, wd, x.shape[-2], x.shape[-1], r_size)
+    d_tile = _pick_hits_tile(d_size, wd, x.shape[-2], x.shape[-1], r_size,
+                             len(offsets))
     n_tiles = -(-d_size // d_tile)
     if n_tiles > 1 and (d_tile % 8 or n_tiles * d_tile != d_size):
         # dynamic sublane starts must be provably 8-aligned, and partial
