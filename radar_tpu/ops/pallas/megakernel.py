@@ -282,14 +282,20 @@ def _vmem_limit() -> int:
 
     Mosaic's default scoped-VMEM ceiling is ~16 MB; the physical VMEM is
     far larger (128 MB on v5e), the rest being XLA's share for the
-    non-Pallas program.  ``RADAR_TPU_VMEM_LIMIT_MB`` raises the budget —
-    the kernels then both PLAN against it (deeper ``rows`` tiling) and
+    non-Pallas program.  The default budget is 32 MB: the round-4
+    on-chip sweep (scripts/vmem_sweep.py, v5e) measured the detect
+    kernel at 3.31 ms/512 under a 32 MB request vs 3.41 at Mosaic's
+    16 MB default — the extra headroom pays for itself at unchanged
+    rows=8 tiling — and 32 MB also admits heavier geometries
+    (256 samples x 256 chirps needs ~30 MB at rows=1).
+    ``RADAR_TPU_VMEM_LIMIT_MB`` overrides: the kernels both PLAN
+    against the value (``mega_supported`` gate + ``rows`` tiling) and
     REQUEST it from Mosaic via ``CompilerParams.vmem_limit_bytes``.
-    Experimental knob: set it before the first traced call (``rows`` and
-    the compiler params bake in at trace time), and only on programs
-    whose XLA tail is small enough to live in the remainder.
+    Set it before the first traced call (``rows`` and the compiler
+    params bake in at trace time), and only on programs whose XLA tail
+    is small enough to live in the remainder.
     """
-    return int(os.environ.get("RADAR_TPU_VMEM_LIMIT_MB", "16")) << 20
+    return int(os.environ.get("RADAR_TPU_VMEM_LIMIT_MB", "32")) << 20
 
 
 def _compiler_params():
@@ -327,12 +333,16 @@ def _rows_for(transient: int, per_row: int, b: int) -> int:
     (rows=16 correctly fails Mosaic's scoped-VMEM check at ~20 MB).
     Power-of-two only: odd tile counts mis-tile power-of-two batches
     (rows=3 pads 512 -> 513 over a 171-step grid, measured 3.11 vs
-    2.69 ms/512 at rows=4 on v5e).  The <= 8 cap scales with a raised
-    scoped-VMEM budget (see :func:`_vmem_limit`): 32 MB admits 16, etc.
+    2.69 ms/512 at rows=4 on v5e).  The cap is a HARD 8 at any budget:
+    the round-4 on-chip sweep (scripts/vmem_sweep.py) measured deeper
+    tiling uniformly slower — 3.31 ms/512 at (32 MB, rows=8) vs 3.66
+    (32, 16), 3.71 (64, 16), 3.87 (64, 32), 4.09 (100, 32) — a raised
+    limit helps as Mosaic scheduling headroom, not as tiling depth.
+    Explicit ``rows=`` pins past 8 remain available for experiments.
     """
     lim = _vmem_limit()
     budget = lim - transient
-    cap = 8 * max(1, lim // _VMEM_DEFAULT)
+    cap = 8
     rows = max(1, min(int(budget // max(per_row, 1)), cap, b))
     while rows & (rows - 1):
         rows -= 1

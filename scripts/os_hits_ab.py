@@ -103,16 +103,20 @@ def main() -> None:
     fence(shorts)
 
     def make_pipe_run():
+        # shorts/base must be ARGUMENTS, not closures: jit inlines
+        # closed-over arrays as MLIR constants via a host round-trip,
+        # and the dev relay's host boundary is Unimplemented for the
+        # complex base (same class as the SKILL.md eager-complex note)
         @jax.jit
-        def run():
+        def run(shorts_, base_):
             def body(i, acc):
                 out = pipe.detect(
-                    jnp.bitwise_xor(shorts, i.astype(jnp.int16)), base
+                    jnp.bitwise_xor(shorts_, i.astype(jnp.int16)), base_
                 )
                 return acc + sum(jnp.sum(l).astype(jnp.float32)
                                  for l in jax.tree.leaves(out))
             return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
-        return run
+        return lambda: run(shorts, base)
 
     timed("pipe-os", make_pipe_run)
 

@@ -389,28 +389,36 @@ def test_mega_go_so_padded_geometry(targets):
 
 
 def test_vmem_limit_knob(monkeypatch):
-    """RADAR_TPU_VMEM_LIMIT_MB raises the planned scoped-VMEM budget:
-    the rows cap scales with it (8 per 16 MB — the round-4 retiling win
-    extended past Mosaic's default ceiling), mega_supported admits
-    bigger geometries, and the kernels request the raised limit via
-    CompilerParams.  Default (env unset) must stay EXACTLY the shipped
-    16 MB / rows<=8 behavior with no compiler-params override."""
+    """RADAR_TPU_VMEM_LIMIT_MB overrides the planned scoped-VMEM
+    budget: mega_supported admits bigger geometries under a raised
+    limit and the kernels request it via CompilerParams.  The default
+    (env unset) is 32 MB — the round-4 sweep's winner — requested from
+    Mosaic explicitly; the rows cap stays a HARD 8 at any budget
+    (deeper tiling measured uniformly slower, see _rows_for)."""
     from radar_tpu.ops.pallas import megakernel as mk
 
     monkeypatch.delenv("RADAR_TPU_VMEM_LIMIT_MB", raising=False)
     t, p = mk._detect_vmem_parts(RadarConfig())
-    assert mk._vmem_limit() == 16 << 20
-    assert mk._compiler_params() is None
-    base_rows = mk._rows_for(t, p, 512)
-    assert base_rows <= 8
+    assert mk._vmem_limit() == 32 << 20
+    params = mk._compiler_params()
+    assert params is not None and params.vmem_limit_bytes == 32 << 20
+    assert mk._rows_for(t, p, 512) == 8
     big = RadarConfig(num_samples=2048, num_chirps=1024)
     assert not mk.mega_supported(big)
+    # the heavy selftest geometry rides the default admission
+    assert mk.mega_supported(RadarConfig(num_samples=256, num_chirps=256))
+
+    # at Mosaic's own 16 MB ceiling no override is requested
+    monkeypatch.setenv("RADAR_TPU_VMEM_LIMIT_MB", "16")
+    assert mk._vmem_limit() == 16 << 20
+    assert mk._compiler_params() is None
+    assert mk._rows_for(t, p, 512) == 8
 
     monkeypatch.setenv("RADAR_TPU_VMEM_LIMIT_MB", "64")
     assert mk._vmem_limit() == 64 << 20
     params = mk._compiler_params()
     assert params is not None and params.vmem_limit_bytes == 64 << 20
-    assert mk._rows_for(t, p, 512) > base_rows
+    assert mk._rows_for(t, p, 512) == 8   # cap does NOT scale
 
     # a limit just above the big geometry's working set admits it
     need = max(sum(mk._maps_vmem_parts(big)), sum(mk._detect_vmem_parts(big)))
