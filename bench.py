@@ -226,7 +226,7 @@ def main() -> None:
             log(f"variant rd={rd} cfar={cfi}: {1000*dt:.2f} ms/{args.batch} "
                 f"frames = {args.batch/dt:.0f} fps")
 
-        # exact (stride-1) OS-CFAR via the Pallas rank-selection kernel:
+        # exact (stride-1) OS-CFAR via the Pallas box-count hits kernel:
         # the full 248-cell ring, no decimation (golden truth
         # radar_tpu/golden.py:313; upgraded detector for the reference's
         # argmax at acceleration.cu:522)
@@ -238,7 +238,7 @@ def main() -> None:
         outs = [p.detect(batch_dev, base_os) for _ in range(n_batches)]
         fence([o.power for o in outs])
         dt = (time.perf_counter() - t0) / n_batches
-        log(f"variant cfar_kind=os stride=1 (exact rank-selection Pallas "
+        log(f"variant cfar_kind=os stride=1 (exact Pallas box-count hits "
             f"kernel): {1000*dt:.2f} ms/{args.batch} = {args.batch/dt:.0f} "
             f"fps")
 

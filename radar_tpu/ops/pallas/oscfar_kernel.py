@@ -24,10 +24,12 @@ not a sort, and selection is a counting problem:
   then run at VPU/VMEM speed with zero HBM traffic.
 
 Measured on v5e (512-frame batch, default 128x128 maps, 248-cell ring):
-CFAR stage 41.8 ms/512 = 12,200 fps; FULL pipeline with exact stride-1
-OS-CFAR 49.3 ms/512 = 10,380 fps vs 118 fps for the XLA gather+sort —
-and bit-identical thresholds to jnp.sort on the same f32 ring
+rank-search stage 42.0 ms/512 = 12,200 fps vs 118 fps for the XLA
+gather+sort — bit-identical thresholds to jnp.sort on the same f32 ring
 (tests/test_pallas.py::TestPallasOSCFAR::test_bit_exact_vs_xla_sort).
+The detection pipelines skip the threshold map entirely via the
+one-pass HIT kernels below (box-count form: see its docstring for the
+stage/pipeline numbers).
 
 The reference detects with a bare argmax (acceleration.cu:522); the CFAR
 family is the north-star extension, golden truth radar_tpu/golden.py:313.
@@ -281,6 +283,102 @@ def _os_hits_kernel(
     hits_ref[0] = (cnt >= k).astype(jnp.int32)
 
 
+def _os_hits_box_kernel(
+    padded_ref,  # (f, dp, rp) f32 — f whole padded maps per grid step
+    hits_ref,    # (f, d_size, r_size) int32 0/1 hits
+    *,
+    wd: int,
+    wr: int,
+    gd: int,
+    gr: int,
+    d_size: int,
+    r_size: int,
+    k: int,
+    alpha: float,
+):
+    """Stride-1 hits via two REGULAR box counts.
+
+    At ``cfar_os_stride == 1`` the training ring is exactly the
+    (2wd+1) x (2wr+1) window box minus the (2gd+1) x (2gr+1) guard box,
+    and counts are integers, so ``count_ring = count_box - count_guard``
+    holds exactly (every cell counted once; the center cancels).
+    The loop structure is shaped by two measured Mosaic costs.  A fully
+    unrolled offset list keeps every per-offset temporary on the stack
+    (~5.6 B/cell/offset, the reason :func:`_os_hits_kernel` is clamped
+    to small Doppler tiles), so the RANGE shift runs as a ``fori_loop``
+    whose carry is the lane-rolled map, advanced by a constant -1 each
+    iteration (a dynamic ``pltpu.roll`` shift lowers to a log-step
+    barrel chain, ~8 ops/vreg: 28.4 ms/512; a CARRIED incremental roll
+    measured 23.6 when both loops were fori, still bound by the inner
+    carry's VMEM round-trip).  The DOPPLER shift is a short Python
+    unroll of STATIC sublane slices — no roll, no carry, and only
+    2*wd+1 offsets' temporaries live at once.
+
+    Invariants: abr at outer step jr == roll(ab, hw_r - jr), so lane
+    wr+r reads ab[.., wr+r+dr] with dr = jr - hw_r; the jd-th slice
+    starts at row wd-hw_d+jd, so row wd+d reads col[wd+d+dd] with
+    dd = jd - hw_d.  All read indices stay inside the real halo (never
+    the +inf alignment pad): rows span [wd-hw_d, D-1+wd+hw_d] subset
+    [0, dp), lanes span [wr-hw_r, R-1+wr+hw_r] subset [0, rp).
+
+    Measured on v5e (512-frame batch, default geometry, 248-cell ring,
+    stage_budget discipline): 10.9 ms/512 = 46.9k fps — 3.25x the
+    unrolled offsets kernel (35.5 ms) and 3.9x the rank search (42.0);
+    full OS pipeline 15.3 ms/512 = 33.5k fps (scripts/os_hits_ab.py,
+    2026-08-18).
+    """
+    blk = padded_ref[...]
+    ab = jnp.float32(alpha) * blk
+    p = blk[:, wd : wd + d_size, wr : wr + r_size]
+    zero = jnp.zeros(p.shape, jnp.int32)
+
+    def count_box(hw_d: int, hw_r: int, init):
+        n_d, n_r = 2 * hw_d + 1, 2 * hw_r + 1
+
+        def outer(jr, carry):
+            cnt, abr = carry
+            col = abr[:, :, wr : wr + r_size]
+            for jd in range(n_d):  # static sublane slices, unrolled
+                w = col[:, wd - hw_d + jd : wd - hw_d + jd + d_size, :]
+                cnt = cnt + (w < p).astype(jnp.int32)
+            # -1 mod n: pltpu.roll requires non-negative shifts
+            return cnt, pltpu.roll(abr, abr.shape[2] - 1, axis=2)
+
+        cnt, _ = jax.lax.fori_loop(
+            0, n_r, outer, (init, pltpu.roll(ab, hw_r, axis=2))
+        )
+        return cnt
+
+    cnt = count_box(wd, wr, zero) - count_box(gd, gr, zero)
+    hits_ref[...] = (cnt >= k).astype(jnp.int32)
+
+
+def _pick_box_frames(b: int, dp: int, rp: int, d_size: int,
+                     r_size: int) -> int:
+    """Frames per grid step for the box kernel: largest power of two
+    whose working set fits ~10 MB of the 16 MB scoped-VMEM ceiling.
+    Charged per frame: the double-buffered in block (2x dp*rp f32) plus
+    blk/ab copies (2x), the lane-rolled column (dp*r), and ~7 map-sized
+    f32/i32 values (p, w, cnt carry in/out, compare temporaries, the
+    double-buffered out block) — calibrated against Mosaic's measured
+    17.55 MB at f=16, dp=144, rp=256, D=R=128 (~1.10 MB/frame)."""
+    per_frame = 4 * (4 * dp * rp + dp * r_size + 7 * d_size * r_size)
+    f = 1
+    while f < min(b, 64) and per_frame * f * 2 <= (10 << 20):
+        f *= 2
+    return f
+
+
+def _box_hits_fits(b: int, d_size: int, r_size: int, wd: int,
+                   wr: int) -> bool:
+    """Whether the box kernel's f=1 working set fits its VMEM budget
+    (at the register-aligned padded dims the call site rounds up to)."""
+    dp = -(-(d_size + 2 * wd) // 8) * 8
+    rp = -(-(r_size + 2 * wr) // 128) * 128
+    per_frame = 4 * (4 * dp * rp + dp * r_size + 7 * d_size * r_size)
+    return per_frame * 2 <= (10 << 20)
+
+
 def _pick_hits_tile(d_size: int, wd: int, dp: int, rp: int,
                     r_size: int, n_off: int) -> int:
     """Largest Doppler tile whose working set stays inside a
@@ -315,15 +413,19 @@ def _pick_hits_tile(d_size: int, wd: int, dp: int, rp: int,
 
 def os_hits_supported(d_size: int, r_size: int, cfg) -> bool:
     """True when :func:`os_cfar_hits_pallas` can run this geometry —
-    the non-raising form of its two gates (VMEM-resident padded map,
-    8-aligned Doppler tiling).  ``cfar_detect(hits_only=True)`` checks
-    this and falls back to the rank-search kernel (whose ring-scratch
-    budget admits a different set of geometries) when False."""
+    the non-raising form of its gates (box-count form at stride 1, else
+    the offsets form's VMEM-resident padded map + 8-aligned Doppler
+    tiling).  ``cfar_detect(hits_only=True)`` checks this and falls
+    back to the rank-search kernel (whose ring-scratch budget admits a
+    different set of geometries) when False."""
     from radar_tpu.ops.cfar import os_ring_params
 
     gd, gr = cfg.cfar_guard
     td, tr = cfg.cfar_train
     wd, wr = gd + td, gr + tr
+    if cfg.cfar_os_stride == 1 and _box_hits_fits(1, d_size, r_size,
+                                                  wd, wr):
+        return True
     dp, rp = d_size + 2 * wd, r_size + 2 * wr
     n_off = len(os_ring_params(cfg)[0])
     try:
@@ -334,16 +436,28 @@ def os_hits_supported(d_size: int, r_size: int, cfg) -> bool:
     return n_tiles == 1 or (d_tile % 8 == 0 and n_tiles * d_tile == d_size)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "impl"))
 def os_cfar_hits_pallas(
     power: jnp.ndarray,
     cfg,
     interpret: bool = False,
+    impl: str = "auto",
 ) -> jnp.ndarray:
-    """OS-CFAR hit map via the one-pass counting kernel (no threshold).
+    """OS-CFAR hit map via a counting kernel (no threshold).
 
     Bit-identical to ``power > os_cfar_2d_pallas(power, cfg)[1]`` (see
-    the counting-identity note above) at ~1/20 the vector work.
+    the counting-identity note above) at a fraction of the vector work.
+
+    Two kernel forms behind one contract:
+
+    * ``'box'`` (stride 1 only): ring count = train-box count minus
+      guard-box count, two nested fori_loops over dynamic rolls — the
+      fast form (see :func:`_os_hits_box_kernel`).
+    * ``'offsets'``: the unrolled per-offset counting loop, any stride,
+      Doppler-tiled under the Mosaic stack budget
+      (:func:`_os_hits_kernel`).
+
+    ``'auto'`` picks 'box' at stride 1 when its VMEM estimate fits.
 
     Args:
       power: float32 (..., doppler, range) NON-NEGATIVE power map.
@@ -357,6 +471,58 @@ def os_cfar_hits_pallas(
 
     x, lead, d_size, r_size, wd, wr = _prepare(power, cfg)
     b = x.shape[0]
+
+    if impl not in ("auto", "box", "offsets"):
+        raise ValueError(f"unknown OS hits impl {impl!r}")
+    use_box = impl == "box" or (
+        impl == "auto" and cfg.cfar_os_stride == 1
+        and _box_hits_fits(b, d_size, r_size, wd, wr)
+    )
+    if use_box:
+        if cfg.cfar_os_stride != 1:
+            raise ValueError("the box-count OS hits kernel is exact only "
+                             "at cfar_os_stride == 1")
+        gd, gr = cfg.cfar_guard
+        # Mosaic's dynamic_rotate wants register-aligned shapes: pad the
+        # map to (8k sublanes, 128k lanes) with +inf — inf ring cells
+        # never satisfy RN(alpha*v) < p, and interior windows stay
+        # inside the real halo anyway (see the kernel docstring)
+        dp8 = -(-x.shape[-2] // 8) * 8
+        rp128 = -(-x.shape[-1] // 128) * 128
+        if (dp8, rp128) != x.shape[-2:]:
+            x = jnp.pad(x, ((0, 0), (0, dp8 - x.shape[-2]),
+                            (0, rp128 - x.shape[-1])),
+                        constant_values=jnp.inf)
+        f = _pick_box_frames(b, dp8, rp128, d_size, r_size)
+        n_steps = -(-b // f)
+        if n_steps * f != b:
+            x = jnp.pad(x, ((0, n_steps * f - b), (0, 0), (0, 0)),
+                        constant_values=jnp.inf)
+        kernel = functools.partial(
+            _os_hits_box_kernel,
+            wd=wd, wr=wr, gd=gd, gr=gr,
+            d_size=d_size, r_size=r_size, k=k, alpha=alpha,
+        )
+        hits = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_steps * f, d_size, r_size), jnp.int32
+            ),
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(
+                    (f, x.shape[-2], x.shape[-1]),
+                    lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (f, d_size, r_size), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=interpret,
+        )(x)
+        return hits[:b].astype(bool).reshape(lead + (d_size, r_size))
 
     d_tile = _pick_hits_tile(d_size, wd, x.shape[-2], x.shape[-1], r_size,
                              len(offsets))

@@ -212,9 +212,11 @@ def check_oscfar_exact():
 
 
 def check_oscfar_hits_one_pass():
-    """One-pass OS-CFAR counting kernel: hit map identical to the
+    """One-pass OS-CFAR counting kernels: hit maps identical to the
     rank-search kernel's ``power > threshold`` (the counting identity
-    must hold COMPILED, not just in interpret mode)."""
+    must hold COMPILED, not just in interpret mode) — BOTH the stride-1
+    box-count form (dynamic-roll fori_loops, the production choice) and
+    the unrolled per-offset form."""
     import jax.numpy as jnp
 
     from radar_tpu.config import RadarConfig
@@ -228,14 +230,17 @@ def check_oscfar_hits_one_pass():
     power = (rng.gamma(
         2.0, 100.0, (4, cfg.doppler_fft_size, cfg.range_fft_size)
     ).astype(np.float32))
+    power[2, 0, 0] = power[3, -1, -1] = 9e5   # edge/halo coverage
     pd = jnp.asarray(power)
     hits_want, _ = _materialize(
         os_cfar_2d_pallas(pd, cfg, interpret=_interpret())
     )
-    hits_got = _materialize(
-        os_cfar_hits_pallas(pd, cfg, interpret=_interpret())
-    )
-    np.testing.assert_array_equal(hits_got, hits_want)
+    for impl in ("box", "offsets"):
+        hits_got = _materialize(
+            os_cfar_hits_pallas(pd, cfg, interpret=_interpret(), impl=impl)
+        )
+        np.testing.assert_array_equal(hits_got, hits_want,
+                                      err_msg=f"impl={impl}")
 
 
 def check_band_cfar():

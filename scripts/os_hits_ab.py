@@ -85,8 +85,13 @@ def main() -> None:
             lambda p: os_cfar_2d_pallas(p, cfg),
             lambda out: [out[0].astype(jnp.float32), out[1]],
         ))
-    timed("stage-hits", stage_runner(
-        lambda p: os_cfar_hits_pallas(p, cfg),
+    if args.stride == 1:
+        timed("stage-hits-box", stage_runner(
+            lambda p: os_cfar_hits_pallas(p, cfg, impl="box"),
+            lambda out: [out.astype(jnp.float32)],
+        ))
+    timed("stage-hits-off", stage_runner(
+        lambda p: os_cfar_hits_pallas(p, cfg, impl="offsets"),
         lambda out: [out.astype(jnp.float32)],
     ))
 

@@ -331,6 +331,54 @@ class TestPallasOSCFAR:
                                         interpret=True)
             np.testing.assert_array_equal(got, p2 > np.asarray(thr2))
 
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {},
+            {"cfar_range_mode": "wrap"},
+            {"cfar_os_k_frac": 0.9},
+            {"cfar_guard": (1, 1), "cfar_train": (2, 3)},
+            {"num_samples": 48, "num_chirps": 64},   # non-aligned dims
+        ],
+    )
+    def test_hits_box_matches_offsets(self, kw):
+        """The stride-1 box-count form (train box minus guard box, exact
+        integer subtraction) == the unrolled per-offset count, bit-for-
+        bit, including edge cells whose windows read the wrap/reflect
+        halo and the +inf alignment padding."""
+        from radar_tpu.ops.pallas.oscfar_kernel import os_cfar_hits_pallas
+
+        cfg = RadarConfig(cfar_kind="os", **kw)
+        d, r = cfg.doppler_fft_size, cfg.range_fft_size
+        rng = np.random.default_rng(47)
+        power = rng.gamma(2.0, 100.0, (2, d, r)).astype(np.float32)
+        # force hits near every edge so halo/padding mistakes surface
+        for dd, rr in [(0, 0), (0, r - 1), (d - 1, 0), (d - 1, r - 1),
+                       (d // 2, r // 2)]:
+            power[1, dd, rr] = 8e5
+        box = os_cfar_hits_pallas(jnp.asarray(power), cfg, interpret=True,
+                                  impl="box")
+        off = os_cfar_hits_pallas(jnp.asarray(power), cfg, interpret=True,
+                                  impl="offsets")
+        assert np.asarray(box).any()
+        np.testing.assert_array_equal(np.asarray(box), np.asarray(off))
+
+    def test_hits_box_requires_stride_1(self):
+        """The box decomposition is exact only for the undecimated ring;
+        forcing it at stride > 1 must refuse, and auto must route to the
+        offsets form instead."""
+        from radar_tpu.ops.pallas.oscfar_kernel import os_cfar_hits_pallas
+
+        cfg = RadarConfig(cfar_kind="os", cfar_os_stride=3)
+        power = self._power(cfg, frames=1)
+        with pytest.raises(ValueError, match="stride"):
+            os_cfar_hits_pallas(jnp.asarray(power), cfg, interpret=True,
+                                impl="box")
+        got = os_cfar_hits_pallas(jnp.asarray(power), cfg, interpret=True)
+        want = os_cfar_hits_pallas(jnp.asarray(power), cfg, interpret=True,
+                                   impl="offsets")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_hits_supported_predicate_and_fallback(self):
         """os_hits_supported mirrors the hits kernel's gates without
         raising; cfar_detect(hits_only=True) falls back to the
