@@ -296,12 +296,13 @@ def _os_hits_box_kernel(
     k: int,
     alpha: float,
 ):
-    """Stride-1 hits via two REGULAR box counts.
+    """Stride-1 hits via ONE regular box count with the guard masked.
 
     At ``cfar_os_stride == 1`` the training ring is exactly the
     (2wd+1) x (2wr+1) window box minus the (2gd+1) x (2gr+1) guard box,
-    and counts are integers, so ``count_ring = count_box - count_guard``
-    holds exactly (every cell counted once; the center cancels).
+    and counts are integers, so excluding the guard cells' indicators
+    from the box accumulation gives the ring count exactly (every cell
+    counted once; the center is a guard cell).
     The loop structure is shaped by two measured Mosaic costs.  A fully
     unrolled offset list keeps every per-offset temporary on the stack
     (~5.6 B/cell/offset, the reason :func:`_os_hits_kernel` is clamped
@@ -314,42 +315,49 @@ def _os_hits_box_kernel(
     unroll of STATIC sublane slices — no roll, no carry, and only
     2*wd+1 offsets' temporaries live at once.
 
-    Invariants: abr at outer step jr == roll(ab, hw_r - jr), so lane
-    wr+r reads ab[.., wr+r+dr] with dr = jr - hw_r; the jd-th slice
-    starts at row wd-hw_d+jd, so row wd+d reads col[wd+d+dd] with
-    dd = jd - hw_d.  All read indices stay inside the real halo (never
-    the +inf alignment pad): rows span [wd-hw_d, D-1+wd+hw_d] subset
-    [0, dp), lanes span [wr-hw_r, R-1+wr+hw_r] subset [0, rp).
+    Invariants: abr at outer step jr == roll(ab, wr - jr), so lane
+    wr+r reads ab[.., wr+r+dr] with dr = jr - wr; the jd-th slice
+    starts at row jd, so row wd+d reads col[wd+d+dd] with dd = jd - wd.
+    All read indices stay inside the real halo (never the +inf
+    alignment pad): rows span [0, D-1+2wd] subset [0, dp), lanes span
+    [wr-wr, R-1+2wr] subset [0, rp).
 
     Measured on v5e (512-frame batch, default geometry, 248-cell ring,
-    stage_budget discipline): 10.9 ms/512 = 46.9k fps — 3.25x the
-    unrolled offsets kernel (35.5 ms) and 3.9x the rank search (42.0);
-    full OS pipeline 15.3 ms/512 = 33.5k fps (scripts/os_hits_ab.py,
-    2026-08-18).
+    stage_budget discipline): 10.5 ms/512 = 48.8k fps — 3.4x the
+    unrolled offsets kernel (35.2 ms) and 4.0x the rank search (42.0);
+    full OS pipeline 14.8 ms/512 = 34.6k fps (scripts/os_hits_ab.py,
+    2026-08-18).  Negative result: an int16 count carry (halving the
+    carry's VMEM round-trip) measured 13.3 ms — Mosaic repacks the
+    (8,128) f32-native compare result into (16,128) i16 registers per
+    iteration, costing more than the saved bandwidth; keep i32.
     """
     blk = padded_ref[...]
     ab = jnp.float32(alpha) * blk
     p = blk[:, wd : wd + d_size, wr : wr + r_size]
-    zero = jnp.zeros(p.shape, jnp.int32)
+    n_d, n_r = 2 * wd + 1, 2 * wr + 1
 
-    def count_box(hw_d: int, hw_r: int, init):
-        n_d, n_r = 2 * hw_d + 1, 2 * hw_r + 1
+    def outer(jr, carry):
+        cnt, abr = carry
+        col = abr[:, :, wr : wr + r_size]
+        # dr = jr - wr; guard columns are the 2*gr+1 middle ones.  The
+        # guard exclusion folds into the SAME pass as masked adds on the
+        # 2*gd+1 static guard rows (a second counting pass would pay the
+        # cnt/abr carry round-trip 2*gr+1 more times — more VMEM traffic
+        # than these selects cost in VPU time).
+        in_guard_col = jnp.abs(jr - wr) <= gr
+        for jd in range(n_d):  # static sublane slices, unrolled
+            w = col[:, jd : jd + d_size, :]
+            ind = (w < p).astype(jnp.int32)
+            if abs(jd - wd) <= gd:
+                ind = jnp.where(in_guard_col, jnp.int32(0), ind)
+            cnt = cnt + ind
+        # -1 mod n: pltpu.roll requires non-negative shifts
+        return cnt, pltpu.roll(abr, abr.shape[2] - 1, axis=2)
 
-        def outer(jr, carry):
-            cnt, abr = carry
-            col = abr[:, :, wr : wr + r_size]
-            for jd in range(n_d):  # static sublane slices, unrolled
-                w = col[:, wd - hw_d + jd : wd - hw_d + jd + d_size, :]
-                cnt = cnt + (w < p).astype(jnp.int32)
-            # -1 mod n: pltpu.roll requires non-negative shifts
-            return cnt, pltpu.roll(abr, abr.shape[2] - 1, axis=2)
-
-        cnt, _ = jax.lax.fori_loop(
-            0, n_r, outer, (init, pltpu.roll(ab, hw_r, axis=2))
-        )
-        return cnt
-
-    cnt = count_box(wd, wr, zero) - count_box(gd, gr, zero)
+    cnt, _ = jax.lax.fori_loop(
+        0, n_r, outer,
+        (jnp.zeros(p.shape, jnp.int32), pltpu.roll(ab, wr, axis=2)),
+    )
     hits_ref[...] = (cnt >= k).astype(jnp.int32)
 
 
