@@ -330,6 +330,11 @@ def _os_hits_box_kernel(
     carry's VMEM round-trip) measured 13.3 ms — Mosaic repacks the
     (8,128) f32-native compare result into (16,128) i16 registers per
     iteration, costing more than the saved bandwidth; keep i32.
+    Unrolling the outer fori_loop is also closed: Pallas supports only
+    unroll=1 or full unroll, and the full unroll keeps all n_r
+    iterations' per-slice temporaries on the stack at once (45 MB
+    scoped-VMEM at the default geometry vs the 16 MB limit) — the
+    carried form is the only admissible schedule.
     """
     blk = padded_ref[...]
     ab = jnp.float32(alpha) * blk
