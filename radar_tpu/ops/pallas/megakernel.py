@@ -183,20 +183,19 @@ def _range_lhs(raw_f32, precision):
 # the kernel
 
 
-def _frame_maps(raw_f, a2, l2, br_ref, bi_ref, *, split,
-                dprec, cv, s2, kc, tvr, d_size, tv, r_size, mean_clutter,
-                tx, n_chirps):
-    """One frame's (zr parts, zi parts, p) from its raw int16 block, all
-    in VMEM, via ONE range dot and ONE Doppler dot; a2/l2 are the packed
-    host-built constants (:func:`_range_consts` / :func:`_dop_lhs_consts`
-    — the kernel never splits, negates or re-stacks a DFT matrix).
-    The returned range planes are CLUTTER-REMOVED (base subtracted or
-    chirp-mean subtracted) and PRE-SPLIT at the configured precision
-    (a (hi, lo) bf16 pair for 'high', the plain f32 plane otherwise) —
-    split is elementwise, so splitting BEFORE the demux reshape yields
-    the same Doppler operands while letting the detect variant store the
-    parts and gather AoA snapshots from them without re-splitting (and,
-    for 'high', halving the bytes the demux relayout moves).
+def _range_stage(raw_f, a2, br_ref, bi_ref, *, split, dprec, cv, s2,
+                 r_size, mean_clutter, n_chirps):
+    """One frame's clutter-removed, pre-split range planes, all in VMEM,
+    via ONE range dot; a2 is the packed host-built constant
+    (:func:`_range_consts` — the kernel never splits, negates or
+    re-stacks a DFT matrix).  The returned planes are CLUTTER-REMOVED
+    (base subtracted or chirp-mean subtracted) and PRE-SPLIT at the
+    configured precision (a (hi, lo) bf16 pair for 'high', the plain f32
+    plane otherwise) — split is elementwise, so splitting BEFORE the
+    demux reshape yields the same Doppler operands while letting the
+    detect variant store the parts and gather AoA snapshots from them
+    without re-splitting (and, for 'high', halving the bytes the demux
+    relayout moves).
 
     Chirp-mean clutter removal runs in zr space — mean over all chirps
     per (v, r) via the (C*V, R) -> (C, V*R) lane-merge reshape — which is
@@ -217,15 +216,34 @@ def _frame_maps(raw_f, a2, l2, br_ref, bi_ref, *, split,
     else:
         zr = zr - br_ref[:]
         zi = zi - bi_ref[:]
-    zrp = split(zr)
-    zip_ = split(zi)
+    return split(zr), split(zi)
+
+
+def _doppler_power(zrp, zip_, l2, *, dprec, kc, tvr, d_size, tv, r_size):
+    """Demux + Doppler DFT + power integration for one frame's pre-split
+    range planes, via ONE Doppler dot against the slot-packed l2
+    constant (:func:`_dop_lhs_consts`)."""
+    prec = jax.lax.Precision.HIGHEST if dprec == "highest" else None
     xr = tuple(t.reshape(kc, tvr) for t in zrp)   # TDM demux: contiguous
     xi = tuple(t.reshape(kc, tvr) for t in zip_)  # in-VMEM reshape
     rhs = _dop_rhs(xr, xi, dprec)    # slot-stacked along the contraction
     dd = _DOT(l2, rhs, precision=prec)    # (2D, TV*R): [dr; di] planes,
     dr = dd[:d_size]                      # ONE dot, ONE f32 chain/cell
     di = dd[d_size:]
-    p = (dr * dr + di * di).reshape(d_size, tv, r_size).sum(axis=1)
+    return (dr * dr + di * di).reshape(d_size, tv, r_size).sum(axis=1)
+
+
+def _frame_maps(raw_f, a2, l2, br_ref, bi_ref, *, split,
+                dprec, cv, s2, kc, tvr, d_size, tv, r_size, mean_clutter,
+                tx, n_chirps):
+    """One frame's (zr parts, zi parts, p): :func:`_range_stage` then
+    :func:`_doppler_power` — ONE range dot and ONE Doppler dot total."""
+    zrp, zip_ = _range_stage(
+        raw_f, a2, br_ref, bi_ref, split=split, dprec=dprec, cv=cv, s2=s2,
+        r_size=r_size, mean_clutter=mean_clutter, n_chirps=n_chirps,
+    )
+    p = _doppler_power(zrp, zip_, l2, dprec=dprec, kc=kc, tvr=tvr,
+                       d_size=d_size, tv=tv, r_size=r_size)
     return zrp, zip_, p
 
 
@@ -691,13 +709,29 @@ def _mega_detect_kernel(
     sentinel = jnp.float32(_F32_MIN)
 
     # -- phase A: per-frame front-end; maps live only in VMEM scratch ----
+    # (phases='a0'/'a1'/'a2' stop after the range stage / Doppler+power /
+    # threshold+mask store — the perf-decomposition prefixes that locate
+    # the front-end's VPU cost; scratch stores are memref side effects,
+    # so Mosaic keeps each prefix's real work)
     for f in range(rows):
-        zrp, zip_, p = _frame_maps(
-            raw_ref[f], a2, l2, br_ref, bi_ref,
-            split=split, dprec=precision, cv=cv, s2=s2, kc=kc, tvr=tvr,
-            d_size=d_size, tv=tv, r_size=r_size,
-            mean_clutter=mean_clutter, tx=tx, n_chirps=n_chirps,
+        zrp, zip_ = _range_stage(
+            raw_ref[f], a2, br_ref, bi_ref,
+            split=split, dprec=precision, cv=cv, s2=s2, r_size=r_size,
+            mean_clutter=mean_clutter, n_chirps=n_chirps,
         )
+        if precision == "high":
+            zr_s[f] = jnp.concatenate(zrp, axis=1)    # [hi | lo], aligned
+            zi_s[f] = jnp.concatenate(zip_, axis=1)
+        else:
+            zr_s[f] = zrp[0]
+            zi_s[f] = zip_[0]
+        if phases == "a0":
+            continue
+        p = _doppler_power(zrp, zip_, l2, dprec=precision, kc=kc, tvr=tvr,
+                           d_size=d_size, tv=tv, r_size=r_size)
+        p_s[f] = p
+        if phases == "a1":
+            continue
         th = thresh(p)
         # sentinel (not -inf) for non-hits: the knockout's -inf then sorts
         # strictly below every untaken cell, reproducing lax.top_k's
@@ -712,13 +746,15 @@ def _mega_detect_kernel(
         mask_s[f * s_pack : (f + 1) * s_pack] = jnp.where(
             p > th, p, sentinel
         ).reshape(s_pack, (d_size * r_size) // s_pack)
-        p_s[f] = p
-        if precision == "high":
-            zr_s[f] = jnp.concatenate(zrp, axis=1)    # [hi | lo], aligned
-            zi_s[f] = jnp.concatenate(zip_, axis=1)
-        else:
-            zr_s[f] = zrp[0]
-            zi_s[f] = zip_[0]
+
+    if phases in ("a0", "a1", "a2"):
+        nh_ref[:] = jnp.zeros((rows, 1, 1), jnp.int32)
+        idx_ref[:] = jnp.zeros((rows, 1, k_det), jnp.int32)
+        val_ref[:] = jnp.zeros((rows, 1, k_det), jnp.float32)
+        nbr_ref[:] = jnp.zeros((rows, k_det, 8), jnp.float32)
+        sre_ref[:] = jnp.zeros((rows, tv, k_det), jnp.float32)
+        sim_ref[:] = jnp.zeros((rows, tv, k_det), jnp.float32)
+        return
 
     # -- phase B1: top-K knockout, vectorized across the step's frames ---
     # m is (rows*s_pack, n2): frame f's cells [c*n2, (c+1)*n2) live in row

@@ -103,6 +103,18 @@ def main() -> None:
     # ---- prefix programs of the shipped (round-4 detect kernel) path ------
     from radar_tpu.ops.pallas.megakernel import _mega_detect_call
 
+    def p_a0(s, b):   # range dot + clutter removal + split/store only
+        return _mega_detect_call(s, b, cfg, True, 16, False, None,
+                                 phases="a0")
+
+    def p_a1(s, b):   # + TDM demux + Doppler dot + power integration
+        return _mega_detect_call(s, b, cfg, True, 16, False, None,
+                                 phases="a1")
+
+    def p_a2(s, b):   # + CFAR threshold + masked-map store
+        return _mega_detect_call(s, b, cfg, True, 16, False, None,
+                                 phases="a2")
+
     def p_a(s, b):    # front-end + CFAR mask (no selection)
         return _mega_detect_call(s, b, cfg, True, 16, False, None,
                                  phases="a")
@@ -119,6 +131,9 @@ def main() -> None:
         return _mega_detect_call(s, b, cfg, True, 16, False, None)
 
     prefixes = [
+        ("a0 range dot + clutter + split/store", p_a0),
+        ("a1 + demux + Doppler dot + power", p_a1),
+        ("a2 + CFAR threshold + mask store", p_a2),
         ("k0 front-end + CFAR mask (phases='a')", p_a),
         ("k1 detect kernel through top-K (phases='b1')", p_b1),
         ("k2 + interp neighbor gathers (phases='b2')", p_b2),
