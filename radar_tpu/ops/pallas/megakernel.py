@@ -160,23 +160,44 @@ def _range_consts(art, ait, precision):
     pairing the kernel's raw slots [raw_h, raw_l, raw_h] (terms rh@ah +
     rl@ah + rh@al — the 3-pass set; the dropped rl@al is the tiny-by-tiny
     term every 3-pass form drops, and the int16 raw's hi/lo split is
-    EXACT, so accuracy matches the former per-operand form).  Other
-    modes: (2S, 2R) f32, the dot precision does the work."""
+    EXACT, so accuracy matches the former per-operand form).
+    'default': (2S, 2R) bf16 — the kernel feeds a bf16 raw and one
+    explicit bf16 pass IS the mode's semantics.  'highest': (2S, 2R) f32,
+    the HIGHEST dot precision does the work.
+
+    A 4-slot variant pairing an int16 AND-split lhs ([raw&0xFF00,
+    raw&0x00FF] — both exact in bf16, no f32 materialization) with slots
+    [a_h, a_h, a_l, a_l] was built and measured SLOWER end-to-end
+    (detect() 4.44 vs 4.27 ms/512 on v5e, same session): the 4th MXU
+    pass + the 33%-wider lhs concat cost more than the removed
+    cast/split VPU chain, and the 3-slot form of the AND split is
+    blocked on accuracy (the dropped rl@al term scales with the
+    ABSOLUTE <=255 residual, ~1e-3-class on small ADC values vs RN's
+    relative residual).  scripts/i16_split_ab.py keeps the recipe."""
     if precision == "high":
         def pack3(a):
             ah, al = _split(a)
             return jnp.concatenate([ah, ah, al], axis=0)
 
         return jnp.concatenate([pack3(art), pack3(ait)], axis=1)
-    return jnp.concatenate([art, ait], axis=1)
+    a2 = jnp.concatenate([art, ait], axis=1)
+    return a2 if precision == "highest" else a2.astype(jnp.bfloat16)
 
 
-def _range_lhs(raw_f32, precision):
-    """Per-frame range LHS in :func:`_range_consts`'s slot order."""
+def _range_lhs(raw_i16, precision):
+    """Per-frame range LHS from the INT16 raw frame, in
+    :func:`_range_consts`'s slot order.
+
+    'default' feeds bf16(raw) directly — int16->bf16 RN equals
+    f32->bf16 RN of the exact f32 cast (int16->f32 is exact), so this
+    is bit-identical to the former f32-operand DEFAULT-precision dot at
+    half the cast vregs.  'highest' keeps the exact f32 operand."""
     if precision == "high":
-        rh, rl = _split(raw_f32)
+        rh, rl = _split(raw_i16.astype(jnp.float32))
         return jnp.concatenate([rh, rl, rh], axis=1)
-    return raw_f32
+    if precision == "highest":
+        return raw_i16.astype(jnp.float32)
+    return raw_i16.astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -203,7 +224,7 @@ def _range_stage(raw_f, a2, br_ref, bi_ref, *, split, dprec, cv, s2,
     summation order, same cells) and keeps the demuxed planes clean.
     """
     prec = jax.lax.Precision.HIGHEST if dprec == "highest" else None
-    lhs = _range_lhs(raw_f.reshape(cv, s2).astype(jnp.float32), dprec)
+    lhs = _range_lhs(raw_f.reshape(cv, s2), dprec)
     z2c = _DOT(lhs, a2, precision=prec)   # (C*V, 2R): [zr | zi] planes
     zr = z2c[:, :r_size]
     zi = z2c[:, r_size:]

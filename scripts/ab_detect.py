@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--precision", default=None,
+                    help="dft_precision override (default/high/highest)")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +44,8 @@ def main() -> None:
     from radar_tpu.models.rd_pipeline import RDPipeline
     from radar_tpu.utils.timing import fence
 
-    cfg = RadarConfig()
+    cfg = (RadarConfig(dft_precision=args.precision) if args.precision
+           else RadarConfig())
     pipe = RDPipeline(cfg, max_detections=16)
     cap = synthesize_capture(
         [SceneTarget(range_m=3.0, velocity_mps=2.0, azimuth_deg=20.0,

@@ -592,12 +592,14 @@ def test_window_kind_end_to_end_parity(targets):
 
 
 def test_packed_front_end_slot_pairing():
-    """The mega kernel's packed single-dot stages carry exactly the
-    3-pass bf16 term set: the (2D, 6Kc) Doppler constant against the
-    fixed RHS slot order reproduces hi*hi + hi*lo + lo*hi for
+    """The mega kernel's packed single-dot stages carry exactly their
+    term sets: the (2D, 6Kc) Doppler constant against the fixed RHS slot
+    order reproduces the 3-pass hi*hi + hi*lo + lo*hi for
     dr = fr@xr - fi@xi / di = fr@xi + fi@xr, and the (3*2S, 2R) range
-    constant against [raw_h, raw_l, raw_h] reproduces it for zr/zi.
-    Guards the slot order in _dop_lhs_consts/_dop_rhs/_range_consts."""
+    constant against the int16 raw's RN-split slots [raw_h, raw_l,
+    raw_h] reproduces raw @ a to the 3-pass error class (the int16
+    hi/lo split itself is exact: rh + rl == raw).  Guards the slot
+    order in _dop_lhs_consts/_dop_rhs/_range_consts."""
     import numpy as np
 
     from radar_tpu.ops.pallas.megakernel import (
@@ -632,16 +634,21 @@ def test_packed_front_end_slot_pairing():
         rtol=2e-5, atol=1e-5)
 
     s2, r = 24, 16
-    raw = jnp.asarray(
-        rng.integers(-2000, 2000, size=(kc, s2)), jnp.float32)
-    art = jnp.asarray(rng.normal(size=(s2, r)), jnp.float32)
-    ait = jnp.asarray(rng.normal(size=(s2, r)), jnp.float32)
+    raw_i = rng.integers(-2000, 2000, size=(kc, s2)).astype(np.int16)
+    raw = jnp.asarray(raw_i)
+    art64 = rng.normal(size=(s2, r))
+    ait64 = rng.normal(size=(s2, r))
+    art = jnp.asarray(art64, jnp.float32)
+    ait = jnp.asarray(ait64, jnp.float32)
     a2 = _range_consts(art, ait, "high")
     z2 = jnp.dot(_range_lhs(raw, "high"), a2,
                  preferred_element_type=jnp.float32)
-    np.testing.assert_allclose(
-        np.asarray(z2[:, :r]), np.asarray(dot3(raw, art)),
-        rtol=2e-5, atol=1e-4)
-    np.testing.assert_allclose(
-        np.asarray(z2[:, r:]), np.asarray(dot3(raw, ait)),
-        rtol=2e-5, atol=1e-4)
+    # the RN hi/lo split of an int16 value is exact: rh + rl == raw
+    lhs3 = np.asarray(_range_lhs(raw, "high"), np.float64)
+    np.testing.assert_array_equal(
+        lhs3[:, :s2] + lhs3[:, s2:2 * s2], raw_i.astype(np.float64))
+    want_r = raw_i.astype(np.float64) @ art64
+    want_i = raw_i.astype(np.float64) @ ait64
+    scale = max(np.abs(want_r).max(), np.abs(want_i).max())
+    assert np.abs(np.asarray(z2[:, :r]) - want_r).max() / scale < 3e-5
+    assert np.abs(np.asarray(z2[:, r:]) - want_i).max() / scale < 3e-5
