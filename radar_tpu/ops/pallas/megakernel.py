@@ -93,11 +93,17 @@ _DOT = functools.partial(
 
 
 def _make_split(precision: str):
-    """Plane splitter: (hi, lo) bf16 pair for 'high', identity 1-tuple
-    otherwise (operands stay f32 and the dot precision does the work)."""
+    """Plane splitter: (hi, lo) bf16 pair for 'high'; a single EXPLICIT
+    bf16 term for 'default' (the mode's one MXU pass rounds the f32
+    plane to bf16 at the dot anyway, so casting at the split point is
+    bit-identical while halving the bytes the demux reshape, the
+    Doppler-RHS concat and the plane scratch move); identity 1-tuple
+    for 'highest' (exact f32 operands, HIGHEST dot precision)."""
     if precision == "high":
         return _split
-    return lambda x: (x,)
+    if precision == "highest":
+        return lambda x: (x,)
+    return lambda x: (x.astype(jnp.bfloat16),)
 
 
 # ---------------------------------------------------------------------------
@@ -129,7 +135,9 @@ def _dop_lhs_consts(fr, fi, precision):
     dr needs fr_h@xr_h + fr_h@xr_l + fr_l@xr_h (XLA's 3-pass terms) minus
     the same three for fi@xi, so ldr = [fr_h, fr_h, fr_l, -fi_h, -fi_h,
     -fi_l]; di swaps the operand families.  Single-pass modes pair
-    [fr, -fi] / [fi, fr] against RHS [xr, xi]."""
+    [fr, -fi] / [fi, fr] against RHS [xr, xi] — bf16 for 'default' (the
+    kernel's RHS planes are bf16 there, and pre-rounding the constant
+    host-side is exactly what the mode's one-pass dot would do)."""
     if precision == "high":
         frh, frl = _split(fr)
         fih, fil = _split(fi)
@@ -138,7 +146,8 @@ def _dop_lhs_consts(fr, fi, precision):
     else:
         ldr = jnp.concatenate([fr, -fi], axis=1)
         ldi = jnp.concatenate([fi, fr], axis=1)
-    return jnp.concatenate([ldr, ldi], axis=0)
+    l2 = jnp.concatenate([ldr, ldi], axis=0)
+    return l2 if precision == "highest" else l2.astype(jnp.bfloat16)
 
 
 def _dop_rhs(xr, xi, precision):
@@ -943,8 +952,11 @@ def _mega_detect_kernel(
         def f_dot(x, oh2_b):
             return _DOT(x, oh2_b)
     else:
+        # 'default': the stored planes are already bf16 — a bf16 dot
+        # against the bf16 one-hot gathers them EXACTLY (what the f32
+        # form's single bf16 pass produced on the fly)
         def g_dot(z_f, oh_b):
-            return _DOT(z_f, oh_b.astype(jnp.float32))
+            return _DOT(z_f, oh_b)
 
         def f_dot(x, oh2_b):
             return _DOT(x, oh2_b)
@@ -1102,13 +1114,15 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
             pltpu.VMEM((rows, d_size, r_size), jnp.float32),   # power
         ] + [
             # zr/zi parts (pre-split; see _frame_maps): one LANE-PACKED
-            # [hi | lo] bf16 plane per component for 'high' — same total
-            # bytes as one f32 plane — one f32 plane otherwise
+            # [hi | lo] bf16 plane per component for 'high' (same total
+            # bytes as one f32 plane), one bf16 plane for 'default'
+            # (the mode's planes are bf16 everywhere), one f32 plane for
+            # 'highest'
             pltpu.VMEM(
                 (rows, c * v,
                  2 * r_size if cfg.dft_precision == "high" else r_size),
-                jnp.bfloat16 if cfg.dft_precision == "high"
-                else jnp.float32,
+                jnp.float32 if cfg.dft_precision == "highest"
+                else jnp.bfloat16,
             )
             for _ in range(2)
         ] + [
