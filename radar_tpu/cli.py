@@ -638,7 +638,11 @@ def cmd_bench(args) -> int:
             resolved = ("mega" if on_tpu and mega_supported(cfg)
                         else ("fused" if on_tpu else "fft"))
         if (resolved in ("mega", "mega-interpret")
-                and cfg.cfar_kind == "ca"):
+                and cfg.cfar_kind == "ca"
+                and args.max_detections <= 128):
+            # K <= _K_LANE mirrors the pipeline's own fallback: for
+            # larger K pipe.detect runs the maps path, so timing the
+            # detect kernel here would decompose a program that never ran
             from radar_tpu.ops.pallas.megakernel import (
                 detections_from_shorts_pallas,
             )
@@ -660,8 +664,9 @@ def cmd_bench(args) -> int:
                   f"{1000*tail:.5f} ms averaged {1000*tail/nb:.5f} ms/frame")
         else:
             print(f"(per-stage breakdown is reported for the mega+CA "
-                  f"path; this run resolved to rd_impl={resolved!r}, "
-                  f"cfar_kind={cfg.cfar_kind!r} — see "
+                  f"path with max_detections <= 128; this run resolved "
+                  f"to rd_impl={resolved!r}, cfar_kind={cfg.cfar_kind!r}, "
+                  f"K={args.max_detections} — see "
                   "scripts/stage_budget.py)")
     elif args.stages:
         # reference-format 4-bucket breakdown (non-overlapping, fenced) on

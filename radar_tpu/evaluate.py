@@ -105,13 +105,25 @@ def pd_curve(
 
     A frame scores as detected when any VALID output detection lands
     within ``tol_bins`` (doppler, range) of the ground-truth cell.
+    The generator moves the target coherently (``io/synthetic.py``:
+    range r0 + v * n * frame_interval at capture frame n), so the truth
+    cell is propagated PER FRAME — a static frame-0 truth would
+    misreport Pd < 1 on a working pipeline once the drift exceeds
+    ``tol_bins`` (at 4 m/s and 32 frames that is ~1 m of pure motion).
     """
     import jax.numpy as jnp
 
     from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
     from radar_tpu.models.rd_pipeline import RDPipeline
 
-    d_true, r_true = expected_bins(range_m, velocity_mps, cfg)
+    dt = cfg.num_chirps * cfg.chirp_interval_s
+    # output frame f is capture frame f+1 (frame 0 = base frame)
+    d_true = np.empty(frames, np.int64)
+    r_true = np.empty(frames, np.int64)
+    for f in range(frames):
+        d_true[f], r_true[f] = expected_bins(
+            range_m + velocity_mps * (f + 1) * dt, velocity_mps, cfg
+        )
     pipe = RDPipeline(cfg, max_detections=max_detections, rd_impl=rd_impl)
     points = []
     for i, amp in enumerate(amplitudes):
@@ -127,8 +139,8 @@ def pd_curve(
         r_bin = np.asarray(out.range_bin)
         ok = (
             valid
-            & (np.abs(d_bin - d_true) <= tol_bins[0])
-            & (np.abs(r_bin - r_true) <= tol_bins[1])
+            & (np.abs(d_bin - d_true[:, None]) <= tol_bins[0])
+            & (np.abs(r_bin - r_true[:, None]) <= tol_bins[1])
         )
         points.append(EvalPoint(
             amplitude=float(amp),
@@ -162,7 +174,10 @@ def object_metrics(
     Per frame: cluster representatives are greedily matched to the true
     targets within (tol_range_m, tol_velocity_mps); a matched target
     counts toward ``object_pd``, and matched centroids accumulate the
-    range/velocity RMSE.
+    range/velocity RMSE.  Truth ranges are propagated per frame
+    (r0 + v * (frame+1) * frame_interval — the generator's motion
+    model, same as ``track_metrics``), so centroid RMSE measures the
+    clustering stage, not target motion.
 
     Returns {'object_pd', 'mean_objects', 'true_objects',
     'mean_valid_detections' (pre-grouping, for the dedupe ratio),
@@ -196,15 +211,19 @@ def object_metrics(
     sq_r = []
     sq_v = []
     n_objects = []
+    dt = cfg.num_chirps * cfg.chirp_interval_s
     for b in range(valid.shape[0]):
+        # truth at output frame b == capture frame b+1 (generator motion)
+        t_rng = [r + v * (b + 1) * dt
+                 for r, v in zip(ranges_m, velocities_mps)]
         reps = list(np.flatnonzero(rep_mask[b]))
         n_objects.append(len(reps))
         # globally distance-ordered greedy (see track_metrics): fixed
         # truth order could steal a nearer truth's representative
         pairs = []
-        for i, (r_true, v_true) in enumerate(zip(ranges_m, velocities_mps)):
+        for i, v_true in enumerate(velocities_mps):
             for k in reps:
-                dr = abs(c_r[b, k] - r_true)
+                dr = abs(c_r[b, k] - t_rng[i])
                 dv = abs(c_v[b, k] - v_true)
                 if dr <= tol_range_m and dv <= tol_velocity_mps:
                     pairs.append((dr, i, k))
@@ -216,7 +235,7 @@ def object_metrics(
             used_i.add(i)
             used_k.add(k)
             matched += 1
-            sq_r.append((c_r[b, k] - ranges_m[i]) ** 2)
+            sq_r.append((c_r[b, k] - t_rng[i]) ** 2)
             sq_v.append((c_v[b, k] - velocities_mps[i]) ** 2)
     n_true = len(targets) * valid.shape[0]
     return {

@@ -231,6 +231,13 @@ def range_doppler_map(
     kind = "rect" if not window else (
         window if isinstance(window, str) else cfg.window_kind
     )
+    if kind not in _WINDOW_ENUM:
+        # same error class as the golden twin (golden.window_fn), so
+        # CLI-style `except ValueError` input handling covers both
+        raise ValueError(
+            f"window kind must be one of {sorted(_WINDOW_ENUM)}, "
+            f"not {kind!r}"
+        )
     lib.radar_range_doppler(
         _dptr(re), _dptr(im), c, s, d, r, _WINDOW_ENUM[kind],
         _dptr(out_re), _dptr(out_im),

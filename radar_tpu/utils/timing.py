@@ -96,10 +96,13 @@ def fence(tree) -> None:
     float(total)
 
 
-def onchip_time(program: Callable, shorts, base, iters: int = 32,
-                reps: int = 3) -> float:
+def onchip_time(program: Callable, shorts, base=None, iters: int = 32,
+                reps: int = 3, perturb: Callable | None = None) -> float:
     """Best-of-``reps`` per-iteration ON-CHIP time of ``program(shorts,
-    base)`` — the measurement discipline every perf script shares.
+    base)`` (or ``program(shorts)`` when ``base`` is None) — the
+    measurement discipline every perf script shares.  ``perturb``
+    overrides the per-iteration input defeat (default: int16 XOR with
+    the loop index; pass e.g. a float add for f32 inputs).
 
     The dev relay adds ~26 ms of dispatch+fence RTT per call, which
     swamps millisecond-scale programs in a host-side loop, so the
@@ -114,10 +117,15 @@ def onchip_time(program: Callable, shorts, base, iters: int = 32,
     """
     import jax.numpy as jnp
 
+    if perturb is None:
+        def perturb(s, i):
+            return jnp.bitwise_xor(s, i.astype(jnp.int16))
+
     @jax.jit
     def run(s, b):
         def body(i, acc):
-            out = program(jnp.bitwise_xor(s, i.astype(jnp.int16)), b)
+            s_i = perturb(s, i)
+            out = program(s_i) if b is None else program(s_i, b)
             return acc + sum(jnp.sum(leaf).astype(jnp.float32)
                              for leaf in jax.tree.leaves(out))
 

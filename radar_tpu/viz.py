@@ -104,12 +104,23 @@ def plot_range_doppler(
         # --cluster records): ONE rectangle per cluster_id (member slots
         # repeat the stats with last-ulp and Doppler-alias differences,
         # so value-keying would duplicate boxes), sized by the
-        # component's bounding extent around its centroid
+        # component's bounding extent around its centroid.  Dicts
+        # without a cluster_id fall back to keying on the ROUNDED
+        # centroid+extent — quantized past the member slots' last-ulp
+        # spread, with velocity folded modulo the unambiguous Doppler
+        # span so alias-shifted member copies still collapse to one box.
+        # full unambiguous velocity span (Doppler bin width * bins)
+        v_span = cfg.wavelength_m / 2 / cfg.slow_time_interval_s
         boxes = {}
-        for i, det in enumerate(detections):
+        for det in detections:
             if "cluster_extent_bins" in det:
+                key = det.get("cluster_id")
+                if key is None:
+                    key = (round(det["cluster_range_m"], 6),
+                           round(det["cluster_velocity_mps"] % v_span, 6),
+                           tuple(det["cluster_extent_bins"]))
                 boxes.setdefault(
-                    det.get("cluster_id", i),
+                    key,
                     (det["cluster_range_m"], det["cluster_velocity_mps"],
                      tuple(det["cluster_extent_bins"])),
                 )

@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -44,7 +43,7 @@ def main() -> None:
         os_cfar_2d_pallas,
         os_cfar_hits_pallas,
     )
-    from radar_tpu.utils.timing import fence
+    from radar_tpu.utils.timing import fence, onchip_time
 
     cfg = RadarConfig(cfar_kind="os", cfar_os_stride=args.stride)
     rng = np.random.default_rng(0)
@@ -55,45 +54,30 @@ def main() -> None:
     p_dev = jax.device_put(power)
     fence(p_dev)
 
-    def timed(name, make_run):
-        t0 = time.perf_counter()
-        run = make_run()
-        fence(run())
-        comp = time.perf_counter() - t0
-        best = float("inf")
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            fence(run())
-            best = min(best, (time.perf_counter() - t0) / args.iters)
-        print(f"{name:14s} {1000 * best:8.3f} ms/{args.frames} = "
-              f"{args.frames / best:8.0f} fps  (compile {comp:.1f}s)",
-              flush=True)
+    def report(name, dt):
+        print(f"{name:14s} {1000 * dt:8.3f} ms/{args.frames} = "
+              f"{args.frames / dt:8.0f} fps", flush=True)
 
-    def stage_runner(fn, leaves):
-        @jax.jit
-        def run():
-            def body(i, acc):
-                out = fn(p_dev + i.astype(jnp.float32))
-                return acc + sum(
-                    jnp.sum(l).astype(jnp.float32) for l in leaves(out)
-                )
-            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
-        return lambda: run
+    # the shared on-chip harness (utils.timing.onchip_time) with a
+    # float add as the per-iteration defeat — these stages take the
+    # f32 power map, not int16 shorts
+    def f32_perturb(s, i):
+        return s + i.astype(jnp.float32)
+
+    def stage_time(fn):
+        return onchip_time(fn, p_dev, iters=args.iters, reps=args.reps,
+                           perturb=f32_perturb)
 
     if not args.skip_search:
-        timed("stage-search", stage_runner(
-            lambda p: os_cfar_2d_pallas(p, cfg),
-            lambda out: [out[0].astype(jnp.float32), out[1]],
-        ))
+        report("stage-search",
+               stage_time(lambda p: os_cfar_2d_pallas(p, cfg)))
     if args.stride == 1:
-        timed("stage-hits-box", stage_runner(
-            lambda p: os_cfar_hits_pallas(p, cfg, impl="box"),
-            lambda out: [out.astype(jnp.float32)],
-        ))
-    timed("stage-hits-off", stage_runner(
-        lambda p: os_cfar_hits_pallas(p, cfg, impl="offsets"),
-        lambda out: [out.astype(jnp.float32)],
-    ))
+        report("stage-hits-box",
+               stage_time(lambda p: os_cfar_hits_pallas(p, cfg,
+                                                        impl="box")))
+    report("stage-hits-off",
+           stage_time(lambda p: os_cfar_hits_pallas(p, cfg,
+                                                    impl="offsets")))
 
     pipe = RDPipeline(cfg, max_detections=16)
     cap = synthesize_capture(
@@ -107,23 +91,12 @@ def main() -> None:
     shorts = jax.device_put(cap[1:])
     fence(shorts)
 
-    def make_pipe_run():
-        # shorts/base must be ARGUMENTS, not closures: jit inlines
-        # closed-over arrays as MLIR constants via a host round-trip,
-        # and the dev relay's host boundary is Unimplemented for the
-        # complex base (same class as the SKILL.md eager-complex note)
-        @jax.jit
-        def run(shorts_, base_):
-            def body(i, acc):
-                out = pipe.detect(
-                    jnp.bitwise_xor(shorts_, i.astype(jnp.int16)), base_
-                )
-                return acc + sum(jnp.sum(l).astype(jnp.float32)
-                                 for l in jax.tree.leaves(out))
-            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
-        return lambda: run(shorts, base)
-
-    timed("pipe-os", make_pipe_run)
+    # onchip_time passes shorts/base as jit ARGUMENTS (not closures:
+    # jit inlines closed-over arrays as MLIR constants via a host
+    # round-trip, and the dev relay's host boundary is Unimplemented
+    # for the complex base — the SKILL.md eager-complex note)
+    report("pipe-os", onchip_time(pipe.detect, shorts, base,
+                                  iters=args.iters, reps=args.reps))
 
 
 if __name__ == "__main__":

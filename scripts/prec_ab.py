@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -49,27 +48,14 @@ def main() -> None:
     shorts = jax.device_put(cap[1:])
     fence(shorts)
 
-    def onchip(program, iters=args.iters):
-        @jax.jit
-        def run(s, b):
-            def body(i, acc):
-                out = program(jnp.bitwise_xor(s, i.astype(jnp.int16)), b)
-                return acc + sum(jnp.sum(leaf).astype(jnp.float32)
-                                 for leaf in jax.tree.leaves(out))
-
-            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-        fence(run(shorts, base))
-        t0 = time.perf_counter()
-        fence(run(shorts, base))
-        return (time.perf_counter() - t0) / iters
+    from radar_tpu.utils.timing import onchip_time
 
     results = {}
     for prec in ("high", "highest", "default"):
         cfg = RadarConfig(dft_precision=prec)
         pipe = RDPipeline(cfg, max_detections=16)
         base = pipe.prepare_base(cap[0])
-        dt = onchip(pipe.detect)
+        dt = onchip_time(pipe.detect, shorts, base, iters=args.iters)
         results[prec] = dt
         print(f"  detect() dft_precision={prec!r}: "
               f"{1000*dt:7.3f} ms/{args.frames} = {args.frames/dt:,.0f} fps")

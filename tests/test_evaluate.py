@@ -55,6 +55,38 @@ def test_pd_curve_monotone_ends(small_cfg):
     assert pts[-1].pd == 1.0         # strong target: always detected
 
 
+def test_pd_curve_tracks_moving_truth(small_cfg):
+    """The truth cell is propagated per frame: a strong fast target
+    stays Pd == 1.0 even once its motion exceeds tol_bins of range
+    drift (a static frame-0 truth mis-scores the late frames)."""
+    dt = small_cfg.num_chirps * small_cfg.chirp_interval_s
+    frames = 120   # small_cfg range bins are ~0.78 m; the drift must
+    v = 4.0        # exceed the 1-bin gate with margin: 4*120*dt ~ 2.0 m
+    # the scenario only bites if the drift actually exceeds the gate
+    r_res = 3e8 * small_cfg.sample_rate_hz / (
+        2 * small_cfg.slope_hz_per_s * small_cfg.range_fft_size)
+    assert v * frames * dt > 2 * r_res
+    pts = pd_curve(small_cfg, amplitudes=(2000.0,), frames=frames,
+                   velocity_mps=v, noise_std=5.0, seed=3)
+    assert pts[0].pd == 1.0
+
+
+def test_object_metrics_tracks_moving_truth():
+    """object_metrics propagates truth ranges per frame: centroid RMSE
+    measures clustering, not target motion (a fast target over enough
+    frames would otherwise accumulate ~0.5 m of pure drift)."""
+    from radar_tpu.evaluate import object_metrics
+
+    cfg = RadarConfig()
+    om = object_metrics(cfg, ranges_m=(8.0,), velocities_mps=(-4.0,),
+                        amplitude=2500.0, frames=16, noise_std=5.0,
+                        seed=1)
+    dt = cfg.num_chirps * cfg.chirp_interval_s
+    assert 4.0 * 16 * dt > 0.4  # the drift the static truth would leak
+    assert om["object_pd"] == 1.0
+    assert om["range_rmse_m"] < 0.2
+
+
 def test_cli_eval_smoke(capsys):
     from radar_tpu.cli import main
 
