@@ -767,6 +767,63 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_mdoppler(args) -> int:
+    """Micro-Doppler spectrogram at a range gate (slow-time STFT)."""
+    import json
+
+    from radar_tpu.golden import micro_doppler_velocity_axis
+    from radar_tpu.io.capture import read_capture
+    from radar_tpu.ops.mdoppler import (
+        auto_range_bin,
+        micro_doppler_spectrogram,
+    )
+
+    cfg = _build_cfg(args)
+    capture = read_capture(args.path, cfg)
+    if len(capture) < 2:
+        print("error: capture needs a base frame + at least one frame",
+              file=sys.stderr)
+        return 2
+    import jax.numpy as jnp
+
+    from radar_tpu.ops.decode import decode_to_cube
+
+    frames = jnp.asarray(capture[1:])
+    # decode the base ON DEVICE from int16 (the dev relay cannot move
+    # complex64 across the host boundary — SKILL.md)
+    base_cube = decode_to_cube(jnp.asarray(capture[0]), cfg)
+    r_bin = (auto_range_bin(frames, base_cube, cfg)
+             if args.range_bin is None else args.range_bin)
+    spec = np.asarray(micro_doppler_spectrogram(
+        frames, base_cube, cfg, range_bin=r_bin,
+        win_frames=args.win_frames, hop_frames=args.hop_frames,
+        n_fft=args.n_fft,
+    ))
+    v_axis = micro_doppler_velocity_axis(spec.shape[1], cfg)
+    peak_v = v_axis[np.argmax(spec, axis=1)]
+    print(json.dumps({
+        "event": "micro_doppler",
+        "range_bin": int(r_bin),
+        "windows": int(spec.shape[0]),
+        "n_fft": int(spec.shape[1]),
+        "win_frames": args.win_frames,
+        "hop_frames": args.hop_frames,
+        "velocity_resolution_mps": float(v_axis[1] - v_axis[0]),
+        "peak_velocity_mps": [round(float(v), 4) for v in peak_v],
+    }))
+    if args.out:
+        np.save(args.out, spec)
+        print(f"wrote ({spec.shape[0]}, {spec.shape[1]}) spectrogram to "
+              f"{args.out}", file=sys.stderr)
+    if args.plot:
+        from radar_tpu.viz import plot_micro_doppler
+
+        plot_micro_doppler(spec, cfg, hop_frames=args.hop_frames,
+                           path=args.plot)
+        print(f"wrote plot to {args.plot}", file=sys.stderr)
+    return 0
+
+
 def cmd_verify(args) -> int:
     """TPU pipeline vs float64 golden, frame by frame — the promoted
     version of the reference's disabled verification loop
@@ -938,6 +995,32 @@ def main(argv=None) -> int:
     v = sub.add_parser("verify", help="TPU vs float64 golden, per frame")
     v.add_argument("path")
     v.set_defaults(fn=cmd_verify)
+
+    md = sub.add_parser(
+        "mdoppler",
+        help="micro-Doppler spectrogram at a range gate (slow-time STFT "
+             "across frames; .npy out + PNG plot)",
+    )
+    md.add_argument("path")
+    md.add_argument("--range-bin", type=int, default=None,
+                    help="range gate (default: strongest bin over the "
+                         "capture)")
+    md.add_argument("--win-frames", type=int, default=8,
+                    help="STFT window length in frames (default 8)")
+    md.add_argument("--hop-frames", type=int, default=1,
+                    help="STFT hop in frames (default 1)")
+    md.add_argument("--n-fft", type=int, default=None,
+                    help="STFT size (default: window length)")
+    md.add_argument("--out", default=None,
+                    help="write the (windows, n_fft) power array as .npy")
+    md.add_argument("--plot", default=None,
+                    help="write a time x velocity PNG")
+    md.add_argument("--dft-precision", default=None,
+                    choices=["high", "highest", "default"])
+    md.add_argument("--window-kind", default=None,
+                    choices=["hann", "hamming", "blackman",
+                             "blackmanharris", "rect"])
+    md.set_defaults(fn=cmd_mdoppler)
 
     st = sub.add_parser(
         "selftest",

@@ -263,6 +263,86 @@ def range_doppler_map(
     return np.fft.fftshift(dopp, axes=-2)
 
 
+def micro_doppler(
+    frames_shorts: np.ndarray,
+    base_cube: np.ndarray | None,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    range_bin: int = 0,
+    win_frames: int = 8,
+    hop_frames: int = 1,
+    n_fft: int | None = None,
+    window: bool | str = True,
+) -> np.ndarray:
+    """Micro-Doppler spectrogram: slow-time STFT at one range gate.
+
+    The per-frame Doppler FFT resolves BULK radial velocity; modulations
+    faster than a frame (rotor blades, gait, vibration) appear as
+    sidebands only visible in a spectrogram of the CONTINUOUS slow-time
+    signal across frames.  The synthetic generator models coherent
+    cross-frame slow time (io/synthetic.py ``slow_t``), so this is
+    physically meaningful on generated captures and on contiguous
+    hardware captures.
+
+    Per frame: windowed range DFT per chirp, clutter removal (base
+    range-plane subtraction, or per-frame chirp mean when ``base_cube``
+    is None — the same convention as ``ops.fuseddft.fused_range_planes``),
+    gate at ``range_bin``, keep the TX0 chirps (uniform PRI =
+    ``cfg.slow_time_interval_s`` under TDM), average over RX.  The
+    gated series is then short-time-Fourier-transformed with a
+    ``win_frames * chirps_per_tx``-sample window hopped by
+    ``hop_frames`` frames.
+
+    Returns:
+      float64 (n_windows, n_fft) power, Doppler axis fftshifted (zero
+      velocity centered); n_fft defaults to the window length.
+    """
+    from radar_tpu.io.capture import decode_shorts
+
+    kind = cfg.window_kind if window is True else window
+    cube = decode_shorts(frames_shorts, cfg)   # (n, rx, chirps, samples)
+    x = np.asarray(cube, np.complex128)
+    if kind:
+        x = x * window_fn(cfg.num_samples, kind)
+    rng = np.fft.fft(x, n=cfg.range_fft_size, axis=-1)
+    if base_cube is not None:
+        b = np.asarray(base_cube, np.complex128)
+        if kind:
+            b = b * window_fn(cfg.num_samples, kind)
+        rng = rng - np.fft.fft(b, n=cfg.range_fft_size, axis=-1)
+    else:
+        rng = rng - rng.mean(axis=-2, keepdims=True)
+    g = rng[..., range_bin]                    # (n, rx, chirps)
+    g = g[..., 0 :: cfg.num_tx]                # TX0 chirps: uniform PRI
+    series = g.mean(axis=-2).reshape(-1)       # RX mean -> (n * Kc,)
+
+    kc = cfg.chirps_per_tx
+    length = win_frames * kc
+    hop = hop_frames * kc
+    if n_fft is None:
+        n_fft = length
+    if len(series) < length:
+        raise ValueError(
+            f"capture too short: {len(series)} slow-time samples < "
+            f"window {length} ({win_frames} frames x {kc})"
+        )
+    n_win = (len(series) - length) // hop + 1
+    w = window_fn(length, kind) if kind else np.ones(length)
+    spec = np.empty((n_win, n_fft))
+    for i in range(n_win):
+        seg = series[i * hop : i * hop + length] * w
+        s = np.fft.fftshift(np.fft.fft(seg, n=n_fft))
+        spec[i] = (s.real * s.real + s.imag * s.imag)
+    return spec
+
+
+def micro_doppler_velocity_axis(
+    n_fft: int, cfg: RadarConfig = DEFAULT_CONFIG
+) -> np.ndarray:
+    """Radial velocity (m/s) per fftshifted spectrogram bin."""
+    fd = (np.arange(n_fft) - n_fft // 2) / (n_fft * cfg.slow_time_interval_s)
+    return fd * cfg.wavelength_m / 2.0
+
+
 def ca_cfar_2d(
     power: np.ndarray,
     guard: tuple[int, int],

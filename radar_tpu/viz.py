@@ -144,6 +144,43 @@ def plot_range_doppler(
     return fig
 
 
+def plot_micro_doppler(
+    spec,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    hop_frames: int = 1,
+    path: str | None = None,
+    db: bool = True,
+):
+    """Micro-Doppler spectrogram: time (windows) x radial velocity.
+
+    ``spec`` is the (n_windows, n_fft) power from
+    ``ops.mdoppler.micro_doppler_spectrogram`` (Doppler axis fftshifted).
+    """
+    from radar_tpu.golden import micro_doppler_velocity_axis
+
+    s = np.asarray(spec, np.float64)
+    n_win, n_fft = s.shape
+    v = micro_doppler_velocity_axis(n_fft, cfg)
+    dt = hop_frames * cfg.num_chirps * cfg.chirp_interval_s
+    img = 10 * np.log10(np.maximum(s, 1e-20)) if db else s
+    fig, ax = plt.subplots(figsize=(8, 4), constrained_layout=True)
+    im = ax.imshow(
+        img.T,
+        origin="lower",
+        aspect="auto",
+        extent=[0, n_win * dt * 1e3, v[0], v[-1]],
+        cmap="magma",
+        interpolation="nearest",
+    )
+    fig.colorbar(im, ax=ax, label="power (dB)" if db else "power")
+    ax.set_xlabel("time (ms)")
+    ax.set_ylabel("radial velocity (m/s)")
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
 def plot_tracks(
     tracker,
     cfg: RadarConfig = DEFAULT_CONFIG,
