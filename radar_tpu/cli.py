@@ -824,6 +824,56 @@ def cmd_mdoppler(args) -> int:
     return 0
 
 
+def cmd_azmap(args) -> int:
+    """Range-azimuth heatmap (every RD cell beamformed)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from radar_tpu.golden import angle_bin_to_deg
+    from radar_tpu.io.capture import read_capture
+    from radar_tpu.ops.aoa import range_azimuth_from_shorts
+    from radar_tpu.ops.decode import decode_to_cube
+
+    cfg = _build_cfg(args)
+    capture = read_capture(args.path, cfg)
+    if len(capture) < 2:
+        print("error: capture needs a base frame + at least one frame",
+              file=sys.stderr)
+        return 2
+    frames = capture[1:]
+    if args.frame is not None:
+        if not 1 <= args.frame < len(capture):
+            print(f"error: --frame must be in [1, {len(capture) - 1}]",
+                  file=sys.stderr)
+            return 2
+        frames = capture[args.frame : args.frame + 1]
+    base_cube = decode_to_cube(jnp.asarray(capture[0]), cfg)
+    pmaps = np.asarray(range_azimuth_from_shorts(
+        jnp.asarray(frames), base_cube, cfg))
+    pmap = pmaps.mean(axis=0)     # noncoherent integration over frames
+    a_bin, r_bin = np.unravel_index(np.argmax(pmap), pmap.shape)
+    print(json.dumps({
+        "event": "range_azimuth",
+        "frames": int(pmaps.shape[0]),
+        "angle_bins": int(pmap.shape[0]),
+        "range_bins": int(pmap.shape[1]),
+        "peak_azimuth_deg": round(
+            float(angle_bin_to_deg(a_bin, pmap.shape[0], cfg)), 3),
+        "peak_range_bin": int(r_bin),
+    }))
+    if args.out:
+        np.save(args.out, pmap)
+        print(f"wrote {pmap.shape} range-azimuth map to {args.out}",
+              file=sys.stderr)
+    if args.plot:
+        from radar_tpu.viz import plot_range_azimuth
+
+        plot_range_azimuth(pmap, cfg, path=args.plot)
+        print(f"wrote plot to {args.plot}", file=sys.stderr)
+    return 0
+
+
 def cmd_verify(args) -> int:
     """TPU pipeline vs float64 golden, frame by frame — the promoted
     version of the reference's disabled verification loop
@@ -1021,6 +1071,26 @@ def main(argv=None) -> int:
                     choices=["hann", "hamming", "blackman",
                              "blackmanharris", "rect"])
     md.set_defaults(fn=cmd_mdoppler)
+
+    az = sub.add_parser(
+        "azmap",
+        help="range-azimuth heatmap: every RD cell beamformed over the "
+             "virtual array, Doppler-integrated (.npy out + PNG plot)",
+    )
+    az.add_argument("path")
+    az.add_argument("--frame", type=int, default=None,
+                    help="single capture frame (default: average over "
+                         "all frames)")
+    az.add_argument("--out", default=None,
+                    help="write the (angle_bins, range_fft) map as .npy")
+    az.add_argument("--plot", default=None,
+                    help="write a range x azimuth PNG")
+    az.add_argument("--dft-precision", default=None,
+                    choices=["high", "highest", "default"])
+    az.add_argument("--window-kind", default=None,
+                    choices=["hann", "hamming", "blackman",
+                             "blackmanharris", "rect"])
+    az.set_defaults(fn=cmd_azmap)
 
     st = sub.add_parser(
         "selftest",

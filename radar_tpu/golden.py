@@ -343,6 +343,49 @@ def micro_doppler_velocity_axis(
     return fd * cfg.wavelength_m / 2.0
 
 
+def range_azimuth_map(
+    frames_shorts: np.ndarray,
+    base_cube: np.ndarray | None,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    window: bool | str = True,
+) -> np.ndarray:
+    """Range-azimuth power map: beamform EVERY RD cell, integrate Doppler.
+
+    The per-detection AoA path (``angle_fft`` at K top cells) answers
+    "where is this detection"; the range-azimuth map answers "what does
+    the scene look like" — the classic heatmap view.  Per frame: RD
+    planes per virtual element (TDM demux), per-Doppler-row MIMO
+    time-offset compensation (the same phase ``mimo_doppler_compensate``
+    applies per detection, vectorized over all Doppler rows), zero-padded
+    angle DFT across the virtual elements at every (doppler, range)
+    cell, then noncoherent integration over Doppler.
+
+    Returns:
+      float64 (..., num_angle_bins, range_fft): angle axis fftshifted
+      (map bins to degrees with :func:`angle_bin_to_deg`).
+    """
+    from radar_tpu.io.capture import decode_shorts
+
+    cube = decode_shorts(frames_shorts, cfg)
+    if base_cube is not None:
+        cube = cube - np.asarray(base_cube, np.complex128)
+    else:
+        cube = cube - cube.mean(axis=-2, keepdims=True)
+    rd = range_doppler_map(virtual_cube(cube, cfg), cfg, window)
+    # (..., V', D, R); compensation phase over (V', D)
+    d = cfg.doppler_fft_size
+    fd = (np.arange(d) - d // 2) / (d * cfg.slow_time_interval_s)
+    tx_idx = np.arange(cfg.num_virtual_rx) // cfg.num_rx
+    phase = -2.0 * np.pi * fd[None, :] * tx_idx[:, None] * cfg.chirp_interval_s
+    rd = rd * np.exp(1j * phase)[..., None]
+    a = cfg.num_angle_bins
+    v = min(cfg.num_virtual_rx, a)
+    w = np.exp(-2j * np.pi * np.outer(np.arange(v), np.arange(a)) / a)
+    w = np.fft.fftshift(w, axes=-1)                    # (v, A)
+    s = np.einsum("va,...vdr->...adr", w, rd[..., :v, :, :])
+    return (s.real * s.real + s.imag * s.imag).sum(axis=-2)
+
+
 def ca_cfar_2d(
     power: np.ndarray,
     guard: tuple[int, int],

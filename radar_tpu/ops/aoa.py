@@ -238,3 +238,57 @@ def capon_spectrum(
     a = jnp.asarray(steering)  # (n_angles, n_rx)
     denom = jnp.einsum("ai,...ij,aj->...a", a.conj(), r_inv, a).real
     return angles, 1.0 / jnp.maximum(denom, 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "window"))
+def range_azimuth_from_shorts(
+    shorts: jnp.ndarray,
+    base_cube: jnp.ndarray | None,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    window: bool = True,
+) -> jnp.ndarray:
+    """Raw int16 frames -> range-azimuth power maps, fully fused.
+
+    The scene-level heatmap counterpart of the per-detection AoA path:
+    RD planes per virtual element (``fused_rd_planes`` — decode, window,
+    range+Doppler DFTs as MXU matmuls), per-Doppler-row TDM MIMO
+    compensation, zero-padded angle DFT at EVERY (doppler, range) cell
+    as one planar matmul over the virtual axis, noncoherent Doppler
+    integration.  float64 twin: ``golden.range_azimuth_map``.
+
+    Unlike the K-cell ``angle_fft_spectrum`` (where an MXU contraction
+    over K=4 elements pads 32x and broadcast outer products win), here
+    the contraction is batched over B*D*R cells — exactly what the MXU
+    wants.
+
+    Returns:
+      float32 (..., num_angle_bins, range_fft), angle axis fftshifted
+      (``golden.angle_bin_to_deg`` maps bins to degrees).
+    """
+    import numpy as np
+
+    from radar_tpu.ops.dftmat import resolve_precision
+    from radar_tpu.ops.fuseddft import fused_rd_planes
+
+    dr, di = fused_rd_planes(shorts, base_cube, cfg, window)
+    # (..., V', D, R); TDM compensation phase over (V', D) — exact host
+    # constants (cfg-static)
+    d = cfg.doppler_fft_size
+    fd = (np.arange(d) - d // 2) / (d * cfg.slow_time_interval_s)
+    tx_idx = np.arange(cfg.num_virtual_rx) // cfg.num_rx
+    ph = -2.0 * np.pi * fd[None, :] * tx_idx[:, None] * cfg.chirp_interval_s
+    pr = jnp.asarray(np.cos(ph), jnp.float32)[..., None]   # (V', D, 1)
+    pi_ = jnp.asarray(np.sin(ph), jnp.float32)[..., None]
+    cr = dr * pr - di * pi_
+    ci = dr * pi_ + di * pr
+    a = cfg.num_angle_bins
+    v = min(cfg.num_virtual_rx, a)
+    w = _angle_dft_rows(v, a)                               # (v, A) c64
+    wr = jnp.real(w)
+    wi = jnp.imag(w)
+    prec = resolve_precision(cfg.dft_precision)
+    ein = functools.partial(jnp.einsum, "va,...vdr->...adr",
+                            precision=prec)
+    sr = ein(wr, cr[..., :v, :, :]) - ein(wi, ci[..., :v, :, :])
+    si = ein(wr, ci[..., :v, :, :]) + ein(wi, cr[..., :v, :, :])
+    return (sr * sr + si * si).sum(axis=-2)
