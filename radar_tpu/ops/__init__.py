@@ -18,6 +18,11 @@ from radar_tpu.ops.aoa import (
     capon_spectrum,
     music_spectrum,
     angle_bins_deg,
+    range_azimuth_from_shorts,
+)
+from radar_tpu.ops.mdoppler import (
+    auto_range_bin,
+    micro_doppler_spectrogram,
 )
 
 __all__ = [
@@ -38,4 +43,7 @@ __all__ = [
     "capon_spectrum",
     "music_spectrum",
     "angle_bins_deg",
+    "range_azimuth_from_shorts",
+    "auto_range_bin",
+    "micro_doppler_spectrogram",
 ]
