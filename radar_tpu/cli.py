@@ -104,7 +104,8 @@ def cmd_generate(args) -> int:
         _parse_target("5.0,2.0,15")
     ]
     frames = synthesize_capture(
-        targets, args.frames, cfg, noise_std=args.noise, seed=args.seed
+        targets, args.frames, cfg, noise_std=args.noise, seed=args.seed,
+        interference_bursts=args.interference,
     )
     write_capture(args.path, frames, cfg)
     print(f"wrote {args.frames} frames ({frames.nbytes} bytes) to {args.path}")
@@ -132,6 +133,18 @@ def cmd_detect(args) -> int:
         return 2
     cfg = _build_cfg(args)
     capture = read_capture(args.path, cfg)
+    blank_k = getattr(args, "blank_interference", None)
+    if blank_k is not None:
+        import jax.numpy as jnp
+
+        from radar_tpu.ops.interference import blank_interference
+
+        blanked, n_bl = blank_interference(jnp.asarray(capture), k=blank_k)
+        capture = np.asarray(blanked)
+        n_bl = np.asarray(n_bl)
+        print(f"interference blanking: {int(n_bl.sum())} samples zeroed "
+              f"across {int((n_bl > 0).sum())} frames (K={blank_k})",
+              file=sys.stderr)
     start_frame = 1
     if args.resume and args.out:
         # resume = seek: the pipeline is stateless past the base frame
@@ -926,6 +939,10 @@ def main(argv=None) -> int:
     )
     g.add_argument("--noise", type=float, default=10.0)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--interference", type=int, default=0,
+                   help="mutual-FMCW interference bursts per frame "
+                        "(strong broadband mini-chirps; see "
+                        "detect --blank-interference)")
     g.set_defaults(fn=cmd_generate)
 
     d = sub.add_parser("detect", help="run detection, write JSONL records")
@@ -940,6 +957,11 @@ def main(argv=None) -> int:
                    help="with --full: group CFAR hit blobs into objects "
                         "and attach cluster id/centroid/extent per "
                         "detection")
+    d.add_argument("--blank-interference", type=float, default=None,
+                   metavar="K", nargs="?", const=8.0,
+                   help="zero interference-burst samples before the "
+                        "pipeline (|x| > K x frame median amplitude; "
+                        "default K=8)")
     _add_pipeline_flags(d)
     d.set_defaults(fn=cmd_detect)
 

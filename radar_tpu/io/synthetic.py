@@ -46,11 +46,17 @@ def synthesize_cube(
     noise_std: float = 10.0,
     clutter_amplitude: float = 300.0,
     seed: int = 0,
+    interference_bursts: int = 0,
+    interference_amplitude: float = 20000.0,
+    interference_len: int = 6,
 ) -> np.ndarray:
     """Simulate complex radar cubes.
 
     Returns complex128 array (num_frames, num_rx, num_chirps, num_samples).
     Frame 0 contains only clutter + noise (empty scene / base frame).
+    ``interference_bursts`` > 0 adds that many mutual-FMCW-interference
+    bursts per frame (short broadband mini-chirps at random positions,
+    ``interference_amplitude`` ADC counts — see the in-function note).
     """
     rng = np.random.default_rng(seed)
     t = np.arange(cfg.num_samples) / cfg.sample_rate_hz  # fast time
@@ -112,6 +118,31 @@ def synthesize_cube(
         cube += noise_std * (
             rng.standard_normal(cube.shape) + 1j * rng.standard_normal(cube.shape)
         )
+
+    if interference_bursts > 0 and num_frames > 1:
+        # mutual FMCW interference: another radar's sweep crossing ours
+        # produces a short broadband burst in fast time — much stronger
+        # than any target beat, a few samples long, at random
+        # (frame, chirp, position), hitting every RX (near-field
+        # interferer: per-RX random phase).  Frame 0 (the calibration
+        # base frame) stays clean.
+        n_b = int(interference_bursts) * max(num_frames - 1, 0)
+        bf = rng.integers(1, num_frames, n_b)
+        bc = rng.integers(0, cfg.num_chirps, n_b)
+        bs = rng.integers(0, max(cfg.num_samples - interference_len, 1), n_b)
+        for f, c, s in zip(bf, bc, bs):
+            phase = rng.uniform(0, 2 * np.pi, (cfg.num_rx, 1))
+            # linear-FM mini-chirp envelope (what a crossing sweep looks
+            # like through the IF filter)
+            n = np.arange(interference_len)
+            burst = np.exp(1j * (np.pi * n * n / interference_len))
+            cube[f, :, c, s : s + interference_len] += (
+                interference_amplitude * np.exp(1j * phase) * burst
+            )
+        # a jammed ADC saturates: clip to the int16 rails (also keeps
+        # overlapping bursts encodable)
+        np.clip(cube.real, -32767, 32767, out=cube.real)
+        np.clip(cube.imag, -32767, 32767, out=cube.imag)
     return cube
 
 
@@ -122,6 +153,9 @@ def synthesize_capture(
     noise_std: float = 10.0,
     clutter_amplitude: float = 300.0,
     seed: int = 0,
+    interference_bursts: int = 0,
+    interference_amplitude: float = 20000.0,
+    interference_len: int = 6,
 ) -> np.ndarray:
     """Simulate and encode to the on-disk int16 stream.
 
@@ -129,6 +163,7 @@ def synthesize_capture(
     :func:`radar_tpu.io.capture.write_capture`.
     """
     cube = synthesize_cube(
-        targets, num_frames, cfg, noise_std, clutter_amplitude, seed
+        targets, num_frames, cfg, noise_std, clutter_amplitude, seed,
+        interference_bursts, interference_amplitude, interference_len,
     )
     return encode_frame(cube, cfg)
