@@ -59,6 +59,14 @@ def _add_pipeline_flags(sp) -> None:
                          "'default' 1 bf16 pass (~9e-4, fastest)")
 
 
+def _add_blank_flag(sp) -> None:
+    sp.add_argument("--blank-interference", type=float, default=None,
+                    metavar="K", nargs="?", const=8.0,
+                    help="zero interference-burst samples before the "
+                         "pipeline (|x| > K x frame median amplitude; "
+                         "default K=8; ops/interference.py)")
+
+
 def _add_refine_flag(sp) -> None:
     sp.add_argument("--refine", default=None, choices=["capon", "2d"],
                     help="high-resolution AoA on confirmed detections: "
@@ -242,6 +250,11 @@ def cmd_serve(args) -> int:
     cfg = _build_cfg(args)
     pipe = RDPipeline(cfg, max_detections=args.max_detections,
                       rd_impl=args.rd_impl)
+    blank_k = getattr(args, "blank_interference", None)
+    if blank_k is not None:
+        import jax.numpy as jnp
+
+        from radar_tpu.ops.interference import blank_interference
     ports = args.port
     multi = len(ports) > 1
 
@@ -261,6 +274,12 @@ def cmd_serve(args) -> int:
         # bound sockets buffer incoming packets; without this the first
         # dispatch's compile stalls the receive loop into overflow
         warm = np.zeros((nb, cfg.shorts_per_frame), np.int16)
+        if blank_k is not None:
+            # compile the blanking program too (both shapes)
+            jax.block_until_ready(blank_interference(
+                jnp.asarray(warm), k=blank_k)[0])
+            jax.block_until_ready(blank_interference(
+                jnp.asarray(warm[0]), k=blank_k)[0])
         b0 = jax.block_until_ready(pipe.prepare_base(warm[0]))
         # full dispatch+materialize round trip: compiles detect AND the
         # packed-transfer program, and primes the transport
@@ -287,11 +306,15 @@ def cmd_serve(args) -> int:
     # percentiles should describe anyway
     lat_ms: deque = deque(maxlen=65536)   # per-frame ingest->record latency
     fetch_ms: deque = deque(maxlen=65536)  # per-dispatch detect+fetch time
+    blank_acc = 0  # device scalar once blanking runs; fetched at shutdown
     for got in batches:
         t_recv = time.perf_counter()
         todo: dict[int, list] = {}
         for src, frame in got:
             if src not in bases:
+                if blank_k is not None:
+                    frame = blank_interference(
+                        jnp.asarray(frame), k=blank_k)[0]
                 bases[src] = jax.block_until_ready(pipe.prepare_base(frame))
                 trackers[src] = make_tracker()
                 ev = {"event": "base_frame"}
@@ -318,6 +341,14 @@ def cmd_serve(args) -> int:
             # detect_fetch, NOT transfer: the transport share cannot be
             # isolated host-side without an extra fence per dispatch
             t_x = time.perf_counter()
+            if blank_k is not None:
+                # device array in, device array out: no host round trip;
+                # the blanked count accumulates as a device scalar and is
+                # fetched ONCE at shutdown (a per-dispatch fetch would pay
+                # the transport RTT every batch)
+                stack, nbl = blank_interference(jnp.asarray(stack),
+                                                k=blank_k)
+                blank_acc = blank_acc + jnp.sum(nbl)
             out = np.array(pack_detections(pipe.detect(stack, bases[src])))
             fetch_ms.append(1e3 * (time.perf_counter() - t_x))
             elev = None
@@ -376,6 +407,8 @@ def cmd_serve(args) -> int:
             "max_ms": round(max(lat_ms), 3),
             "detect_fetch_p50_ms": qx[0], "detect_fetch_p99_ms": qx[1],
         }
+        if blank_k is not None:
+            stats["blanked_samples"] = int(np.asarray(blank_acc))
         print(json.dumps(stats), flush=True)
     if t_first is not None and t_last is not None and t_last > t_first:
         dt = t_last - t_first
@@ -451,6 +484,15 @@ def cmd_track(args) -> int:
 
     cfg = _build_cfg(args)
     capture = read_capture(args.path, cfg)
+    blank_k = getattr(args, "blank_interference", None)
+    if blank_k is not None:
+        import jax.numpy as jnp
+
+        from radar_tpu.ops.interference import blank_interference
+
+        capture = np.asarray(
+            blank_interference(jnp.asarray(capture), k=blank_k)[0]
+        )
     pipe = RDPipeline(cfg, max_detections=args.max_detections,
                       rd_impl=args.rd_impl)
     base = pipe.prepare_base(capture[0])
@@ -957,11 +999,7 @@ def main(argv=None) -> int:
                    help="with --full: group CFAR hit blobs into objects "
                         "and attach cluster id/centroid/extent per "
                         "detection")
-    d.add_argument("--blank-interference", type=float, default=None,
-                   metavar="K", nargs="?", const=8.0,
-                   help="zero interference-burst samples before the "
-                        "pipeline (|x| > K x frame median amplitude; "
-                        "default K=8)")
+    _add_blank_flag(d)
     _add_pipeline_flags(d)
     d.set_defaults(fn=cmd_detect)
 
@@ -980,6 +1018,7 @@ def main(argv=None) -> int:
                    help="max frames per detection dispatch (frames already "
                         "received batch together with zero added wait)")
     s.add_argument("--max-detections", type=int, default=16)
+    _add_blank_flag(s)
     _add_pipeline_flags(s)
     _add_refine_flag(s)
     s.set_defaults(fn=cmd_serve)
@@ -1006,6 +1045,7 @@ def main(argv=None) -> int:
                    help="feed one measurement per hit-blob object "
                         "(suppress same-cluster duplicates before "
                         "tracking)")
+    _add_blank_flag(t)
     _add_pipeline_flags(t)
     _add_refine_flag(t)
     t.set_defaults(fn=cmd_track)

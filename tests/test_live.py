@@ -153,6 +153,57 @@ def test_serve_loopback(cfg, capsys):
     assert stats[0]["frames"] == 4
 
 
+def test_serve_blank_interference(cfg, capsys):
+    """serve --blank-interference: a jammed stream still yields the
+    target, and the shutdown stats report the blanked-sample count."""
+    import time
+    from radar_tpu import cli
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+    import json as _json
+
+    capture = synthesize_capture(
+        [SceneTarget(range_m=5.0, velocity_mps=0.0, azimuth_deg=15.0,
+                     amplitude=3000.0)],
+        5, cfg, noise_std=2.0, seed=71,
+        interference_bursts=12, interference_amplitude=25000.0,
+    )
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        sock.bind(("127.0.0.1", 0))
+    except OSError:
+        pytest.skip("no loopback sockets in sandbox")
+    port = sock.getsockname()[1]
+    sock.close()
+
+    packets = make_packets(capture)
+
+    def send():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i, p in enumerate(packets):
+            tx.sendto(p, ("127.0.0.1", port))
+            if i % 64 == 63:
+                time.sleep(0.001)
+        tx.close()
+
+    t = threading.Timer(0.5, send)
+    t.start()
+    rc = cli.main(["serve", "--port", str(port), "--host", "127.0.0.1",
+                   "--max-frames", "5", "--timeout", "15",
+                   "--blank-interference"])
+    t.join()
+    assert rc == 0
+    recs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.strip()]
+    frame_recs = [r for r in recs if "frame" in r]
+    assert any(
+        abs(d["range_m"] - 5.0) < 1.0
+        for r in frame_recs for d in r["detections"]
+    )
+    stats = [r for r in recs if r.get("event") == "latency_stats"]
+    assert len(stats) == 1
+    assert stats[0]["blanked_samples"] > 0
+
+
 def test_reorder_swap_is_lossless(cfg, capture):
     """Adjacent packet swap (classic UDP reorder) must reassemble exactly."""
     packets = make_packets(capture[:3])
