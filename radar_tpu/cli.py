@@ -313,8 +313,9 @@ def cmd_serve(args) -> int:
         for src, frame in got:
             if src not in bases:
                 if blank_k is not None:
-                    frame = blank_interference(
-                        jnp.asarray(frame), k=blank_k)[0]
+                    frame, nbl0 = blank_interference(
+                        jnp.asarray(frame), k=blank_k)
+                    blank_acc = blank_acc + jnp.sum(nbl0)
                 bases[src] = jax.block_until_ready(pipe.prepare_base(frame))
                 trackers[src] = make_tracker()
                 ev = {"event": "base_frame"}
@@ -838,6 +839,23 @@ def cmd_mdoppler(args) -> int:
     if len(capture) < 2:
         print("error: capture needs a base frame + at least one frame",
               file=sys.stderr)
+        return 2
+    if args.win_frames < 1 or args.hop_frames < 1:
+        print("error: --win-frames and --hop-frames must be >= 1",
+              file=sys.stderr)
+        return 2
+    win_len = args.win_frames * cfg.chirps_per_tx
+    if args.n_fft is not None and args.n_fft < win_len:
+        print(f"error: --n-fft must be >= the window length ({win_len} "
+              f"slow-time samples = {args.win_frames} frames x "
+              f"{cfg.chirps_per_tx}); the STFT zero-pads, it does not "
+              "truncate", file=sys.stderr)
+        return 2
+    if args.range_bin is not None and not (
+        0 <= args.range_bin < cfg.range_fft_size
+    ):
+        print(f"error: --range-bin must be in [0, "
+              f"{cfg.range_fft_size - 1}]", file=sys.stderr)
         return 2
     import jax.numpy as jnp
 

@@ -320,6 +320,11 @@ def micro_doppler(
     hop = hop_frames * kc
     if n_fft is None:
         n_fft = length
+    if n_fft < length:
+        raise ValueError(
+            f"n_fft ({n_fft}) must be >= the window length ({length}): "
+            "the STFT zero-pads, it does not truncate windowed segments"
+        )
     if len(series) < length:
         raise ValueError(
             f"capture too short: {len(series)} slow-time samples < "
@@ -372,12 +377,15 @@ def range_azimuth_map(
     else:
         cube = cube - cube.mean(axis=-2, keepdims=True)
     rd = range_doppler_map(virtual_cube(cube, cfg), cfg, window)
-    # (..., V', D, R); compensation phase over (V', D)
+    # (..., V', D, R): apply the per-detection TDM compensation to every
+    # Doppler row at once — same helper, broadcast doppler_bin
     d = cfg.doppler_fft_size
-    fd = (np.arange(d) - d // 2) / (d * cfg.slow_time_interval_s)
-    tx_idx = np.arange(cfg.num_virtual_rx) // cfg.num_rx
-    phase = -2.0 * np.pi * fd[None, :] * tx_idx[:, None] * cfg.chirp_interval_s
-    rd = rd * np.exp(1j * phase)[..., None]
+    rd = np.moveaxis(
+        mimo_doppler_compensate(
+            np.moveaxis(rd, -3, -1), np.arange(d)[:, None], cfg
+        ),
+        -1, -3,
+    )
     a = cfg.num_angle_bins
     v = min(cfg.num_virtual_rx, a)
     w = np.exp(-2j * np.pi * np.outer(np.arange(v), np.arange(a)) / a)

@@ -126,6 +126,7 @@ def synthesize_cube(
         # (frame, chirp, position), hitting every RX (near-field
         # interferer: per-RX random phase).  Frame 0 (the calibration
         # base frame) stays clean.
+        interference_len = min(int(interference_len), cfg.num_samples)
         n_b = int(interference_bursts) * max(num_frames - 1, 0)
         bf = rng.integers(1, num_frames, n_b)
         bc = rng.integers(0, cfg.num_chirps, n_b)

@@ -24,6 +24,7 @@ from radar_tpu.ops.mdoppler import (
     auto_range_bin,
     micro_doppler_spectrogram,
 )
+from radar_tpu.ops.interference import blank_interference
 
 __all__ = [
     "decode_to_cube",
@@ -46,4 +47,5 @@ __all__ = [
     "range_azimuth_from_shorts",
     "auto_range_bin",
     "micro_doppler_spectrogram",
+    "blank_interference",
 ]

@@ -20,8 +20,9 @@ inside the default k=8 (64x) gate, while bursts 10x the signal sit
 100x above it.
 
 Exactness: |x|^2 <= 2 * 32767^2 = 2,147,352,578 fits int32 EXACTLY
-(f32 would round above 2^24), the median is defined as the lower-middle
-element of the sorted magnitudes (an integer), and the gate compares
+(f32 would round above 2^24), the median is defined as the sorted
+element at index n // 2 (the upper middle of the even count — an
+integer), and the gate compares
 the f32 casts of those exact integers — so the NumPy twin
 (:func:`golden_blank_interference`) reproduces every blanking decision
 bit-for-bit, not just approximately.
@@ -52,7 +53,8 @@ def blank_interference(
       shorts: int16 (..., shorts_per_frame) on-disk-layout frames.
       k: amplitude threshold in units of the frame's median magnitude
         (a sample is blanked when |x|^2 > k^2 * median |x|^2; the
-        median is the lower-middle sorted element).
+        median is the sorted element at index n // 2 — the upper
+        middle of the always-even count).
 
     Returns:
       (blanked int16, n_blanked int32 (...,)) — blanked is bit-identical
@@ -65,7 +67,7 @@ def blank_interference(
     m1 = g[..., 1] * g[..., 1] + g[..., 3] * g[..., 3]
     m = jnp.concatenate([m0, m1], axis=-1)
     n = m.shape[-1]
-    med = jnp.sort(m, axis=-1)[..., n // 2]            # exact integer
+    med = jnp.sort(m, axis=-1)[..., n // 2]   # exact int (upper middle)
     thr = jnp.float32(k * k) * med.astype(jnp.float32)[..., None]
     k0 = m0.astype(jnp.float32) <= thr
     k1 = m1.astype(jnp.float32) <= thr
@@ -82,7 +84,7 @@ def golden_blank_interference(
     shorts: np.ndarray, k: float = 8.0
 ) -> tuple[np.ndarray, np.ndarray]:
     """NumPy twin of :func:`blank_interference` — bit-identical output
-    (same exact-int32 magnitudes, same lower-middle median, same f32
+    (same exact-int32 magnitudes, same index-n//2 median, same f32
     gate arithmetic)."""
     shorts = np.asarray(shorts)
     lead = shorts.shape[:-1]

@@ -90,6 +90,13 @@ def micro_doppler_spectrogram(
     hop = hop_frames * kc
     if n_fft is None:
         n_fft = length
+    if n_fft < length:
+        raise ValueError(
+            f"n_fft ({n_fft}) must be >= the window length ({length}): "
+            "the STFT zero-pads, it does not truncate windowed segments "
+            "(a window-folded DFT matrix would time-alias instead — the "
+            "same hazard ops/aoa.angle_fft_spectrum documents)"
+        )
     rng_re, rng_im = fused_range_planes(shorts, base_cube, cfg, window)
     # gate + TX0 + RX mean: (n, C, V, R) -> (n * Kc,) planar series
     g_re = rng_re[..., range_bin][:, 0 :: cfg.num_tx, :].mean(-1).reshape(-1)

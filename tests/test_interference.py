@@ -24,7 +24,6 @@ def test_blanking_twin_bit_exact():
     cfg = RadarConfig()
     cap = synthesize_capture(TARGETS, 4, cfg, noise_std=10.0, seed=5,
                              interference_bursts=10)
-    got, n_got = jnp.asarray(cap), None
     got, n_got = blank_interference(jnp.asarray(cap))
     want, n_want = golden_blank_interference(cap)
     np.testing.assert_array_equal(np.asarray(got), want)
