@@ -905,7 +905,10 @@ def cmd_azmap(args) -> int:
 
     from radar_tpu.golden import angle_bin_to_deg
     from radar_tpu.io.capture import read_capture
-    from radar_tpu.ops.aoa import range_azimuth_from_shorts
+    from radar_tpu.ops.aoa import (
+        range_azimuth_capon_from_shorts,
+        range_azimuth_from_shorts,
+    )
     from radar_tpu.ops.decode import decode_to_cube
 
     cfg = _build_cfg(args)
@@ -922,17 +925,26 @@ def cmd_azmap(args) -> int:
             return 2
         frames = capture[args.frame : args.frame + 1]
     base_cube = decode_to_cube(jnp.asarray(capture[0]), cfg)
-    pmaps = np.asarray(range_azimuth_from_shorts(
-        jnp.asarray(frames), base_cube, cfg))
+    if args.method == "capon":
+        pmaps = np.asarray(range_azimuth_capon_from_shorts(
+            jnp.asarray(frames), base_cube, cfg))
+        lo, hi, na = cfg.angle_grid_deg
+        deg_of = np.linspace(lo, hi, int(na))
+    else:
+        pmaps = np.asarray(range_azimuth_from_shorts(
+            jnp.asarray(frames), base_cube, cfg))
+        deg_of = None
     pmap = pmaps.mean(axis=0)     # noncoherent integration over frames
     a_bin, r_bin = np.unravel_index(np.argmax(pmap), pmap.shape)
+    peak_az = (float(deg_of[a_bin]) if deg_of is not None
+               else float(angle_bin_to_deg(a_bin, pmap.shape[0], cfg)))
     print(json.dumps({
         "event": "range_azimuth",
+        "method": args.method,
         "frames": int(pmaps.shape[0]),
         "angle_bins": int(pmap.shape[0]),
         "range_bins": int(pmap.shape[1]),
-        "peak_azimuth_deg": round(
-            float(angle_bin_to_deg(a_bin, pmap.shape[0], cfg)), 3),
+        "peak_azimuth_deg": round(peak_az, 3),
         "peak_range_bin": int(r_bin),
     }))
     if args.out:
@@ -942,7 +954,7 @@ def cmd_azmap(args) -> int:
     if args.plot:
         from radar_tpu.viz import plot_range_azimuth
 
-        plot_range_azimuth(pmap, cfg, path=args.plot)
+        plot_range_azimuth(pmap, cfg, path=args.plot, angles_deg=deg_of)
         print(f"wrote plot to {args.plot}", file=sys.stderr)
     return 0
 
@@ -1161,6 +1173,9 @@ def main(argv=None) -> int:
     az.add_argument("--frame", type=int, default=None,
                     help="single capture frame (default: average over "
                          "all frames)")
+    az.add_argument("--method", default="fft", choices=["fft", "capon"],
+                    help="beamformer: zero-padded angle FFT (fast) or "
+                         "Capon/MVDR per range bin (sharper beams)")
     az.add_argument("--out", default=None,
                     help="write the (angle_bins, range_fft) map as .npy")
     az.add_argument("--plot", default=None,

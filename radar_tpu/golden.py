@@ -348,6 +348,46 @@ def micro_doppler_velocity_axis(
     return fd * cfg.wavelength_m / 2.0
 
 
+def _compensated_rd_map(frames_shorts, base_cube, cfg, window):
+    """(..., V', D, R) complex RD planes, clutter-removed and
+    per-Doppler-row TDM-compensated (shared by the range-azimuth maps)."""
+    cube = decode_shorts(frames_shorts, cfg)
+    if base_cube is not None:
+        cube = cube - np.asarray(base_cube, np.complex128)
+    else:
+        cube = cube - cube.mean(axis=-2, keepdims=True)
+    rd = range_doppler_map(virtual_cube(cube, cfg), cfg, window)
+    # apply the per-detection TDM compensation to every Doppler row at
+    # once — same helper, broadcast doppler_bin
+    d = cfg.doppler_fft_size
+    return np.moveaxis(
+        mimo_doppler_compensate(
+            np.moveaxis(rd, -3, -1), np.arange(d)[:, None], cfg
+        ),
+        -1, -3,
+    )
+
+
+def range_azimuth_capon_map(
+    frames_shorts: np.ndarray,
+    base_cube: np.ndarray | None,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    window: bool | str = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Capon/MVDR range-azimuth map (float64 twin of
+    ``ops.aoa.range_azimuth_capon_from_shorts``): per range bin, the D
+    TDM-compensated Doppler rows are the snapshots for the MVDR
+    spectrum over the virtual array.
+
+    Returns:
+      (angles_deg (n_angles,), power (..., n_angles, range_fft)).
+    """
+    rd = _compensated_rd_map(frames_shorts, base_cube, cfg, window)
+    x = np.swapaxes(np.moveaxis(rd, -1, -3), -1, -2)    # (..., R, D, V')
+    angles, p = capon_spectrum(x, cfg)
+    return angles, np.swapaxes(p, -1, -2)
+
+
 def range_azimuth_map(
     frames_shorts: np.ndarray,
     base_cube: np.ndarray | None,
@@ -369,23 +409,7 @@ def range_azimuth_map(
       float64 (..., num_angle_bins, range_fft): angle axis fftshifted
       (map bins to degrees with :func:`angle_bin_to_deg`).
     """
-    from radar_tpu.io.capture import decode_shorts
-
-    cube = decode_shorts(frames_shorts, cfg)
-    if base_cube is not None:
-        cube = cube - np.asarray(base_cube, np.complex128)
-    else:
-        cube = cube - cube.mean(axis=-2, keepdims=True)
-    rd = range_doppler_map(virtual_cube(cube, cfg), cfg, window)
-    # (..., V', D, R): apply the per-detection TDM compensation to every
-    # Doppler row at once — same helper, broadcast doppler_bin
-    d = cfg.doppler_fft_size
-    rd = np.moveaxis(
-        mimo_doppler_compensate(
-            np.moveaxis(rd, -3, -1), np.arange(d)[:, None], cfg
-        ),
-        -1, -3,
-    )
+    rd = _compensated_rd_map(frames_shorts, base_cube, cfg, window)
     a = cfg.num_angle_bins
     v = min(cfg.num_virtual_rx, a)
     w = np.exp(-2j * np.pi * np.outer(np.arange(v), np.arange(a)) / a)

@@ -18,6 +18,7 @@ from radar_tpu.ops.aoa import (
     capon_spectrum,
     music_spectrum,
     angle_bins_deg,
+    range_azimuth_capon_from_shorts,
     range_azimuth_from_shorts,
 )
 from radar_tpu.ops.mdoppler import (
@@ -45,6 +46,7 @@ __all__ = [
     "music_spectrum",
     "angle_bins_deg",
     "range_azimuth_from_shorts",
+    "range_azimuth_capon_from_shorts",
     "auto_range_bin",
     "micro_doppler_spectrogram",
     "blank_interference",

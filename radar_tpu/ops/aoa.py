@@ -203,12 +203,14 @@ def music_spectrum(
     n_rx = x.shape[-1]
     if not 0 < num_sources < n_rx:
         raise ValueError(f"num_sources must be in (0, {n_rx})")
-    r = jnp.einsum("...si,...sj->...ij", x, x.conj()) / x.shape[-2]
+    r = jnp.einsum("...si,...sj->...ij", x, x.conj(),
+                   precision=jax.lax.Precision.HIGHEST) / x.shape[-2]
     _, vecs = jnp.linalg.eigh(r)  # ascending eigenvalues
     noise = vecs[..., :, : n_rx - num_sources]
     angles, steering = _steering_matrix(n_rx, cfg)
     a = jnp.asarray(steering)
-    proj = jnp.einsum("...ij,aj->...ai", jnp.swapaxes(noise, -2, -1).conj(), a)
+    proj = jnp.einsum("...ij,aj->...ai", jnp.swapaxes(noise, -2, -1).conj(),
+                      a, precision=jax.lax.Precision.HIGHEST)
     denom = jnp.sum(proj.real * proj.real + proj.imag * proj.imag, axis=-1)
     return angles, 1.0 / jnp.maximum(denom, 1e-30)
 
@@ -229,14 +231,22 @@ def capon_spectrum(
     x = snapshots
     n_rx = x.shape[-1]
     n_snap = x.shape[-2]
-    r = jnp.einsum("...si,...sj->...ij", x, x.conj()) / n_snap
+    # HIGHEST precision throughout: these contractions are tiny (n_rx is
+    # 4-8) but MVDR is ill-conditioned by design — the TPU's default
+    # single-bf16-pass einsum puts ~3e-3 relative error into R, which the
+    # loaded inverse amplifies into a wrong spectrum (measured: the
+    # range-azimuth Capon map peaked at -17 deg for a 15 deg target until
+    # this pin; the f64 golden and the CPU backend agree at 15.0)
+    hi = jax.lax.Precision.HIGHEST
+    r = jnp.einsum("...si,...sj->...ij", x, x.conj(), precision=hi) / n_snap
     tr = jnp.trace(r, axis1=-2, axis2=-1).real / n_rx
     eye = jnp.eye(n_rx, dtype=r.dtype)
     r = r + (diagonal_loading * tr)[..., None, None] * eye
     r_inv = jnp.linalg.inv(r)
     angles, steering = _steering_matrix(n_rx, cfg)
     a = jnp.asarray(steering)  # (n_angles, n_rx)
-    denom = jnp.einsum("ai,...ij,aj->...a", a.conj(), r_inv, a).real
+    denom = jnp.einsum("ai,...ij,aj->...a", a.conj(), r_inv, a,
+                       precision=hi).real
     return angles, 1.0 / jnp.maximum(denom, 1e-30)
 
 
@@ -265,22 +275,9 @@ def range_azimuth_from_shorts(
       float32 (..., num_angle_bins, range_fft), angle axis fftshifted
       (``golden.angle_bin_to_deg`` maps bins to degrees).
     """
-    import numpy as np
-
     from radar_tpu.ops.dftmat import resolve_precision
-    from radar_tpu.ops.fuseddft import fused_rd_planes
 
-    dr, di = fused_rd_planes(shorts, base_cube, cfg, window)
-    # (..., V', D, R); TDM compensation phase over (V', D) — exact host
-    # constants (cfg-static)
-    d = cfg.doppler_fft_size
-    fd = (np.arange(d) - d // 2) / (d * cfg.slow_time_interval_s)
-    tx_idx = np.arange(cfg.num_virtual_rx) // cfg.num_rx
-    ph = -2.0 * np.pi * fd[None, :] * tx_idx[:, None] * cfg.chirp_interval_s
-    pr = jnp.asarray(np.cos(ph), jnp.float32)[..., None]   # (V', D, 1)
-    pi_ = jnp.asarray(np.sin(ph), jnp.float32)[..., None]
-    cr = dr * pr - di * pi_
-    ci = dr * pi_ + di * pr
+    cr, ci = _tdm_compensated_rd(shorts, base_cube, cfg, window)
     a = cfg.num_angle_bins
     v = min(cfg.num_virtual_rx, a)
     w = _angle_dft_rows(v, a)                               # (v, A) c64
@@ -292,3 +289,49 @@ def range_azimuth_from_shorts(
     sr = ein(wr, cr[..., :v, :, :]) - ein(wi, ci[..., :v, :, :])
     si = ein(wr, ci[..., :v, :, :]) + ein(wi, cr[..., :v, :, :])
     return (sr * sr + si * si).sum(axis=-2)
+
+def _tdm_compensated_rd(shorts, base_cube, cfg, window):
+    """(..., V', D, R) planar RD planes with the per-Doppler-row TDM
+    MIMO time-offset compensation applied (the per-detection
+    ``mimo_compensate`` phase vectorized over all rows; exact host
+    constants — cfg-static)."""
+    import numpy as np
+
+    from radar_tpu.ops.fuseddft import fused_rd_planes
+
+    dr, di = fused_rd_planes(shorts, base_cube, cfg, window)
+    d = cfg.doppler_fft_size
+    fd = (np.arange(d) - d // 2) / (d * cfg.slow_time_interval_s)
+    tx_idx = np.arange(cfg.num_virtual_rx) // cfg.num_rx
+    ph = -2.0 * np.pi * fd[None, :] * tx_idx[:, None] * cfg.chirp_interval_s
+    pr = jnp.asarray(np.cos(ph), jnp.float32)[..., None]   # (V', D, 1)
+    pi_ = jnp.asarray(np.sin(ph), jnp.float32)[..., None]
+    return dr * pr - di * pi_, dr * pi_ + di * pr
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "window"))
+def range_azimuth_capon_from_shorts(
+    shorts: jnp.ndarray,
+    base_cube: jnp.ndarray | None,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    window: bool = True,
+) -> jnp.ndarray:
+    """High-resolution (Capon/MVDR) range-azimuth map.
+
+    Per range bin, the D TDM-compensated Doppler rows are the snapshot
+    set for the MVDR spectrum over the virtual array — sharper beams
+    and better sidelobe rejection than the FFT map at the cost of a
+    per-bin covariance inverse (V' x V' — tiny, batched over B*R bins).
+    float64 twin: ``golden.range_azimuth_capon_map``.
+
+    Returns:
+      float32 (..., n_angles, range_fft) on the UNIFORM degree grid of
+      ``cfg.angle_grid_deg`` (unlike the FFT map's sin-space bins —
+      CLI/viz take the grid from ``aoa.angle_bins_deg``/the spectrum's
+      own axis).
+    """
+    cr, ci = _tdm_compensated_rd(shorts, base_cube, cfg, window)
+    x = jax.lax.complex(cr, ci)              # (..., V', D, R)
+    x = jnp.swapaxes(jnp.moveaxis(x, -1, -3), -1, -2)   # (..., R, D, V')
+    _, p = capon_spectrum(x, cfg)            # (..., R, n_angles)
+    return jnp.swapaxes(p, -1, -2)

@@ -186,20 +186,23 @@ def plot_range_azimuth(
     cfg: RadarConfig = DEFAULT_CONFIG,
     path: str | None = None,
     db: bool = True,
+    angles_deg=None,
 ):
     """Range-azimuth heatmap with physical axes.
 
     ``pmap`` is the (num_angle_bins, range_fft) power from
-    ``ops.aoa.range_azimuth_from_shorts`` (angle axis fftshifted).  The
-    sin-space angle bins map nonuniformly to degrees, so the plot uses
-    pcolormesh with the true per-bin degree coordinates.
+    ``ops.aoa.range_azimuth_from_shorts`` (angle axis fftshifted; the
+    sin-space bins map nonuniformly to degrees, so the plot uses
+    pcolormesh with the true per-bin coordinates) — or a Capon map,
+    whose uniform grid the caller passes via ``angles_deg``.
     """
     from radar_tpu.golden import angle_bin_to_deg
 
     p = np.asarray(pmap, np.float64)
     a, r = p.shape
     img = 10.0 * np.log10(np.maximum(p, p.max() * 1e-8)) if db else p
-    deg = angle_bin_to_deg(np.arange(a), a, cfg)
+    deg = (np.asarray(angles_deg) if angles_deg is not None
+           else angle_bin_to_deg(np.arange(a), a, cfg))
     r_max = cfg.sample_rate_hz * 3.0e8 / (2 * cfg.slope_hz_per_s)
     rng = np.arange(r) * r_max / r
     fig, ax = plt.subplots(figsize=(7, 4.6), constrained_layout=True)

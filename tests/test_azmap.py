@@ -92,3 +92,45 @@ def test_cli_azmap(tmp_path, capsys):
     pmap = np.load(out)
     assert pmap.shape == (line["angle_bins"], line["range_bins"])
     assert plot.exists()
+
+
+def test_range_azimuth_capon_matches_golden(az_setup):
+    cfg, cap, frames, base64, base_cube = az_setup
+    from radar_tpu.ops.aoa import range_azimuth_capon_from_shorts
+
+    angles, want = golden.range_azimuth_capon_map(cap[1:], base64, cfg)
+    got = np.asarray(range_azimuth_capon_from_shorts(frames, base_cube, cfg))
+    assert got.shape == want.shape
+    # c64 covariance + inverse vs f64: compare normalized spectra
+    gn = got / got.max()
+    wn = want / want.max()
+    assert np.abs(gn - wn).max() < 1e-2
+    # peak at the target
+    pmap = got.mean(axis=0)
+    a_bin, r_bin = np.unravel_index(np.argmax(pmap), pmap.shape)
+    lo, hi, na = cfg.angle_grid_deg
+    az = np.linspace(lo, hi, int(na))[a_bin]
+    from radar_tpu.evaluate import expected_bins
+
+    _, r_true = expected_bins(5.0, 2.0, cfg)
+    assert abs(r_bin - r_true) <= 1
+    assert abs(az - 20.0) <= 6.0, az
+
+
+def test_cli_azmap_capon(tmp_path, capsys):
+    from radar_tpu.cli import main
+    from radar_tpu.io.capture import write_capture
+
+    cfg = RadarConfig()
+    cap = synthesize_capture(
+        [SceneTarget(range_m=5.0, velocity_mps=2.0, azimuth_deg=20.0,
+                     amplitude=2000.0)],
+        4, cfg, noise_std=3.0, seed=11,
+    )
+    p = tmp_path / "cap.bin"
+    write_capture(str(p), cap)
+    rc = main(["azmap", str(p), "--method", "capon"])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert line["method"] == "capon"
+    assert abs(line["peak_azimuth_deg"] - 20.0) <= 6.0
