@@ -116,14 +116,35 @@ def test_serve_loopback(cfg, capsys):
     packets = make_packets(capture)
 
     def send():
+        # Wait until the server OWNS the port (bind-probe: our own bind
+        # succeeding means it hasn't bound yet) — a fixed sleep raced the
+        # server's startup under full-suite load, and packets sent before
+        # the bind are lost, leaving the reassembler's byte stream
+        # starting mid-frame (misaligned frames).
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            try:
+                probe.bind(("127.0.0.1", port))
+            except OSError:
+                probe.close()
+                break  # server holds the port
+            probe.close()
+            time.sleep(0.05)
+        # Two full paced passes: the reassembler drops stale duplicates
+        # by design (io/live.py), so the replay is free and it heals any
+        # loopback-UDP drop from the first pass before the 32-packet
+        # reorder window zero-fills the gap.
         tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        for i, p in enumerate(packets):
-            tx.sendto(p, ("127.0.0.1", port))
-            if i % 64 == 63:
-                time.sleep(0.001)
+        for _ in range(2):
+            for i, p in enumerate(packets):
+                tx.sendto(p, ("127.0.0.1", port))
+                if i % 32 == 31:
+                    time.sleep(0.001)
+            time.sleep(0.2)
         tx.close()
 
-    t = threading.Timer(0.5, send)
+    t = threading.Timer(0.0, send)
     t.start()
     rc = cli.main(["serve", "--port", str(port), "--host", "127.0.0.1",
                    "--max-frames", "5", "--timeout", "15"])
