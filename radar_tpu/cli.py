@@ -32,6 +32,8 @@ def _build_cfg(args) -> RadarConfig:
         kw["dft_precision"] = args.dft_precision
     if getattr(args, "window_kind", None):
         kw["window_kind"] = args.window_kind
+    if getattr(args, "clutter", None):
+        kw["clutter_mode"] = args.clutter
     return RadarConfig(**kw)
 
 
@@ -57,6 +59,12 @@ def _add_pipeline_flags(sp) -> None:
                     help="MXU matmul precision: 'high' 3-pass (~8e-6 vs "
                          "golden, the default), 'highest' f32 (~8e-8), or "
                          "'default' 1 bf16 pass (~9e-4, fastest)")
+    sp.add_argument("--clutter", default=None,
+                    choices=["auto", "base", "mean", "mti2", "mti3"],
+                    help="slow-time clutter removal: 'auto' (base frame "
+                         "when available, else mean-over-chirps), or "
+                         "'mti2'/'mti3' pulse cancellers (static clutter "
+                         "notched per CPI, no empty-scene capture needed)")
 
 
 def _add_blank_flag(sp) -> None:

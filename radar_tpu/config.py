@@ -85,6 +85,22 @@ class RadarConfig:
     # f32-exact 6-pass, ~8e-8.  'default': the TPU's single bf16 pass,
     # ~9e-4 (rides the gate) for the max-throughput mode.
     dft_precision: str = "high"
+    # Slow-time clutter removal applied by the RD detection pipelines
+    # (golden + every rd_impl):
+    #   'auto' — base-frame range-plane subtraction when a base cube is
+    #            supplied (the reference's convention,
+    #            cudaBenchMarking.cpp:277-280), else mean-over-chirps;
+    #   'base' — require the base cube (error without one);
+    #   'mean' — per-frame mean over chirps even when a base exists;
+    #   'mti2'/'mti3' — two/three-pulse circular MTI canceller along
+    #            slow time (y[c] = x[c] - x[c-T], T = num_tx so the
+    #            difference pairs same-TX chirps; 'mti3' double-notches:
+    #            x[c] - 2x[c-T] + x[c-2T]).  Removes static clutter
+    #            from a SINGLE frame — no empty-scene base capture
+    #            needed — with the deepest rejection of the three modes
+    #            (the notch is exactly zero at DC per CPI, not just at
+    #            the scene average).  Ignores any supplied base cube.
+    clutter_mode: str = "auto"
     # Angle processing
     num_angle_bins: int = 64                  # angle-FFT size
     angle_grid_deg: Tuple[float, float, int] = (-90.0, 90.0, 181)  # Capon scan
@@ -111,6 +127,8 @@ class RadarConfig:
         _check("cfar_range_mode", self.cfar_range_mode, ("reflect", "wrap"))
         _check("dft_precision", self.dft_precision,
                ("high", "highest", "default"))
+        _check("clutter_mode", self.clutter_mode,
+               ("auto", "base", "mean", "mti2", "mti3"))
         if not isinstance(self.cfar_os_stride, int) or self.cfar_os_stride < 1:
             raise ValueError(
                 f"cfar_os_stride must be a positive int, got {self.cfar_os_stride!r}"
@@ -119,6 +137,25 @@ class RadarConfig:
             raise ValueError(
                 f"cfar_os_k_frac must be in (0, 1], got {self.cfar_os_k_frac!r}"
             )
+
+    def effective_clutter(self, has_base: bool) -> str:
+        """Resolve ``clutter_mode`` to a concrete mode for one call.
+
+        'auto' keeps the historical convention (base subtraction when a
+        base cube is present, mean-over-chirps otherwise); the explicit
+        modes apply regardless of whether a base was supplied, except
+        'base' which demands one.
+        """
+        mode = self.clutter_mode
+        if mode == "auto":
+            return "base" if has_base else "mean"
+        if mode == "base" and not has_base:
+            raise ValueError(
+                "clutter_mode='base' requires a base cube (an empty-scene "
+                "frame-0 capture); use 'mean' or 'mti2'/'mti3' for "
+                "base-free clutter removal"
+            )
+        return mode
 
     # ---- derived sizes --------------------------------------------------
     @property

@@ -236,6 +236,31 @@ def mimo_doppler_compensate(
     return snaps * np.exp(1j * phase)
 
 
+def mti_filter(
+    x: np.ndarray, order: int = 2, axis: int = -2, stride: int = 1
+) -> np.ndarray:
+    """Circular pulse-canceller MTI along slow time (float64 golden).
+
+    ``order=2``: ``y[c] = x[c] - x[c-stride]``; ``order=3``:
+    ``y[c] = x[c] - 2 x[c-stride] + x[c-2*stride]``, circular over the
+    CPI.  ``stride`` pairs same-TX chirps on a TDM-interleaved chirp
+    axis (``num_tx``) and is 1 on a demuxed per-TX axis — the same
+    linear map either way, so the TPU paths may apply it wherever the
+    pipeline is linear (raw cube, range planes) and still match this
+    time-domain definition to fp tolerance.
+
+    Defines the semantics of ``RadarConfig.clutter_mode='mti2'/'mti3'``;
+    jnp twin: ``ops.preproc.mti_clutter_removal``.
+    """
+    if order not in (2, 3):
+        raise ValueError(f"MTI order must be 2 or 3, got {order}")
+    x = np.asarray(x, dtype=np.complex128)
+    prev = np.roll(x, stride, axis=axis)
+    if order == 2:
+        return x - prev
+    return x - 2.0 * prev + np.roll(x, 2 * stride, axis=axis)
+
+
 def range_doppler_map(
     cube: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG,
     window: bool | str = True,

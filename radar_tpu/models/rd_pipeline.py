@@ -30,8 +30,20 @@ import jax.numpy as jnp
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG, LIGHT_SPEED
 from radar_tpu.ops.aoa import angle_fft_spectrum
 from radar_tpu.ops.decode import decode_to_cube
-from radar_tpu.ops.preproc import mean_clutter_removal
+from radar_tpu.ops.preproc import mean_clutter_removal, mti_clutter_removal
 from radar_tpu.ops.rangefft import range_doppler
+
+
+def _declutter(x, base, cfg: RadarConfig):
+    """``cfg.effective_clutter`` dispatch on a decoded cube-like array
+    with the chirp axis at -2 (real plane or complex cube); ``base`` is
+    the matching base array or None."""
+    mode = cfg.effective_clutter(base is not None)
+    if mode == "base":
+        return x - base
+    if mode == "mean":
+        return mean_clutter_removal(x)
+    return mti_clutter_removal(x, int(mode[-1]), axis=-2, stride=cfg.num_tx)
 
 
 class RDResult(NamedTuple):
@@ -442,10 +454,8 @@ class RDPipeline:
     def rd_cube(self, shorts: jnp.ndarray, base_cube: jnp.ndarray | None):
         """(B, rx, doppler, range) complex range-Doppler maps."""
         cube = decode_to_cube(shorts, self.cfg)
-        if self.use_base_frame and base_cube is not None:
-            cube = cube - base_cube
-        else:
-            cube = mean_clutter_removal(cube)
+        base = base_cube if self.use_base_frame else None
+        cube = _declutter(cube, base, self.cfg)
         cube = virtualize_cube(cube, self.cfg)
         impl = self.rd_impl
         if impl == "auto":
@@ -478,10 +488,8 @@ class RDPipeline:
 
         cfg = self.cfg
         cube = decode_to_cube(shorts, cfg)
-        if self.use_base_frame and base_cube is not None:
-            cube = cube - base_cube
-        else:
-            cube = mean_clutter_removal(cube)
+        base = base_cube if self.use_base_frame else None
+        cube = _declutter(cube, base, cfg)
         cube = virtualize_cube(cube, cfg)  # (B, V, CPT, S)
         x = cube * make_window(cube.shape[-1], cfg.window_kind, jnp.float32)
         rng = jnp.fft.fft(x, n=cfg.range_fft_size, axis=-1)
@@ -709,13 +717,9 @@ class RDPipeline:
                 from radar_tpu.ops.dftmat import range_doppler_planes
 
                 re, im = decode_to_planes(shorts, cfg)
-                if base is not None:
-                    re = re - base.real
-                    im = im - base.imag
-                else:
-                    # mean over chirps is linear: per-plane == complex mean
-                    re = re - jnp.mean(re, axis=-2, keepdims=True)
-                    im = im - jnp.mean(im, axis=-2, keepdims=True)
+                # clutter removal is linear: per-plane == complex form
+                re = _declutter(re, None if base is None else base.real, cfg)
+                im = _declutter(im, None if base is None else base.imag, cfg)
                 re = virtualize_cube(re, cfg)
                 im = virtualize_cube(im, cfg)
                 dr, di = range_doppler_planes(re, im, cfg)  # (B, rx, D, R)

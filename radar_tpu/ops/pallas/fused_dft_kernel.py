@@ -69,6 +69,9 @@ def fused_rd_planes_pallas(
     window = resolve_window(window, cfg)
     a_re, a_im = interleaved_range_matrices(cfg.num_samples, r, window)
     a_re_t, a_im_t = a_re.T, a_im.T  # (2S, R) for the row-major dot
+    clutter = cfg.effective_clutter(base_cube is not None)
+    if clutter != "base":
+        base_cube = None   # the kernel subtracts zero planes
     if base_cube is not None:
         b_re, b_im = _base_range_planes(base_cube, cfg, window)  # (C, V, R)
         b_re = b_re.reshape(rows, r)
@@ -129,7 +132,15 @@ def fused_rd_planes_pallas(
 
     rng_re = rng_re.reshape(lead + (c, v, r))
     rng_im = rng_im.reshape(lead + (c, v, r))
-    if base_cube is None:
+    if clutter == "mean":
         rng_re = rng_re - jnp.mean(rng_re, axis=-3, keepdims=True)
         rng_im = rng_im - jnp.mean(rng_im, axis=-3, keepdims=True)
+    elif clutter != "base":  # mti2/mti3 along the chirp axis
+        from radar_tpu.ops.preproc import mti_clutter_removal
+
+        order = int(clutter[-1])
+        rng_re = mti_clutter_removal(rng_re, order, axis=-3,
+                                     stride=cfg.num_tx)
+        rng_im = mti_clutter_removal(rng_im, order, axis=-3,
+                                     stride=cfg.num_tx)
     return doppler_from_range_planes(rng_re, rng_im, cfg, window)

@@ -214,7 +214,7 @@ def _range_lhs(raw_i16, precision):
 
 
 def _range_stage(raw_f, a2, br_ref, bi_ref, *, split, dprec, cv, s2,
-                 r_size, mean_clutter, n_chirps):
+                 r_size, clutter, n_chirps, tx):
     """One frame's clutter-removed, pre-split range planes, all in VMEM,
     via ONE range dot; a2 is the packed host-built constant
     (:func:`_range_consts` — the kernel never splits, negates or
@@ -237,15 +237,32 @@ def _range_stage(raw_f, a2, br_ref, bi_ref, *, split, dprec, cv, s2,
     z2c = _DOT(lhs, a2, precision=prec)   # (C*V, 2R): [zr | zi] planes
     zr = z2c[:, :r_size]
     zi = z2c[:, r_size:]
-    if mean_clutter:
+    if clutter == "mean":
         vr = (cv // n_chirps) * r_size
         z2 = zr.reshape(n_chirps, vr)
         zr = (z2 - jnp.mean(z2, axis=0, keepdims=True)).reshape(cv, r_size)
         z2 = zi.reshape(n_chirps, vr)
         zi = (z2 - jnp.mean(z2, axis=0, keepdims=True)).reshape(cv, r_size)
-    else:
+    elif clutter == "base":
         zr = zr - br_ref[:]
         zi = zi - bi_ref[:]
+    else:  # mti2/mti3 pulse canceller (golden.mti_filter): on the
+        # chirp-major (C, V*R) layout a SUBLANE roll by tx pairs each
+        # chirp with the previous same-TX chirp; static-shift
+        # pltpu.roll is a single hardware rotate, so the whole filter
+        # is 1-2 rolls + adds per plane — the AoA snapshots gathered
+        # from these planes downstream see the filtered slow time too.
+        vr = (cv // n_chirps) * r_size
+        order = int(clutter[-1])
+
+        def mti(z):
+            z2 = z.reshape(n_chirps, vr)
+            y = z2 - pltpu.roll(z2, tx, 0)
+            if order == 3:
+                y = y - pltpu.roll(z2, tx, 0) + pltpu.roll(z2, 2 * tx, 0)
+            return y.reshape(cv, r_size)
+
+        zr, zi = mti(zr), mti(zi)
     return split(zr), split(zi)
 
 
@@ -264,13 +281,13 @@ def _doppler_power(zrp, zip_, l2, *, dprec, kc, tvr, d_size, tv, r_size):
 
 
 def _frame_maps(raw_f, a2, l2, br_ref, bi_ref, *, split,
-                dprec, cv, s2, kc, tvr, d_size, tv, r_size, mean_clutter,
+                dprec, cv, s2, kc, tvr, d_size, tv, r_size, clutter,
                 tx, n_chirps):
     """One frame's (zr parts, zi parts, p): :func:`_range_stage` then
     :func:`_doppler_power` — ONE range dot and ONE Doppler dot total."""
     zrp, zip_ = _range_stage(
         raw_f, a2, br_ref, bi_ref, split=split, dprec=dprec, cv=cv, s2=s2,
-        r_size=r_size, mean_clutter=mean_clutter, n_chirps=n_chirps,
+        r_size=r_size, clutter=clutter, n_chirps=n_chirps, tx=tx,
     )
     p = _doppler_power(zrp, zip_, l2, dprec=dprec, kc=kc, tvr=tvr,
                        d_size=d_size, tv=tv, r_size=r_size)
@@ -281,7 +298,7 @@ def _mega_kernel(
     raw_ref, a2_ref, l2_ref, br_ref, bi_ref,
     *refs,
     rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
-    mean_clutter, tx, n_chirps, with_cfar, coef, n_band=2,
+    clutter, tx, n_chirps, with_cfar, coef, n_band=2,
     cfar_kind="ca",
 ):
     if with_cfar:
@@ -299,7 +316,7 @@ def _mega_kernel(
             raw_ref[f], a2, l2, br_ref, bi_ref,
             split=split, dprec=precision, cv=cv, s2=s2, kc=kc, tvr=tvr,
             d_size=d_size, tv=tv, r_size=r_size,
-            mean_clutter=mean_clutter, tx=tx, n_chirps=n_chirps,
+            clutter=clutter, tx=tx, n_chirps=n_chirps,
         )
         out_ref[f] = p
         if with_cfar:
@@ -553,6 +570,9 @@ def _mega_call(
             f"range_fft={cfg.range_fft_size}); use rd_impl='fused' "
             "(what 'auto' falls back to)"
         )
+    clutter = cfg.effective_clutter(base_cube is not None)
+    if clutter != "base":
+        base_cube = None   # zero base planes; the kernel never reads them
     lead, raw, art, ait, fr, fi, br, bi = _plan(shorts, base_cube, cfg, window)
     b = raw.shape[0]
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
@@ -580,7 +600,7 @@ def _mega_call(
         rows=rows, cv=c * v, s2=s2, kc=kc, tvr=tv * r_size,
         d_size=d_size, tv=tv, r_size=r_size,
         precision=cfg.dft_precision,
-        mean_clutter=base_cube is None, tx=tx, n_chirps=c,
+        clutter=clutter, tx=tx, n_chirps=c,
         with_cfar=with_cfar, coef=coef, n_band=n_band,
         cfar_kind=cfg.cfar_kind,
     )
@@ -719,7 +739,7 @@ def _mega_detect_kernel(
     raw_ref, a2_ref, l2_ref, frt_ref, fit_ref,
     br_ref, bi_ref, *rest,
     rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
-    mean_clutter, tx, n_chirps, coef, k_det, s_pack, n_band,
+    clutter, tx, n_chirps, coef, k_det, s_pack, n_band,
     cfar_kind="ca", phases="full",
 ):
     band = [r[:] for r in rest[:n_band]]
@@ -747,7 +767,7 @@ def _mega_detect_kernel(
         zrp, zip_ = _range_stage(
             raw_ref[f], a2, br_ref, bi_ref,
             split=split, dprec=precision, cv=cv, s2=s2, r_size=r_size,
-            mean_clutter=mean_clutter, n_chirps=n_chirps,
+            clutter=clutter, n_chirps=n_chirps, tx=tx,
         )
         if precision == "high":
             zr_s[f] = jnp.concatenate(zrp, axis=1)    # [hi | lo], aligned
@@ -1035,6 +1055,9 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
             f"mega detect kernel supports max_detections <= {_K_LANE} "
             f"(got {k_det}); use rd_impl='mega-maps'"
         )
+    clutter = cfg.effective_clutter(base_cube is not None)
+    if clutter != "base":
+        base_cube = None   # zero base planes; the kernel never reads them
     lead, raw, art, ait, fr, fi, br, bi = _plan(shorts, base_cube, cfg, window)
     b = raw.shape[0]
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
@@ -1074,7 +1097,7 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
         rows=rows, cv=c * v, s2=s2, kc=kc, tvr=tv * r_size,
         d_size=d_size, tv=tv, r_size=r_size,
         precision=cfg.dft_precision,
-        mean_clutter=base_cube is None, tx=tx, n_chirps=c,
+        clutter=clutter, tx=tx, n_chirps=c,
         coef=coef, k_det=k_det, s_pack=s_pack, n_band=len(band),
         cfar_kind=cfg.cfar_kind, phases=phases,
     )
@@ -1252,13 +1275,28 @@ def snapshots_from_shorts(
     g_re = ein_r(a_sel_re, raw)
     g_im = ein_r(a_sel_im, raw)
 
-    if base_cube is None:
+    clutter = cfg.effective_clutter(base_cube is not None)
+    if clutter == "mean":
         gm_re = g_re.reshape(b, k_det, c, v)
         gm_im = g_im.reshape(b, k_det, c, v)
         g_re = (gm_re - jnp.mean(gm_re, axis=2, keepdims=True)).reshape(
             b, k_det, c * v
         )
         g_im = (gm_im - jnp.mean(gm_im, axis=2, keepdims=True)).reshape(
+            b, k_det, c * v
+        )
+    elif clutter != "base":  # mti2/mti3: gathering at a range bin
+        # commutes with the chirp-axis filter, so filter the gathered
+        # (b, K, C, v) slices directly (golden.mti_filter semantics)
+        from radar_tpu.ops.preproc import mti_clutter_removal
+
+        order = int(clutter[-1])
+        gm_re = g_re.reshape(b, k_det, c, v)
+        gm_im = g_im.reshape(b, k_det, c, v)
+        g_re = mti_clutter_removal(gm_re, order, axis=2, stride=tx).reshape(
+            b, k_det, c * v
+        )
+        g_im = mti_clutter_removal(gm_im, order, axis=2, stride=tx).reshape(
             b, k_det, c * v
         )
     else:

@@ -282,11 +282,25 @@ class DistributedRDPipeline:
                 rng_im = jnp.einsum(
                     "...cvj,rj->...cvr", raw_l, a_im, precision=prec
                 )
-                b_re, b_im = _base_range_planes(base_local, cfg,
-                                                cfg.window_kind)
-                dr, di = doppler_from_range_planes(
-                    rng_re - b_re, rng_im - b_im, cfg
-                )
+                mode = cfg.effective_clutter(True)
+                if mode == "base":
+                    b_re, b_im = _base_range_planes(base_local, cfg,
+                                                    cfg.window_kind)
+                    rng_re, rng_im = rng_re - b_re, rng_im - b_im
+                elif mode == "mean":
+                    rng_re = rng_re - jnp.mean(rng_re, axis=-3,
+                                               keepdims=True)
+                    rng_im = rng_im - jnp.mean(rng_im, axis=-3,
+                                               keepdims=True)
+                else:  # mti2/mti3 along the chirp axis (same linear map
+                    # per RX shard; see ops/preproc.mti_clutter_removal)
+                    from radar_tpu.ops.preproc import mti_clutter_removal
+
+                    rng_re = mti_clutter_removal(
+                        rng_re, int(mode[-1]), axis=-3, stride=cfg.num_tx)
+                    rng_im = mti_clutter_removal(
+                        rng_im, int(mode[-1]), axis=-3, stride=cfg.num_tx)
+                dr, di = doppler_from_range_planes(rng_re, rng_im, cfg)
                 rd_l = None
                 planes = (dr, di)
                 local_power = jnp.sum(dr * dr + di * di, axis=-3)
@@ -295,13 +309,19 @@ class DistributedRDPipeline:
                 from radar_tpu.ops.decode import decode_to_planes
                 from radar_tpu.ops.dftmat import range_doppler_planes
 
+                from radar_tpu.models.rd_pipeline import _declutter
+
                 re, im = decode_to_planes(shorts_local, cfg)
-                re = jax.lax.dynamic_slice_in_dim(
-                    re, chan_idx * rx_per, rx_per, axis=1
-                ) - base_local.real
-                im = jax.lax.dynamic_slice_in_dim(
-                    im, chan_idx * rx_per, rx_per, axis=1
-                ) - base_local.imag
+                re = _declutter(
+                    jax.lax.dynamic_slice_in_dim(
+                        re, chan_idx * rx_per, rx_per, axis=1
+                    ), base_local.real, cfg,
+                )
+                im = _declutter(
+                    jax.lax.dynamic_slice_in_dim(
+                        im, chan_idx * rx_per, rx_per, axis=1
+                    ), base_local.imag, cfg,
+                )
                 dr, di = range_doppler_planes(
                     virtualize_cube(re, cfg), virtualize_cube(im, cfg), cfg
                 )
@@ -309,11 +329,14 @@ class DistributedRDPipeline:
                 planes = (dr, di)
                 local_power = jnp.sum(dr * dr + di * di, axis=-3)
             else:
+                from radar_tpu.models.rd_pipeline import _declutter
+
                 cube = decode_to_cube(shorts_local, cfg)  # (B, rx, C, Smp)
                 cube_l = jax.lax.dynamic_slice_in_dim(
                     cube, chan_idx * rx_per, rx_per, axis=1
                 )
-                cube_l = virtualize_cube(cube_l - base_local, cfg)
+                cube_l = virtualize_cube(_declutter(cube_l, base_local, cfg),
+                                         cfg)
                 if rd_impl == "mxu":
                     from radar_tpu.ops.dftmat import range_doppler_mxu
 
