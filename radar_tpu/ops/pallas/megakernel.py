@@ -246,23 +246,12 @@ def _range_stage(raw_f, a2, br_ref, bi_ref, *, split, dprec, cv, s2,
     elif clutter == "base":
         zr = zr - br_ref[:]
         zi = zi - bi_ref[:]
-    else:  # mti2/mti3 pulse canceller (golden.mti_filter): on the
-        # chirp-major (C, V*R) layout a SUBLANE roll by tx pairs each
-        # chirp with the previous same-TX chirp; static-shift
-        # pltpu.roll is a single hardware rotate, so the whole filter
-        # is 1-2 rolls + adds per plane — the AoA snapshots gathered
-        # from these planes downstream see the filtered slow time too.
-        vr = (cv // n_chirps) * r_size
-        order = int(clutter[-1])
-
-        def mti(z):
-            z2 = z.reshape(n_chirps, vr)
-            y = z2 - pltpu.roll(z2, tx, 0)
-            if order == 3:
-                y = y - pltpu.roll(z2, tx, 0) + pltpu.roll(z2, 2 * tx, 0)
-            return y.reshape(cv, r_size)
-
-        zr, zi = mti(zr), mti(zi)
+    # else 'none': MTI modes reach the kernel as a host-side fold of the
+    # canceller into the Doppler DFT constants (see :func:`_plan`) — the
+    # range planes stay raw and every Doppler-domain consumer (power
+    # map, AoA snapshot dots) sees the filtered slow time for free.  An
+    # in-kernel roll+subtract variant measured +5% (mti2) / +27% (mti3)
+    # detect() time on v5e.
     return split(zr), split(zi)
 
 
@@ -459,10 +448,32 @@ def _auto_rows(cfg: RadarConfig, b: int) -> int:
     return _rows_for(*_maps_vmem_parts(cfg), b)
 
 
-def _plan(shorts, base_cube, cfg, window):
+def _mti_matrix(kc: int, order: int):
+    """(kc, kc) float64 circulant canceller M with ``y = M @ x`` the
+    circular two/three-pulse MTI over a demuxed per-TX chirp axis
+    (golden.mti_filter semantics at stride 1): M = I - R (order 2) or
+    I - 2R + R^2 (order 3), R the one-step delay."""
+    import numpy as np
+
+    eye = np.eye(kc)
+    r1 = np.roll(eye, -1, axis=1)   # r1[c, c-1] = 1
+    if order == 2:
+        return eye - r1
+    return eye - 2.0 * r1 + np.roll(eye, -2, axis=1)
+
+
+def _plan(shorts, base_cube, cfg, window, clutter="base"):
     """Shared host-side setup: reshaped raw frames + constant operands.
     The range matrices and base planes are zero-padded to ``_r_pad(cfg)``
-    columns so non-128-multiple range sizes lower (see :func:`_r_pad`)."""
+    columns so non-128-multiple range sizes lower (see :func:`_r_pad`).
+
+    MTI clutter modes fold the canceller INTO the Doppler DFT matrix:
+    ``dr = F diag(w) (M x) = (F diag(w) M) x``, and the per-detection
+    AoA snapshots are Doppler-domain values of the same transform, so
+    one host-side constant fold filters the power map AND the snapshots
+    at ZERO kernel cost (an in-kernel roll+subtract form measured
+    +5%/+27% for mti2/mti3 on v5e — Mosaic's tiny-op tax on the extra
+    per-frame VPU chain)."""
     from radar_tpu.ops.fuseddft import (
         _base_range_planes,
         interleaved_range_matrices,
@@ -482,6 +493,10 @@ def _plan(shorts, base_cube, cfg, window):
     ait = jnp.asarray(a_im.T, jnp.float32)
     f_dop = dft_matrix(cfg.chirps_per_tx, cfg.doppler_fft_size, window,
                        shift=True)
+    if clutter in ("mti2", "mti3"):
+        f_dop = f_dop @ jnp.asarray(
+            _mti_matrix(cfg.chirps_per_tx, int(clutter[-1]))
+        ).astype(f_dop.dtype)
     fr = jnp.asarray(f_dop.real, jnp.float32)
     fi = jnp.asarray(f_dop.imag, jnp.float32)
     if base_cube is None:
@@ -573,7 +588,10 @@ def _mega_call(
     clutter = cfg.effective_clutter(base_cube is not None)
     if clutter != "base":
         base_cube = None   # zero base planes; the kernel never reads them
-    lead, raw, art, ait, fr, fi, br, bi = _plan(shorts, base_cube, cfg, window)
+    lead, raw, art, ait, fr, fi, br, bi = _plan(shorts, base_cube, cfg, window,
+                                                clutter)
+    if clutter in ("mti2", "mti3"):
+        clutter = "none"   # folded into the Doppler constants by _plan
     b = raw.shape[0]
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     kc, tx = cfg.chirps_per_tx, cfg.num_tx
@@ -1058,7 +1076,10 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
     clutter = cfg.effective_clutter(base_cube is not None)
     if clutter != "base":
         base_cube = None   # zero base planes; the kernel never reads them
-    lead, raw, art, ait, fr, fi, br, bi = _plan(shorts, base_cube, cfg, window)
+    lead, raw, art, ait, fr, fi, br, bi = _plan(shorts, base_cube, cfg, window,
+                                                clutter)
+    if clutter in ("mti2", "mti3"):
+        clutter = "none"   # folded into the Doppler constants by _plan
     b = raw.shape[0]
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     kc, tx = cfg.chirps_per_tx, cfg.num_tx

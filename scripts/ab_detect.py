@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--precision", default=None,
                     help="dft_precision override (default/high/highest)")
+    ap.add_argument("--clutter", default=None,
+                    help="clutter_mode override (auto/base/mean/mti2/mti3)")
     args = ap.parse_args()
 
     import jax
@@ -44,8 +46,12 @@ def main() -> None:
     from radar_tpu.models.rd_pipeline import RDPipeline
     from radar_tpu.utils.timing import fence
 
-    cfg = (RadarConfig(dft_precision=args.precision) if args.precision
-           else RadarConfig())
+    kw = {}
+    if args.precision:
+        kw["dft_precision"] = args.precision
+    if args.clutter:
+        kw["clutter_mode"] = args.clutter
+    cfg = RadarConfig(**kw)
     pipe = RDPipeline(cfg, max_detections=16)
     cap = synthesize_capture(
         [SceneTarget(range_m=3.0, velocity_mps=2.0, azimuth_deg=20.0,
