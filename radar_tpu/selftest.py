@@ -168,6 +168,42 @@ def check_mega_mean_clutter():
                 maps.detect(jnp.asarray(cap[1:]), None))
 
 
+def check_mega_mti():
+    """Detect kernel, MTI clutter mode (canceller folded into the
+    Doppler constants, megakernel._plan): bin-agreement with the
+    complex-FFT impl plus physics — a 5x static target fully notched,
+    the mover kept."""
+    import jax.numpy as jnp
+
+    from radar_tpu.config import RadarConfig
+    from radar_tpu.io.synthetic import SceneTarget
+    from radar_tpu.models.rd_pipeline import RDPipeline
+
+    cfg = RadarConfig(clutter_mode="mti2")
+    cap = _capture(cfg, 4, seed=21, targets=[
+        SceneTarget(range_m=6.0, velocity_mps=0.0, azimuth_deg=5.0,
+                    amplitude=6000.0),
+        SceneTarget(range_m=9.0, velocity_mps=-4.0, azimuth_deg=-30.0,
+                    amplitude=1200.0),
+    ])
+    shorts = jnp.asarray(cap[1:])
+    a = RDPipeline(cfg, max_detections=8, rd_impl="mega",
+                   use_base_frame=False).detect(shorts, None)
+    b = RDPipeline(cfg, max_detections=8, rd_impl="fft",
+                   use_base_frame=False).detect(shorts, None)
+    av, bv = np.asarray(a.valid), np.asarray(b.valid)
+    np.testing.assert_array_equal(av, bv)
+    np.testing.assert_array_equal(np.asarray(a.range_bin)[av],
+                                  np.asarray(b.range_bin)[bv])
+    np.testing.assert_array_equal(np.asarray(a.doppler_bin)[av],
+                                  np.asarray(b.doppler_bin)[bv])
+    dets = [(float(np.asarray(a.range_m)[0, k]),
+             float(np.asarray(a.velocity_mps)[0, k]))
+            for k in range(8) if av[0, k]]
+    assert any(abs(r - 9.0) < 1.0 and abs(v + 4.0) < 1.0 for r, v in dets)
+    assert not any(abs(r - 6.0) < 0.5 and abs(v) < 0.5 for r, v in dets)
+
+
 def check_topk_tie_order():
     """topk_pallas == lax.top_k bit-for-bit, including the exhausted-slot
     ascending-untaken-index order (the e586119 bug class)."""
@@ -362,6 +398,7 @@ CHECKS = [
     ("mega-detect GOCA/SOCA", check_mega_detect_go_so),
     ("mega-detect TDM-MIMO", check_mega_detect_mimo),
     ("mega-detect mean clutter", check_mega_mean_clutter),
+    ("mega-detect mti clutter (folded canceller)", check_mega_mti),
     ("topk tie order vs lax.top_k", check_topk_tie_order),
     ("os-cfar exact rank selection", check_oscfar_exact),
     ("os-cfar one-pass hit decision", check_oscfar_hits_one_pass),
