@@ -226,6 +226,20 @@ def main() -> None:
             log(f"variant rd={rd} cfar={cfi}: {1000*dt:.2f} ms/{args.batch} "
                 f"frames = {args.batch/dt:.0f} fps")
 
+        # MTI clutter mode: the pulse canceller rides as a host-side fold
+        # into the Doppler DFT constants (megakernel._plan), so this
+        # should match the headline within noise -- no base frame needed
+        cfg_mti = RadarConfig(clutter_mode="mti2")
+        p = RDPipeline(cfg_mti, 16, use_base_frame=False)
+        fence(p.detect(batch_dev, None))
+        t0 = time.perf_counter()
+        outs = [p.detect(batch_dev, None) for _ in range(n_batches)]
+        fence([o.power for o in outs])
+        dt = (time.perf_counter() - t0) / n_batches
+        log(f"variant clutter_mode=mti2 (canceller folded into the Doppler "
+            f"constants, no base frame): {1000*dt:.2f} ms/{args.batch} = "
+            f"{args.batch/dt:.0f} fps")
+
         # exact (stride-1) OS-CFAR via the Pallas box-count hits kernel:
         # the full 248-cell ring, no decimation (golden truth
         # radar_tpu/golden.py:313; upgraded detector for the reference's
