@@ -34,6 +34,8 @@ def _build_cfg(args) -> RadarConfig:
         kw["window_kind"] = args.window_kind
     if getattr(args, "clutter", None):
         kw["clutter_mode"] = args.clutter
+    if getattr(args, "num_tx", None):
+        kw["num_tx"] = args.num_tx
     return RadarConfig(**kw)
 
 
@@ -65,6 +67,9 @@ def _add_pipeline_flags(sp) -> None:
                          "when available, else mean-over-chirps), or "
                          "'mti2'/'mti3' pulse cancellers (static clutter "
                          "notched per CPI, no empty-scene capture needed)")
+    sp.add_argument("--num-tx", type=int, default=None,
+                    help="TDM-MIMO transmitters (must match the capture; "
+                         "default 1 = the reference geometry)")
 
 
 def _add_blank_flag(sp) -> None:
@@ -115,7 +120,7 @@ def cmd_generate(args) -> int:
     from radar_tpu.io.capture import write_capture
     from radar_tpu.io.synthetic import synthesize_capture
 
-    cfg = RadarConfig()
+    cfg = _build_cfg(args)
     targets = [_parse_target(t) for t in args.target] or [
         _parse_target("5.0,2.0,15")
     ]
@@ -188,6 +193,14 @@ def cmd_detect(args) -> int:
             )
         else:
             rd = jax.tree.map(np.asarray, pipe.detect(todo, base))
+        if getattr(args, "disambiguate", False):
+            import jax.numpy as jnp
+
+            vel_x, az_x, hyp_x = jax.tree.map(np.asarray, pipe.disambiguate(
+                jnp.asarray(todo), base,
+                jnp.asarray(rd.doppler_bin), jnp.asarray(rd.range_bin),
+            ))
+            rd = rd._replace(velocity_mps=vel_x, azimuth_deg=az_x)
     for j in range(len(todo)):
         dets = None
         if args.full:
@@ -200,6 +213,8 @@ def cmd_detect(args) -> int:
                     "range_m_interp": round(float(rd.range_m_interp[j, k]), 4),
                     "velocity_mps_interp":
                         round(float(rd.velocity_mps_interp[j, k]), 4),
+                    **({"doppler_hypothesis": int(hyp_x[j, k])}
+                       if getattr(args, "disambiguate", False) else {}),
                     **({
                         "cluster_id": int(cl.cluster_id[j, k]),
                         "cluster_cells": int(cl.cells[j, k]),
@@ -1023,6 +1038,8 @@ def main(argv=None) -> int:
                    help="mutual-FMCW interference bursts per frame "
                         "(strong broadband mini-chirps; see "
                         "detect --blank-interference)")
+    g.add_argument("--num-tx", type=int, default=None,
+                   help="TDM-MIMO transmitters in the synthesized waveform")
     g.set_defaults(fn=cmd_generate)
 
     d = sub.add_parser("detect", help="run detection, write JSONL records")
@@ -1037,6 +1054,12 @@ def main(argv=None) -> int:
                    help="with --full: group CFAR hit blobs into objects "
                         "and attach cluster id/centroid/extent per "
                         "detection")
+    d.add_argument("--disambiguate", action="store_true",
+                   help="with --full on a TDM-MIMO config (num_tx > 1): "
+                        "recover velocities over the full single-TX span "
+                        "via the TDM phase-hypothesis test; replaces "
+                        "velocity_mps/azimuth_deg and records the winning "
+                        "doppler_hypothesis per detection")
     _add_blank_flag(d)
     _add_pipeline_flags(d)
     d.set_defaults(fn=cmd_detect)

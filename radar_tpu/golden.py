@@ -236,6 +236,61 @@ def mimo_doppler_compensate(
     return snaps * np.exp(1j * phase)
 
 
+def disambiguate_velocity(
+    snaps: np.ndarray,
+    doppler_bin: np.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """TDM Doppler-ambiguity hypothesis test (float64 golden).
+
+    TDM-MIMO divides the unambiguous Doppler span by ``num_tx`` (each
+    TX fires every ``num_tx * Tr``), so a fast target wraps in the
+    Doppler map AND receives the wrong TDM compensation — which
+    decoheres the virtual array.  That decoherence is the signal: the
+    true Doppler is ``fd_meas + h / Ts`` for one of ``num_tx``
+    hypotheses h (compensation phases differ by ``e^{-j 2 pi h t /
+    num_tx}`` on TX t's elements), and only the correct h yields a
+    coherent steering vector across the full virtual array.  Scoring
+    each hypothesis by its peak angle-spectrum power recovers the full
+    single-TX span ``[-lambda/(4 Tr), +lambda/(4 Tr))`` — for the
+    2-TX default geometry, 15.2 m/s instead of 7.6.
+
+    Args:
+      snaps: complex (..., num_virtual_rx) UNCOMPENSATED virtual-array
+        snapshots at the detected cells.
+      doppler_bin: int (...) fftshifted Doppler index per snapshot.
+
+    Returns:
+      (velocity_mps, hypothesis, snaps_compensated): float64 (...) true
+      radial velocity, int (...) winning hypothesis in [0, num_tx), and
+      the winner's compensated snapshots (..., V) for angle estimation.
+    """
+    snaps = np.asarray(snaps, np.complex128)
+    d = cfg.doppler_fft_size
+    ts = cfg.slow_time_interval_s
+    fd = (np.asarray(doppler_bin) - d // 2) / (d * ts)
+    tx_idx = np.arange(cfg.num_virtual_rx) // cfg.num_rx
+    best_score = np.full(fd.shape, -np.inf)
+    best_h = np.zeros(fd.shape, np.int64)
+    best_fd = np.array(fd, np.float64)
+    best_snaps = np.array(snaps)
+    for h in range(cfg.num_tx):
+        fd_h = fd + h / ts
+        phase = -2.0 * np.pi * fd_h[..., None] * tx_idx * cfg.chirp_interval_s
+        comp = snaps * np.exp(1j * phase)
+        spec = angle_fft(comp, cfg.num_angle_bins, cfg)
+        score = np.max(np.abs(spec) ** 2, axis=-1)
+        take = score > best_score
+        best_score = np.where(take, score, best_score)
+        best_h = np.where(take, h, best_h)
+        best_fd = np.where(take, fd_h, best_fd)
+        best_snaps = np.where(take[..., None], comp, best_snaps)
+    # wrap the extended Doppler into the symmetric single-TX span
+    lim = 1.0 / (2.0 * cfg.chirp_interval_s)
+    best_fd = np.mod(best_fd + lim, 2.0 * lim) - lim
+    return best_fd * (cfg.wavelength_m / 2.0), best_h, best_snaps
+
+
 def mti_filter(
     x: np.ndarray, order: int = 2, axis: int = -2, stride: int = 1
 ) -> np.ndarray:

@@ -495,6 +495,41 @@ class RDPipeline:
         rng = jnp.fft.fft(x, n=cfg.range_fft_size, axis=-1)
         return capon_aoa_at_cells(rng, d_bin, r_bin, cfg)
 
+    # -- TDM velocity disambiguation ----------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def disambiguate(
+        self,
+        shorts: jnp.ndarray,
+        base_cube: jnp.ndarray | None,
+        d_bin: jnp.ndarray,
+        r_bin: jnp.ndarray,
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(velocity_mps, azimuth_deg, hypothesis) (B, K) for detected
+        cells, over the EXTENDED velocity span.
+
+        TDM-MIMO divides the unambiguous velocity by ``num_tx``; the
+        hypothesis test (``ops.aoa.disambiguate_velocity``) recovers the
+        full single-TX span by picking the TDM compensation that keeps
+        the virtual array coherent, and the azimuth is re-estimated from
+        the winning compensation (the default estimate is biased for
+        wrapped targets because it compensated with the aliased
+        Doppler).  Run on demand for confirmed detections, like
+        :meth:`capon_refine`.
+        """
+        from radar_tpu.ops.aoa import disambiguate_velocity
+        from radar_tpu.ops.fuseddft import fused_rd_planes
+
+        cfg = self.cfg
+        base = base_cube if self.use_base_frame else None
+        dr_p, di_p = fused_rd_planes(shorts, base, cfg)
+        top_idx = d_bin * cfg.range_fft_size + r_bin
+        snaps = jax.lax.complex(
+            gather_snapshots(dr_p, top_idx), gather_snapshots(di_p, top_idx)
+        )
+        vel, hyp, comp = disambiguate_velocity(snaps, d_bin, cfg)
+        azimuth, _ = aoa_from_snapshots(comp, cfg)
+        return vel, azimuth, hyp
+
     # -- joint azimuth/elevation refinement (planar virtual arrays) ----------
     @partial(jax.jit, static_argnums=0)
     def refine_2d(

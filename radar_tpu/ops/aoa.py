@@ -62,6 +62,58 @@ def angle_fft_spectrum(
     )
 
 
+def disambiguate_velocity(
+    snaps: jnp.ndarray,
+    d_bin: jnp.ndarray,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """TDM Doppler-ambiguity hypothesis test (twin of
+    ``golden.disambiguate_velocity`` — see its docstring for the math).
+
+    The ``num_tx`` hypotheses are a tiny static unroll (2-4 in
+    practice); each one is a per-snapshot phase ramp + the angle
+    spectrum already used for azimuth, so the whole test is a few
+    KB-sized VPU ops per detection batch.
+
+    Args:
+      snaps: complex64 (..., K, V) UNCOMPENSATED virtual snapshots.
+      d_bin: int32 (..., K) fftshifted Doppler bin.
+
+    Returns:
+      (velocity_mps, hypothesis, snaps_comp): float32 (..., K) true
+      radial velocity over the extended span, int32 (..., K) winning
+      hypothesis, complex64 (..., K, V) the winner's compensated
+      snapshots (feed to the angle estimators).
+    """
+    d = cfg.doppler_fft_size
+    ts = cfg.slow_time_interval_s
+    fd0 = (d_bin - d // 2).astype(jnp.float32) / jnp.float32(d * ts)
+    if cfg.num_tx == 1:
+        return (fd0 * jnp.float32(cfg.wavelength_m / 2.0),
+                jnp.zeros_like(d_bin), snaps)
+    v = snaps.shape[-1]
+    tx_idx = (jnp.arange(v) // cfg.num_rx).astype(jnp.float32)
+    best_score = jnp.full(fd0.shape, -jnp.inf, jnp.float32)
+    best_h = jnp.zeros(d_bin.shape, jnp.int32)
+    best_fd = fd0
+    best_snaps = snaps
+    for h in range(cfg.num_tx):
+        fd_h = fd0 + jnp.float32(h / ts)
+        phase = (-2.0 * jnp.pi * cfg.chirp_interval_s) * fd_h[..., None] * tx_idx
+        comp = snaps * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+        spec = angle_fft_spectrum(comp, cfg)
+        score = jnp.max(jnp.abs(spec) ** 2, axis=-1).astype(jnp.float32)
+        take = score > best_score
+        best_score = jnp.where(take, score, best_score)
+        best_h = jnp.where(take, jnp.int32(h), best_h)
+        best_fd = jnp.where(take, fd_h, best_fd)
+        best_snaps = jnp.where(take[..., None], comp, best_snaps)
+    lim = jnp.float32(1.0 / (2.0 * cfg.chirp_interval_s))
+    best_fd = jnp.mod(best_fd + lim, 2.0 * lim) - lim
+    return (best_fd * jnp.float32(cfg.wavelength_m / 2.0),
+            best_h, best_snaps)
+
+
 def angle_bins_deg(cfg: RadarConfig = DEFAULT_CONFIG) -> np.ndarray:
     """Degrees for each (fftshifted) angle-FFT bin."""
     n = cfg.num_angle_bins
