@@ -531,8 +531,19 @@ def cmd_track(args) -> int:
         out = materialize_result(res)._replace(valid=is_rep)
     else:
         out = materialize_result(pipe.detect(capture[1:], base))
+    if getattr(args, "disambiguate", False):
+        import jax.numpy as jnp
+
+        vel_x, az_x, _ = jax.tree.map(np.asarray, pipe.disambiguate(
+            jnp.asarray(capture[1:]), base,
+            jnp.asarray(out.doppler_bin), jnp.asarray(out.range_bin),
+        ))
+        out = out._replace(velocity_mps=vel_x, azimuth_deg=az_x)
     params = None
     if args.refine:
+        # composes with --disambiguate: the refined azimuth overrides
+        # (for wrapped targets it compensates with the aliased Doppler,
+        # so prefer --disambiguate alone past the TDM velocity limit)
         az, _ = _refined_azimuth(pipe, capture[1:], base, out.doppler_bin,
                                  out.range_bin, args.refine)
         out = out._replace(azimuth_deg=az)
@@ -1106,6 +1117,10 @@ def main(argv=None) -> int:
                    help="feed one measurement per hit-blob object "
                         "(suppress same-cluster duplicates before "
                         "tracking)")
+    t.add_argument("--disambiguate", action="store_true",
+                   help="TDM phase-hypothesis velocity disambiguation "
+                        "before tracking (num_tx > 1): track states get "
+                        "true velocities past the TDM limit")
     _add_blank_flag(t)
     _add_pipeline_flags(t)
     _add_refine_flag(t)

@@ -139,6 +139,27 @@ class TestPipeline:
         assert abs(vel_x[0, k9] - vels[k9]) < 0.3
         assert abs(vel_x[0, k9] + 3.0) < 1.0
 
+    def test_cli_track_disambiguate(self, tmp_path, mcfg, capsys):
+        """Track states carry the TRUE velocity past the TDM limit."""
+        import json
+
+        from radar_tpu import cli
+        from radar_tpu.io.capture import write_capture
+
+        capture = synthesize_capture(
+            [SceneTarget(range_m=5.0, velocity_mps=10.0, azimuth_deg=15.0,
+                         amplitude=2500.0)],
+            num_frames=6, cfg=mcfg, noise_std=2.0, seed=12,
+        )
+        cap = tmp_path / "fast_track.bin"
+        write_capture(str(cap), capture, mcfg)
+        rc = cli.main(["track", str(cap), "--num-tx", "2", "--disambiguate"])
+        assert rc == 0
+        lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        tracks = [json.loads(l) for l in lines]
+        assert tracks
+        assert any(abs(t["velocity_mps"] - 10.0) < 1.5 for t in tracks)
+
     def test_cli_disambiguate_flag(self, tmp_path, mcfg, fast_capture):
         import json
 
