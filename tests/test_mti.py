@@ -225,17 +225,23 @@ def test_distributed_mti_matches_single_device(mti_cfg, mti_capture):
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh")
     mesh = build_mesh(n_devices=8, num_rx=mti_cfg.num_rx)
-    dist = DistributedRDPipeline(cfg=mti_cfg, mesh=mesh, max_detections=8)
-    base = dist.prepare_base(mti_capture[0])
     shorts = np.broadcast_to(
         mti_capture[1], (2, mti_capture.shape[1])
     ).copy()
-    out = dist.detect(dist.shard_frames(shorts), base)
     ref = RDPipeline(mti_cfg, rd_impl="fft", max_detections=8).detect(
         jnp.asarray(shorts)
     )
-    np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref.valid))
     va = np.asarray(ref.valid)
-    np.testing.assert_array_equal(
-        np.asarray(out.range_bin)[va], np.asarray(ref.range_bin)[va]
-    )
+    # both the fft shard path and the chan-sharded mega kernel (which
+    # carries the MTI fold in each shard's Doppler constants)
+    for rd_impl in ("fft", "mega"):
+        dist = DistributedRDPipeline(cfg=mti_cfg, mesh=mesh,
+                                     max_detections=8, rd_impl=rd_impl,
+                                     cfar_impl="xla" if rd_impl == "mega"
+                                     else "auto")
+        base = dist.prepare_base(mti_capture[0])
+        out = dist.detect(dist.shard_frames(shorts), base)
+        np.testing.assert_array_equal(np.asarray(out.valid), va)
+        np.testing.assert_array_equal(
+            np.asarray(out.range_bin)[va], np.asarray(ref.range_bin)[va]
+        )
