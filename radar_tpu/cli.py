@@ -153,6 +153,16 @@ def cmd_detect(args) -> int:
               "full pipeline's CFAR hit map)", file=sys.stderr)
         return 2
     cfg = _build_cfg(args)
+    if getattr(args, "disambiguate", False):
+        if not args.full:
+            print("error: --disambiguate requires --full (the hypothesis "
+                  "test runs on the RD pipeline's detections)",
+                  file=sys.stderr)
+            return 2
+        if cfg.num_tx == 1:
+            print("warning: --disambiguate is a no-op at num_tx=1 (no TDM "
+                  "ambiguity; pass --num-tx to match the capture)",
+                  file=sys.stderr)
     capture = read_capture(args.path, cfg)
     blank_k = getattr(args, "blank_interference", None)
     if blank_k is not None:
@@ -534,6 +544,10 @@ def cmd_track(args) -> int:
     if getattr(args, "disambiguate", False):
         import jax.numpy as jnp
 
+        if cfg.num_tx == 1:
+            print("warning: --disambiguate is a no-op at num_tx=1 (no TDM "
+                  "ambiguity; pass --num-tx to match the capture)",
+                  file=sys.stderr)
         vel_x, az_x, _ = jax.tree.map(np.asarray, pipe.disambiguate(
             jnp.asarray(capture[1:]), base,
             jnp.asarray(out.doppler_bin), jnp.asarray(out.range_bin),

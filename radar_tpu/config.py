@@ -86,7 +86,10 @@ class RadarConfig:
     # ~9e-4 (rides the gate) for the max-throughput mode.
     dft_precision: str = "high"
     # Slow-time clutter removal applied by the RD detection pipelines
-    # (golden + every rd_impl):
+    # (every rd_impl; the f64 truth for the MTI modes is
+    # golden.mti_filter, which parity tests apply to the decoded cube —
+    # golden's scene-analysis helpers (azmap/micro-Doppler) and their
+    # jnp twins keep their own base-or-mean convention):
     #   'auto' — base-frame range-plane subtraction when a base cube is
     #            supplied (the reference's convention,
     #            cudaBenchMarking.cpp:277-280), else mean-over-chirps;

@@ -109,22 +109,15 @@ def fused_range_planes(
     # range DFT straight off the interleaved axis: (..., C, V, 2S) @ (R, 2S)
     rng_re = jnp.einsum("...cvj,rj->...cvr", raw, a_re, precision=prec)
     rng_im = jnp.einsum("...cvj,rj->...cvr", raw, a_im, precision=prec)
-    mode = cfg.effective_clutter(base_cube is not None)
-    if mode == "base":
-        b_re, b_im = _base_range_planes(base_cube, cfg, window)
-        rng_re = rng_re - b_re
-        rng_im = rng_im - b_im
-    elif mode == "mean":
-        rng_re = rng_re - jnp.mean(rng_re, axis=-3, keepdims=True)
-        rng_im = rng_im - jnp.mean(rng_im, axis=-3, keepdims=True)
-    else:  # mti2/mti3: linear along the chirp axis, so filtering the
-        # range planes equals filtering the raw cube (golden.mti_filter)
-        from radar_tpu.ops.preproc import mti_clutter_removal
+    from radar_tpu.ops.preproc import declutter_planes
 
-        order = int(mode[-1])
-        rng_re = mti_clutter_removal(rng_re, order, axis=-3, stride=cfg.num_tx)
-        rng_im = mti_clutter_removal(rng_im, order, axis=-3, stride=cfg.num_tx)
-    return rng_re, rng_im
+    # mti2/mti3 are linear along the chirp axis, so filtering the range
+    # planes equals filtering the raw cube (golden.mti_filter)
+    mode = cfg.effective_clutter(base_cube is not None)
+    base_pair = (_base_range_planes(base_cube, cfg, window)
+                 if mode == "base" else None)
+    return declutter_planes(rng_re, rng_im, mode, base_pair,
+                            axis=-3, stride=cfg.num_tx)
 
 
 def fused_rd_planes(

@@ -132,15 +132,9 @@ def fused_rd_planes_pallas(
 
     rng_re = rng_re.reshape(lead + (c, v, r))
     rng_im = rng_im.reshape(lead + (c, v, r))
-    if clutter == "mean":
-        rng_re = rng_re - jnp.mean(rng_re, axis=-3, keepdims=True)
-        rng_im = rng_im - jnp.mean(rng_im, axis=-3, keepdims=True)
-    elif clutter != "base":  # mti2/mti3 along the chirp axis
-        from radar_tpu.ops.preproc import mti_clutter_removal
+    if clutter != "base":  # 'base' was subtracted inside the kernel
+        from radar_tpu.ops.preproc import declutter_planes
 
-        order = int(clutter[-1])
-        rng_re = mti_clutter_removal(rng_re, order, axis=-3,
-                                     stride=cfg.num_tx)
-        rng_im = mti_clutter_removal(rng_im, order, axis=-3,
-                                     stride=cfg.num_tx)
+        rng_re, rng_im = declutter_planes(rng_re, rng_im, clutter,
+                                          axis=-3, stride=cfg.num_tx)
     return doppler_from_range_planes(rng_re, rng_im, cfg, window)

@@ -61,6 +61,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -214,7 +215,7 @@ def _range_lhs(raw_i16, precision):
 
 
 def _range_stage(raw_f, a2, br_ref, bi_ref, *, split, dprec, cv, s2,
-                 r_size, clutter, n_chirps, tx):
+                 r_size, clutter, n_chirps):
     """One frame's clutter-removed, pre-split range planes, all in VMEM,
     via ONE range dot; a2 is the packed host-built constant
     (:func:`_range_consts` — the kernel never splits, negates or
@@ -276,7 +277,7 @@ def _frame_maps(raw_f, a2, l2, br_ref, bi_ref, *, split,
     :func:`_doppler_power` — ONE range dot and ONE Doppler dot total."""
     zrp, zip_ = _range_stage(
         raw_f, a2, br_ref, bi_ref, split=split, dprec=dprec, cv=cv, s2=s2,
-        r_size=r_size, clutter=clutter, n_chirps=n_chirps, tx=tx,
+        r_size=r_size, clutter=clutter, n_chirps=n_chirps,
     )
     p = _doppler_power(zrp, zip_, l2, dprec=dprec, kc=kc, tvr=tvr,
                        d_size=d_size, tv=tv, r_size=r_size)
@@ -453,8 +454,6 @@ def _mti_matrix(kc: int, order: int):
     circular two/three-pulse MTI over a demuxed per-TX chirp axis
     (golden.mti_filter semantics at stride 1): M = I - R (order 2) or
     I - 2R + R^2 (order 3), R the one-step delay."""
-    import numpy as np
-
     eye = np.eye(kc)
     r1 = np.roll(eye, -1, axis=1)   # r1[c, c-1] = 1
     if order == 2:
@@ -491,12 +490,16 @@ def _plan(shorts, base_cube, cfg, window, clutter="base"):
     )
     art = jnp.asarray(a_re.T, jnp.float32)   # (2S, R)
     ait = jnp.asarray(a_im.T, jnp.float32)
-    f_dop = dft_matrix(cfg.chirps_per_tx, cfg.doppler_fft_size, window,
-                       shift=True)
+    from radar_tpu.ops.dftmat import _dft_factors
+
+    # the fold runs in NUMPY complex128: a jnp matmul here would lower
+    # to the TPU's default bf16 dot and silently corrupt the folded
+    # constants below the 'high'/'highest' accuracy tiers
+    f_dop = np.asarray(_dft_factors(cfg.chirps_per_tx,
+                                    cfg.doppler_fft_size, window, True),
+                       np.complex128)
     if clutter in ("mti2", "mti3"):
-        f_dop = f_dop @ jnp.asarray(
-            _mti_matrix(cfg.chirps_per_tx, int(clutter[-1]))
-        ).astype(f_dop.dtype)
+        f_dop = f_dop @ _mti_matrix(cfg.chirps_per_tx, int(clutter[-1]))
     fr = jnp.asarray(f_dop.real, jnp.float32)
     fi = jnp.asarray(f_dop.imag, jnp.float32)
     if base_cube is None:
@@ -785,7 +788,7 @@ def _mega_detect_kernel(
         zrp, zip_ = _range_stage(
             raw_ref[f], a2, br_ref, bi_ref,
             split=split, dprec=precision, cv=cv, s2=s2, r_size=r_size,
-            clutter=clutter, n_chirps=n_chirps, tx=tx,
+            clutter=clutter, n_chirps=n_chirps,
         )
         if precision == "high":
             zr_s[f] = jnp.concatenate(zrp, axis=1)    # [hi | lo], aligned

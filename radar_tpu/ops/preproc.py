@@ -41,6 +41,33 @@ def mean_clutter_removal(cube: jnp.ndarray) -> jnp.ndarray:
     return cube - jnp.mean(cube, axis=-2, keepdims=True)
 
 
+def declutter_planes(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    mode: str,
+    base_pair=None,
+    axis: int = -3,
+    stride: int = 1,
+):
+    """Resolved-clutter-mode dispatch on a split re/im plane pair.
+
+    One home for the base/mean/mti branch every split-plane range path
+    repeats (fused XLA, fused Pallas wrapper, distributed fused shard):
+    ``mode`` is an already-resolved ``RadarConfig.effective_clutter``
+    value; ``base_pair`` is the matching (re, im) base planes for
+    'base'; ``axis``/``stride`` locate the chirp axis (stride = num_tx
+    on a TDM-interleaved axis).
+    """
+    if mode == "base":
+        return re - base_pair[0], im - base_pair[1]
+    if mode == "mean":
+        return (re - jnp.mean(re, axis=axis, keepdims=True),
+                im - jnp.mean(im, axis=axis, keepdims=True))
+    order = int(mode[-1])
+    return (mti_clutter_removal(re, order, axis=axis, stride=stride),
+            mti_clutter_removal(im, order, axis=axis, stride=stride))
+
+
 def mti_clutter_removal(
     x: jnp.ndarray, order: int = 2, axis: int = -2, stride: int = 1
 ) -> jnp.ndarray:

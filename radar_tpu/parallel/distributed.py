@@ -282,24 +282,16 @@ class DistributedRDPipeline:
                 rng_im = jnp.einsum(
                     "...cvj,rj->...cvr", raw_l, a_im, precision=prec
                 )
-                mode = cfg.effective_clutter(True)
-                if mode == "base":
-                    b_re, b_im = _base_range_planes(base_local, cfg,
-                                                    cfg.window_kind)
-                    rng_re, rng_im = rng_re - b_re, rng_im - b_im
-                elif mode == "mean":
-                    rng_re = rng_re - jnp.mean(rng_re, axis=-3,
-                                               keepdims=True)
-                    rng_im = rng_im - jnp.mean(rng_im, axis=-3,
-                                               keepdims=True)
-                else:  # mti2/mti3 along the chirp axis (same linear map
-                    # per RX shard; see ops/preproc.mti_clutter_removal)
-                    from radar_tpu.ops.preproc import mti_clutter_removal
+                from radar_tpu.ops.preproc import declutter_planes
 
-                    rng_re = mti_clutter_removal(
-                        rng_re, int(mode[-1]), axis=-3, stride=cfg.num_tx)
-                    rng_im = mti_clutter_removal(
-                        rng_im, int(mode[-1]), axis=-3, stride=cfg.num_tx)
+                mode = cfg.effective_clutter(True)
+                base_pair = (_base_range_planes(base_local, cfg,
+                                                cfg.window_kind)
+                             if mode == "base" else None)
+                rng_re, rng_im = declutter_planes(
+                    rng_re, rng_im, mode, base_pair,
+                    axis=-3, stride=cfg.num_tx,
+                )
                 dr, di = doppler_from_range_planes(rng_re, rng_im, cfg)
                 rd_l = None
                 planes = (dr, di)
@@ -409,9 +401,36 @@ class DistributedRDPipeline:
         )
         return jax.jit(sharded)
 
-    def detect(self, shorts, base_cube) -> RDResult:
-        """Run the sharded pipeline.  Batch must divide the 'data' axis."""
-        return self._detect(shorts, base_cube)
+    def _resolve_base(self, base_cube):
+        """Allow base-free clutter modes to pass ``base_cube=None``.
+
+        The sharded program's signature always carries a base operand;
+        for an EXPLICIT base-free ``clutter_mode`` ('mean'/'mti2'/'mti3',
+        which never read it) a zero cube is substituted.  'auto' still
+        demands a real base here: resolving it to 'mean' at this level
+        while the shard-local dispatch sees a base present would
+        silently subtract zeros instead."""
+        if base_cube is not None:
+            return base_cube
+        cfg = self.cfg
+        cfg.effective_clutter(False)   # raises for clutter_mode='base'
+        if cfg.clutter_mode == "auto":
+            raise ValueError(
+                "DistributedRDPipeline without a base cube needs an "
+                "explicit base-free clutter_mode ('mean', 'mti2' or "
+                "'mti3'); 'auto' would silently subtract a zero base"
+            )
+        zero = jnp.zeros(
+            (cfg.num_rx, cfg.num_chirps, cfg.num_samples), jnp.complex64
+        )
+        return jax.device_put(zero, self.base_sharding)
+
+    def detect(self, shorts, base_cube=None) -> RDResult:
+        """Run the sharded pipeline.  Batch must divide the 'data' axis.
+
+        ``base_cube=None`` is accepted for explicit base-free clutter
+        modes (see :meth:`_resolve_base`)."""
+        return self._detect(shorts, self._resolve_base(base_cube))
 
     def detect_objects(self, shorts, base_cube):
         """:meth:`detect` plus per-frame object clustering
@@ -424,4 +443,4 @@ class DistributedRDPipeline:
         no extra compile."""
         if not hasattr(self, "_detect_objects"):
             self._detect_objects = self._build_detect(with_clusters=True)
-        return self._detect_objects(shorts, base_cube)
+        return self._detect_objects(shorts, self._resolve_base(base_cube))

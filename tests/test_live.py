@@ -115,21 +115,28 @@ def test_serve_loopback(cfg, capsys):
 
     packets = make_packets(capture)
 
+    def port_bound() -> bool:
+        # Passive check via /proc/net/udp: a bind-probe could itself own
+        # the port at the instant the server binds (io/live.py sets no
+        # SO_REUSEADDR), turning the flake into an EADDRINUSE crash.
+        needle = f":{port:04X}"
+        for path in ("/proc/net/udp", "/proc/net/udp6"):
+            try:
+                with open(path) as f:
+                    lines = f.readlines()[1:]
+            except OSError:
+                continue
+            if any(line.split()[1].endswith(needle) for line in lines):
+                return True
+        return False
+
     def send():
-        # Wait until the server OWNS the port (bind-probe: our own bind
-        # succeeding means it hasn't bound yet) — a fixed sleep raced the
+        # Wait until the server OWNS the port — a fixed sleep raced the
         # server's startup under full-suite load, and packets sent before
         # the bind are lost, leaving the reassembler's byte stream
         # starting mid-frame (misaligned frames).
         deadline = time.monotonic() + 10.0
-        while time.monotonic() < deadline:
-            probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-            try:
-                probe.bind(("127.0.0.1", port))
-            except OSError:
-                probe.close()
-                break  # server holds the port
-            probe.close()
+        while time.monotonic() < deadline and not port_bound():
             time.sleep(0.05)
         # Two full paced passes: the reassembler drops stale duplicates
         # by design (io/live.py), so the replay is free and it heals any

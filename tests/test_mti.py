@@ -245,3 +245,14 @@ def test_distributed_mti_matches_single_device(mti_cfg, mti_capture):
         np.testing.assert_array_equal(
             np.asarray(out.range_bin)[va], np.asarray(ref.range_bin)[va]
         )
+    # MTI is base-free: detect(None) is accepted and identical
+    no_base = dist.detect(dist.shard_frames(shorts), None)
+    np.testing.assert_array_equal(np.asarray(no_base.valid), va)
+    # ... but 'auto' without a base must refuse (a zero base would
+    # silently disable clutter removal at the shard level)
+    from radar_tpu.config import RadarConfig
+
+    auto = DistributedRDPipeline(cfg=RadarConfig(), mesh=mesh,
+                                 max_detections=8)
+    with pytest.raises(ValueError, match="base-free clutter_mode"):
+        auto.detect(dist.shard_frames(shorts), None)
