@@ -103,6 +103,16 @@ def _refined_azimuth(pipe, shorts, base, d_bin, r_bin, refine):
     return np.asarray(az), np.asarray(el)
 
 
+def _disambiguated(pipe, shorts, base, d_bin, r_bin):
+    """(velocity_mps, azimuth_deg) np arrays over the extended TDM span."""
+    import jax.numpy as jnp
+
+    d_bin = jnp.asarray(np.asarray(d_bin, np.int32))
+    r_bin = jnp.asarray(np.asarray(r_bin, np.int32))
+    vel, az, _ = pipe.disambiguate(jnp.asarray(shorts), base, d_bin, r_bin)
+    return np.asarray(vel), np.asarray(az)
+
+
 def _parse_target(spec: str):
     from radar_tpu.io.synthetic import SceneTarget
 
@@ -317,6 +327,8 @@ def cmd_serve(args) -> int:
         # full dispatch+materialize round trip: compiles detect AND the
         # packed-transfer program, and primes the transport
         packed = np.asarray(pack_detections(pipe.detect(warm, b0)))
+        if getattr(args, "disambiguate", False):
+            _disambiguated(pipe, warm, b0, packed[..., 7], packed[..., 8])
         if args.refine:
             # compile the refinement program too — a first-batch compile
             # inside the receive loop would overflow the reassembler
@@ -386,6 +398,12 @@ def cmd_serve(args) -> int:
             out = np.array(pack_detections(pipe.detect(stack, bases[src])))
             fetch_ms.append(1e3 * (time.perf_counter() - t_x))
             elev = None
+            if getattr(args, "disambiguate", False):
+                vel_x, az_x = _disambiguated(
+                    pipe, stack, bases[src], out[..., 7], out[..., 8]
+                )
+                out[..., 1] = vel_x
+                out[..., 2] = az_x
             if args.refine:
                 az, elev = _refined_azimuth(
                     pipe, stack, bases[src], out[..., 7], out[..., 8],
@@ -1104,6 +1122,10 @@ def main(argv=None) -> int:
                    help="max frames per detection dispatch (frames already "
                         "received batch together with zero added wait)")
     s.add_argument("--max-detections", type=int, default=16)
+    s.add_argument("--disambiguate", action="store_true",
+                   help="TDM phase-hypothesis velocity disambiguation per "
+                        "batch (num_tx > 1): served velocities cover the "
+                        "full single-TX span")
     _add_blank_flag(s)
     _add_pipeline_flags(s)
     _add_refine_flag(s)
