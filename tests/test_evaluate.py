@@ -48,6 +48,21 @@ def test_measured_pfa_near_configured(small_cfg, kind):
     assert out["hits"] >= 0
 
 
+def test_mti_mode_pfa_and_pd(small_cfg):
+    """The eval harness closes the loop on the MTI modes too: Pfa stays
+    near the configured rate on target-free noise (the canceller is
+    linear, so the CFAR alpha derivation still applies to the filtered
+    map), and a strong MOVER keeps Pd == 1.0 through the notch."""
+    import dataclasses
+
+    cfg = dataclasses.replace(small_cfg, clutter_mode="mti2")
+    out = measure_pfa(cfg, frames=24, seed=3)
+    assert out["pfa_measured"] < 20 * cfg.cfar_pfa
+    pts = pd_curve(cfg, amplitudes=(2000.0,), frames=16, velocity_mps=2.0,
+                   noise_std=20.0, seed=5)
+    assert pts[-1].pd == 1.0
+
+
 def test_pd_curve_monotone_ends(small_cfg):
     pts = pd_curve(small_cfg, amplitudes=(2.0, 2000.0), frames=16,
                    noise_std=20.0, seed=5)
