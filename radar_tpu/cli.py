@@ -200,8 +200,13 @@ def cmd_detect(args) -> int:
     base_rx0 = det.prepare_base(capture[0])
     out = jax.tree.map(np.asarray, det.detect(todo, base_rx0))
 
+    if getattr(args, "points", None) and not args.full:
+        print("error: --points requires --full (points come from the RD "
+              "pipeline's detections)", file=sys.stderr)
+        return 2
     cluster = getattr(args, "cluster", False)
     records = []
+    points_rows = []
     cl = None
     if args.full:
         pipe = RDPipeline(cfg, max_detections=args.max_detections,
@@ -260,12 +265,27 @@ def cmd_detect(args) -> int:
                 detections=dets,
             )
         )
+        if getattr(args, "points", None) and dets:
+            from radar_tpu.utils.points import detections_to_xyz
+
+            for d in dets:
+                x, y, z = detections_to_xyz(
+                    d["range_m_interp"], d["azimuth_deg"]
+                )
+                points_rows.append((start_frame + j, float(x), float(y),
+                                    float(z), d["velocity_mps"],
+                                    d["power"]))
     mode = "a" if (args.resume and start_frame > 1) else "w"
     sink = open(args.out, mode) if args.out else sys.stdout
     JsonlWriter(sink).write_all(records)
     if args.out:
         sink.close()
         print(f"wrote {len(records)} records to {args.out}")
+    if getattr(args, "points", None):
+        from radar_tpu.utils.points import write_point_cloud
+
+        n_pts = write_point_cloud(args.points, points_rows)
+        print(f"wrote {n_pts} points to {args.points}")
     return 0
 
 
@@ -291,6 +311,10 @@ def cmd_serve(args) -> int:
     from radar_tpu.models.tracker import EKFTracker, Tracker, group_peaks
 
     cfg = _build_cfg(args)
+    if getattr(args, "disambiguate", False) and cfg.num_tx == 1:
+        print("warning: --disambiguate is a no-op at num_tx=1 (no TDM "
+              "ambiguity; pass --num-tx to match the stream)",
+              file=sys.stderr)
     pipe = RDPipeline(cfg, max_detections=args.max_detections,
                       rd_impl=args.rd_impl)
     blank_k = getattr(args, "blank_interference", None)
@@ -1103,6 +1127,10 @@ def main(argv=None) -> int:
                         "via the TDM phase-hypothesis test; replaces "
                         "velocity_mps/azimuth_deg and records the winning "
                         "doppler_hypothesis per detection")
+    d.add_argument("--points", default=None, metavar="PATH",
+                   help="with --full: also write a Cartesian point cloud "
+                        "(one point per detection; CSV, or ASCII PLY for "
+                        "a .ply path)")
     _add_blank_flag(d)
     _add_pipeline_flags(d)
     d.set_defaults(fn=cmd_detect)

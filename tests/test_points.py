@@ -1,0 +1,56 @@
+"""Point-cloud export (utils/points.py, detect --points)."""
+
+import numpy as np
+import pytest
+
+from radar_tpu.utils.points import (
+    detections_to_xyz,
+    write_point_cloud,
+)
+
+
+def test_xyz_math():
+    x, y, z = detections_to_xyz(10.0, 0.0)
+    assert abs(x) < 1e-12 and abs(y - 10.0) < 1e-12 and z == 0.0
+    x, y, z = detections_to_xyz(10.0, 90.0)
+    assert abs(x - 10.0) < 1e-9 and abs(y) < 1e-9
+    x, y, z = detections_to_xyz(10.0, 0.0, 30.0)
+    assert abs(z - 5.0) < 1e-9 and abs(y - 10.0 * np.cos(np.pi / 6)) < 1e-9
+
+
+def test_csv_and_ply(tmp_path):
+    rows = [(1, 1.0, 2.0, 0.0, -3.0, 4e8), (2, -1.5, 9.0, 0.1, 0.5, 1e7)]
+    csv = tmp_path / "pts.csv"
+    assert write_point_cloud(str(csv), rows) == 2
+    lines = csv.read_text().splitlines()
+    assert lines[0].startswith("frame,x_m,y_m,z_m")
+    assert len(lines) == 3
+    ply = tmp_path / "pts.ply"
+    assert write_point_cloud(str(ply), rows) == 2
+    text = ply.read_text().splitlines()
+    assert text[0] == "ply"
+    assert "element vertex 2" in text[2]
+    assert text[-1].endswith(" 2")  # frame attribute of the last vertex
+
+
+def test_cli_detect_points(tmp_path, cfg, capture):
+    from radar_tpu import cli
+    from radar_tpu.io.capture import write_capture
+
+    cap = tmp_path / "cap.bin"
+    write_capture(str(cap), capture[:4])
+    pts = tmp_path / "cloud.csv"
+    rc = cli.main(["detect", str(cap), "--full", "--out",
+                   str(tmp_path / "d.jsonl"), "--points", str(pts)])
+    assert rc == 0
+    lines = pts.read_text().splitlines()[1:]
+    assert lines
+    vals = [tuple(float(v) for v in l.split(",")) for l in lines]
+    # conftest targets: 3 m @ 20 deg and 8 m @ -35 deg
+    want_x, want_y, _ = detections_to_xyz(3.0, 20.0)
+    assert any(abs(v[1] - want_x) < 0.6 and abs(v[2] - want_y) < 0.6
+               for v in vals)
+
+    # --points without --full refuses like --cluster does
+    rc = cli.main(["detect", str(cap), "--points", str(pts)])
+    assert rc == 2
