@@ -200,9 +200,11 @@ def cmd_detect(args) -> int:
     base_rx0 = det.prepare_base(capture[0])
     out = jax.tree.map(np.asarray, det.detect(todo, base_rx0))
 
-    if getattr(args, "points", None) and not args.full:
-        print("error: --points requires --full (points come from the RD "
-              "pipeline's detections)", file=sys.stderr)
+    want_points = bool(getattr(args, "points", None)
+                       or getattr(args, "points_plot", None))
+    if want_points and not args.full:
+        print("error: --points/--points-plot require --full (points come "
+              "from the RD pipeline's detections)", file=sys.stderr)
         return 2
     cluster = getattr(args, "cluster", False)
     records = []
@@ -265,7 +267,7 @@ def cmd_detect(args) -> int:
                 detections=dets,
             )
         )
-        if getattr(args, "points", None) and dets:
+        if want_points and dets:
             from radar_tpu.utils.points import detections_to_xyz
 
             for d in dets:
@@ -286,6 +288,11 @@ def cmd_detect(args) -> int:
 
         n_pts = write_point_cloud(args.points, points_rows)
         print(f"wrote {n_pts} points to {args.points}")
+    if getattr(args, "points_plot", None):
+        from radar_tpu.viz import plot_point_cloud
+
+        plot_point_cloud(points_rows, cfg, path=args.points_plot)
+        print(f"wrote point-cloud plot to {args.points_plot}")
     return 0
 
 
@@ -1131,6 +1138,9 @@ def main(argv=None) -> int:
                    help="with --full: also write a Cartesian point cloud "
                         "(one point per detection; CSV, or ASCII PLY for "
                         "a .ply path)")
+    d.add_argument("--points-plot", default=None, metavar="PNG",
+                   help="with --full: top-down point-cloud scatter "
+                        "colored by radial velocity")
     _add_blank_flag(d)
     _add_pipeline_flags(d)
     d.set_defaults(fn=cmd_detect)

@@ -216,6 +216,39 @@ def plot_range_azimuth(
     return fig
 
 
+def plot_point_cloud(
+    rows,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    path: str | None = None,
+):
+    """Top-down (x: cross-range, y: boresight) scatter of exported point
+    rows (``utils.points.FIELDS`` order), colored by radial velocity.
+
+    The bird's-eye view downstream perception consumes; pairs with
+    ``detect --points``.
+    """
+    rows = list(rows)
+    fig, ax = plt.subplots(figsize=(5.2, 5.2), constrained_layout=True)
+    if rows:
+        arr = np.asarray([[r[1], r[2], r[4]] for r in rows], np.float64)
+        vmax = max(1e-6, float(np.abs(arr[:, 2]).max()))
+        sc = ax.scatter(arr[:, 0], arr[:, 1], c=arr[:, 2], cmap="coolwarm",
+                        vmin=-vmax, vmax=vmax, s=14, lw=0)
+        fig.colorbar(sc, ax=ax, label="radial velocity (m/s)", shrink=0.8)
+    lim = cfg.max_range_m
+    ax.set_xlim(-lim, lim)
+    ax.set_ylim(0.0, lim)
+    ax.set_aspect("equal")
+    ax.set_xlabel("cross-range x (m)")
+    ax.set_ylabel("boresight y (m)")
+    ax.grid(alpha=0.25, lw=0.5)
+    ax.spines[["top", "right"]].set_visible(False)
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
 def plot_tracks(
     tracker,
     cfg: RadarConfig = DEFAULT_CONFIG,

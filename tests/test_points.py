@@ -54,3 +54,15 @@ def test_cli_detect_points(tmp_path, cfg, capture):
     # --points without --full refuses like --cluster does
     rc = cli.main(["detect", str(cap), "--points", str(pts)])
     assert rc == 2
+
+
+def test_plot_point_cloud(tmp_path):
+    from radar_tpu.config import RadarConfig
+    from radar_tpu.viz import plot_point_cloud
+
+    rows = [(1, 1.0, 3.0, 0.0, -2.0, 1e8), (1, -2.0, 8.0, 0.0, 4.0, 2e8)]
+    out = tmp_path / "cloud.png"
+    plot_point_cloud(rows, RadarConfig(), path=str(out))
+    assert out.stat().st_size > 2000
+    # empty rows still render an (empty) scene
+    plot_point_cloud([], RadarConfig(), path=str(tmp_path / "empty.png"))
