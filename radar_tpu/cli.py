@@ -104,13 +104,13 @@ def _refined_azimuth(pipe, shorts, base, d_bin, r_bin, refine):
 
 
 def _disambiguated(pipe, shorts, base, d_bin, r_bin):
-    """(velocity_mps, azimuth_deg) np arrays over the extended TDM span."""
+    """(velocity_mps, azimuth_deg, hypothesis) np arrays, extended span."""
     import jax.numpy as jnp
 
     d_bin = jnp.asarray(np.asarray(d_bin, np.int32))
     r_bin = jnp.asarray(np.asarray(r_bin, np.int32))
-    vel, az, _ = pipe.disambiguate(jnp.asarray(shorts), base, d_bin, r_bin)
-    return np.asarray(vel), np.asarray(az)
+    vel, az, hyp = pipe.disambiguate(jnp.asarray(shorts), base, d_bin, r_bin)
+    return np.asarray(vel), np.asarray(az), np.asarray(hyp)
 
 
 def _parse_target(spec: str):
@@ -163,7 +163,8 @@ def cmd_detect(args) -> int:
               "full pipeline's CFAR hit map)", file=sys.stderr)
         return 2
     cfg = _build_cfg(args)
-    if getattr(args, "disambiguate", False):
+    disambiguate = getattr(args, "disambiguate", False)
+    if disambiguate:
         if not args.full:
             print("error: --disambiguate requires --full (the hypothesis "
                   "test runs on the RD pipeline's detections)",
@@ -171,8 +172,20 @@ def cmd_detect(args) -> int:
             return 2
         if cfg.num_tx == 1:
             print("warning: --disambiguate is a no-op at num_tx=1 (no TDM "
-                  "ambiguity; pass --num-tx to match the capture)",
-                  file=sys.stderr)
+                  "ambiguity; pass --num-tx to match the capture) -- "
+                  "skipping it", file=sys.stderr)
+            disambiguate = False
+    want_points = bool(getattr(args, "points", None)
+                       or getattr(args, "points_plot", None))
+    if want_points and not args.full:
+        print("error: --points/--points-plot require --full (points come "
+              "from the RD pipeline's detections)", file=sys.stderr)
+        return 2
+    if getattr(args, "points", None) and args.resume:
+        print("error: --points cannot be combined with --resume (point "
+              "files are rewritten whole, so a resumed run would drop "
+              "the frames already covered)", file=sys.stderr)
+        return 2
     capture = read_capture(args.path, cfg)
     blank_k = getattr(args, "blank_interference", None)
     if blank_k is not None:
@@ -200,12 +213,6 @@ def cmd_detect(args) -> int:
     base_rx0 = det.prepare_base(capture[0])
     out = jax.tree.map(np.asarray, det.detect(todo, base_rx0))
 
-    want_points = bool(getattr(args, "points", None)
-                       or getattr(args, "points_plot", None))
-    if want_points and not args.full:
-        print("error: --points/--points-plot require --full (points come "
-              "from the RD pipeline's detections)", file=sys.stderr)
-        return 2
     cluster = getattr(args, "cluster", False)
     records = []
     points_rows = []
@@ -220,14 +227,20 @@ def cmd_detect(args) -> int:
             )
         else:
             rd = jax.tree.map(np.asarray, pipe.detect(todo, base))
-        if getattr(args, "disambiguate", False):
+        if disambiguate:
             import jax.numpy as jnp
 
             vel_x, az_x, hyp_x = jax.tree.map(np.asarray, pipe.disambiguate(
                 jnp.asarray(todo), base,
                 jnp.asarray(rd.doppler_bin), jnp.asarray(rd.range_bin),
             ))
-            rd = rd._replace(velocity_mps=vel_x, azimuth_deg=az_x)
+            # the interp estimate shifts by the same hypothesis offset
+            # (constant per detection), so the two fields stay consistent
+            rd = rd._replace(
+                velocity_mps_interp=(rd.velocity_mps_interp
+                                     + (vel_x - rd.velocity_mps)),
+                velocity_mps=vel_x, azimuth_deg=az_x,
+            )
     for j in range(len(todo)):
         dets = None
         if args.full:
@@ -241,7 +254,7 @@ def cmd_detect(args) -> int:
                     "velocity_mps_interp":
                         round(float(rd.velocity_mps_interp[j, k]), 4),
                     **({"doppler_hypothesis": int(hyp_x[j, k])}
-                       if getattr(args, "disambiguate", False) else {}),
+                       if disambiguate else {}),
                     **({
                         "cluster_id": int(cl.cluster_id[j, k]),
                         "cluster_cells": int(cl.cells[j, k]),
@@ -318,10 +331,13 @@ def cmd_serve(args) -> int:
     from radar_tpu.models.tracker import EKFTracker, Tracker, group_peaks
 
     cfg = _build_cfg(args)
-    if getattr(args, "disambiguate", False) and cfg.num_tx == 1:
+    disambiguate = getattr(args, "disambiguate", False)
+    if disambiguate and cfg.num_tx == 1:
         print("warning: --disambiguate is a no-op at num_tx=1 (no TDM "
-              "ambiguity; pass --num-tx to match the stream)",
+              "ambiguity; pass --num-tx to match the stream) -- skipping "
+              "it (a per-batch no-op dispatch would double serve latency)",
               file=sys.stderr)
+        disambiguate = False
     pipe = RDPipeline(cfg, max_detections=args.max_detections,
                       rd_impl=args.rd_impl)
     blank_k = getattr(args, "blank_interference", None)
@@ -358,7 +374,7 @@ def cmd_serve(args) -> int:
         # full dispatch+materialize round trip: compiles detect AND the
         # packed-transfer program, and primes the transport
         packed = np.asarray(pack_detections(pipe.detect(warm, b0)))
-        if getattr(args, "disambiguate", False):
+        if disambiguate:
             _disambiguated(pipe, warm, b0, packed[..., 7], packed[..., 8])
         if args.refine:
             # compile the refinement program too — a first-batch compile
@@ -429,10 +445,14 @@ def cmd_serve(args) -> int:
             out = np.array(pack_detections(pipe.detect(stack, bases[src])))
             fetch_ms.append(1e3 * (time.perf_counter() - t_x))
             elev = None
-            if getattr(args, "disambiguate", False):
-                vel_x, az_x = _disambiguated(
+            hyp = None
+            if disambiguate:
+                vel_x, az_x, hyp = _disambiguated(
                     pipe, stack, bases[src], out[..., 7], out[..., 8]
                 )
+                # the interp estimate shifts by the same hypothesis
+                # offset, keeping the two velocity fields consistent
+                out[..., 6] += vel_x - out[..., 1]
                 out[..., 1] = vel_x
                 out[..., 2] = az_x
             if args.refine:
@@ -440,6 +460,11 @@ def cmd_serve(args) -> int:
                     pipe, stack, bases[src], out[..., 7], out[..., 8],
                     args.refine,
                 )
+                if hyp is not None:
+                    # for wrapped targets the refiner compensated with
+                    # the ALIASED Doppler (decohered array) — keep the
+                    # winning hypothesis's azimuth there
+                    az = np.where(hyp != 0, out[..., 2], az)
                 out[..., 2] = az
             for j in range(len(frames_src)):
                 n += 1
@@ -590,25 +615,30 @@ def cmd_track(args) -> int:
         out = materialize_result(res)._replace(valid=is_rep)
     else:
         out = materialize_result(pipe.detect(capture[1:], base))
-    if getattr(args, "disambiguate", False):
+    disambiguate = getattr(args, "disambiguate", False)
+    if disambiguate and cfg.num_tx == 1:
+        print("warning: --disambiguate is a no-op at num_tx=1 (no TDM "
+              "ambiguity; pass --num-tx to match the capture) -- "
+              "skipping it", file=sys.stderr)
+        disambiguate = False
+    hyp = None
+    if disambiguate:
         import jax.numpy as jnp
 
-        if cfg.num_tx == 1:
-            print("warning: --disambiguate is a no-op at num_tx=1 (no TDM "
-                  "ambiguity; pass --num-tx to match the capture)",
-                  file=sys.stderr)
-        vel_x, az_x, _ = jax.tree.map(np.asarray, pipe.disambiguate(
+        vel_x, az_x, hyp = jax.tree.map(np.asarray, pipe.disambiguate(
             jnp.asarray(capture[1:]), base,
             jnp.asarray(out.doppler_bin), jnp.asarray(out.range_bin),
         ))
         out = out._replace(velocity_mps=vel_x, azimuth_deg=az_x)
     params = None
     if args.refine:
-        # composes with --disambiguate: the refined azimuth overrides
-        # (for wrapped targets it compensates with the aliased Doppler,
-        # so prefer --disambiguate alone past the TDM velocity limit)
         az, _ = _refined_azimuth(pipe, capture[1:], base, out.doppler_bin,
                                  out.range_bin, args.refine)
+        if hyp is not None:
+            # wrapped targets: the refiner compensated with the ALIASED
+            # Doppler (decohered virtual array) — keep the winning
+            # hypothesis's azimuth for them
+            az = np.where(hyp != 0, np.asarray(out.azimuth_deg), az)
         out = out._replace(azimuth_deg=az)
         if args.tracker == "ekf":
             # the refined azimuth is sharper than the 4-element angle-FFT

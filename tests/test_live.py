@@ -93,72 +93,20 @@ def test_udp_loopback_end_to_end(cfg, capture):
         assert int(out.peak_bin[i]) == w.peak_bin
 
 
-def test_serve_loopback(cfg, capsys):
-    """cli serve: UDP frames in, JSONL detections + tracks out."""
-    import time
-    from radar_tpu import cli
+def test_serve_loopback(cfg, serve_over_udp):
+    """cli serve: UDP frames in, JSONL detections + tracks out.
+
+    The UDP race-avoidance scaffolding lives in the ``serve_over_udp``
+    conftest fixture (shared with test_velocity's serve test).
+    """
     from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
-    import json as _json
 
     capture = synthesize_capture(
         [SceneTarget(range_m=5.0, velocity_mps=0.0, azimuth_deg=15.0,
                      amplitude=3000.0)],
         5, cfg, noise_std=2.0, seed=71,
     )
-    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    try:
-        sock.bind(("127.0.0.1", 0))
-    except OSError:
-        pytest.skip("no loopback sockets in sandbox")
-    port = sock.getsockname()[1]
-    sock.close()
-
-    packets = make_packets(capture)
-
-    def port_bound() -> bool:
-        # Passive check via /proc/net/udp: a bind-probe could itself own
-        # the port at the instant the server binds (io/live.py sets no
-        # SO_REUSEADDR), turning the flake into an EADDRINUSE crash.
-        needle = f":{port:04X}"
-        for path in ("/proc/net/udp", "/proc/net/udp6"):
-            try:
-                with open(path) as f:
-                    lines = f.readlines()[1:]
-            except OSError:
-                continue
-            if any(line.split()[1].endswith(needle) for line in lines):
-                return True
-        return False
-
-    def send():
-        # Wait until the server OWNS the port — a fixed sleep raced the
-        # server's startup under full-suite load, and packets sent before
-        # the bind are lost, leaving the reassembler's byte stream
-        # starting mid-frame (misaligned frames).
-        deadline = time.monotonic() + 10.0
-        while time.monotonic() < deadline and not port_bound():
-            time.sleep(0.05)
-        # Two full paced passes: the reassembler drops stale duplicates
-        # by design (io/live.py), so the replay is free and it heals any
-        # loopback-UDP drop from the first pass before the 32-packet
-        # reorder window zero-fills the gap.
-        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        for _ in range(2):
-            for i, p in enumerate(packets):
-                tx.sendto(p, ("127.0.0.1", port))
-                if i % 32 == 31:
-                    time.sleep(0.001)
-            time.sleep(0.2)
-        tx.close()
-
-    t = threading.Timer(0.0, send)
-    t.start()
-    rc = cli.main(["serve", "--port", str(port), "--host", "127.0.0.1",
-                   "--max-frames", "5", "--timeout", "15"])
-    t.join()
-    assert rc == 0
-    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
-    recs = [_json.loads(l) for l in lines]
+    recs = serve_over_udp(capture)
     assert recs[0] == {"event": "ready"}
     assert recs[1] == {"event": "base_frame"}
     frame_recs = [r for r in recs if "frame" in r]

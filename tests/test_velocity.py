@@ -160,67 +160,21 @@ class TestPipeline:
         assert tracks
         assert any(abs(t["velocity_mps"] - 10.0) < 1.5 for t in tracks)
 
-    def test_cli_serve_disambiguate(self, mcfg, capsys):
+    def test_cli_serve_disambiguate(self, mcfg, serve_over_udp):
         """Served velocities cover the extended span (frame 0 = base)."""
-        import json
-        import socket
-        import threading
-        import time
-
-        from radar_tpu import cli
-        from radar_tpu.io.live import make_packets
-
         capture = synthesize_capture(
             [SceneTarget(range_m=5.0, velocity_mps=10.0, azimuth_deg=15.0,
                          amplitude=2500.0)],
             num_frames=5, cfg=mcfg, noise_std=2.0, seed=13,
         )
-        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        try:
-            sock.bind(("127.0.0.1", 0))
-        except OSError:
-            pytest.skip("no loopback sockets in sandbox")
-        port = sock.getsockname()[1]
-        sock.close()
-        packets = make_packets(capture)
-
-        def port_bound() -> bool:
-            needle = f":{port:04X}"
-            for path in ("/proc/net/udp", "/proc/net/udp6"):
-                try:
-                    with open(path) as f:
-                        lines = f.readlines()[1:]
-                except OSError:
-                    continue
-                if any(l.split()[1].endswith(needle) for l in lines):
-                    return True
-            return False
-
-        def send():
-            deadline = time.monotonic() + 10.0
-            while time.monotonic() < deadline and not port_bound():
-                time.sleep(0.05)
-            tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-            for _ in range(2):
-                for i, p in enumerate(packets):
-                    tx.sendto(p, ("127.0.0.1", port))
-                    if i % 32 == 31:
-                        time.sleep(0.001)
-                time.sleep(0.2)
-            tx.close()
-
-        t = threading.Timer(0.0, send)
-        t.start()
-        rc = cli.main(["serve", "--port", str(port), "--host", "127.0.0.1",
-                       "--max-frames", "5", "--timeout", "15",
-                       "--num-tx", "2", "--disambiguate"])
-        t.join()
-        assert rc == 0
-        recs = [json.loads(l)
-                for l in capsys.readouterr().out.splitlines() if l.strip()]
+        recs = serve_over_udp(capture, ["--num-tx", "2", "--disambiguate"])
         dets = [d for r in recs if "frame" in r for d in r["detections"]]
         fast = [d for d in dets if abs(d["range_m"] - 5.0) < 1.0]
         assert fast and any(abs(d["velocity_mps"] - 10.0) < 1.0 for d in fast)
+        # the interp field shifts by the same hypothesis offset — the
+        # two velocity estimates must agree to sub-bin resolution
+        assert all(abs(d["velocity_mps"] - d["velocity_mps_interp"]) < 0.5
+                   for d in fast)
 
     def test_cli_disambiguate_flag(self, tmp_path, mcfg, fast_capture):
         import json
