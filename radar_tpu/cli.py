@@ -36,7 +36,24 @@ def _build_cfg(args) -> RadarConfig:
         kw["clutter_mode"] = args.clutter
     if getattr(args, "num_tx", None):
         kw["num_tx"] = args.num_tx
-    return RadarConfig(**kw)
+    cfg = RadarConfig(**kw)
+    wl = getattr(args, "elevated_tx", None)
+    if wl is not None:
+        # planar virtual array: the azimuth ULA keeps the first
+        # num_tx-1 transmitters; the LAST TX sits at azimuth 0, raised
+        # by wl wavelengths (the tested elevation geometry,
+        # tests/test_mimo.py) — enables --refine 2d elevation
+        import dataclasses
+
+        if cfg.num_tx < 2:
+            raise ValueError(
+                "--elevated-tx needs --num-tx >= 2 (one azimuth TX plus "
+                "the elevated one)"
+            )
+        pos = [(t * cfg.num_rx * cfg.rx_spacing_wavelengths, 0.0)
+               for t in range(cfg.num_tx - 1)] + [(0.0, float(wl))]
+        cfg = dataclasses.replace(cfg, tx_positions_wl=tuple(pos))
+    return cfg
 
 
 def _add_pipeline_flags(sp) -> None:
@@ -70,6 +87,11 @@ def _add_pipeline_flags(sp) -> None:
     sp.add_argument("--num-tx", type=int, default=None,
                     help="TDM-MIMO transmitters (must match the capture; "
                          "default 1 = the reference geometry)")
+    sp.add_argument("--elevated-tx", type=float, default=None, nargs="?",
+                    const=0.5, metavar="WL",
+                    help="raise the last TX by WL wavelengths (default "
+                         "0.5): planar virtual array, enables elevation "
+                         "via --refine 2d (needs --num-tx >= 2)")
 
 
 def _add_blank_flag(sp) -> None:
@@ -120,9 +142,10 @@ def _parse_target(spec: str):
     while len(parts) < 3:
         parts.append(0.0)
     amp = parts[3] if len(parts) > 3 else 2000.0
+    elev = parts[4] if len(parts) > 4 else 0.0
     return SceneTarget(
         range_m=parts[0], velocity_mps=parts[1], azimuth_deg=parts[2],
-        amplitude=amp,
+        amplitude=amp, elevation_deg=elev,
     )
 
 
@@ -180,6 +203,10 @@ def cmd_detect(args) -> int:
     if want_points and not args.full:
         print("error: --points/--points-plot require --full (points come "
               "from the RD pipeline's detections)", file=sys.stderr)
+        return 2
+    if getattr(args, "refine", None) and not args.full:
+        print("error: --refine requires --full (it re-estimates the RD "
+              "pipeline's detection angles)", file=sys.stderr)
         return 2
     if getattr(args, "points", None) and args.resume:
         print("error: --points cannot be combined with --resume (point "
@@ -241,6 +268,17 @@ def cmd_detect(args) -> int:
                                      + (vel_x - rd.velocity_mps)),
                 velocity_mps=vel_x, azimuth_deg=az_x,
             )
+        elev_r = None
+        if getattr(args, "refine", None):
+            az_r, elev_r = _refined_azimuth(
+                pipe, todo, base, rd.doppler_bin, rd.range_bin, args.refine
+            )
+            if disambiguate:
+                # wrapped targets: the refiner compensated with the
+                # ALIASED Doppler — keep the hypothesis azimuth there
+                az_r = np.where(hyp_x != 0, np.asarray(rd.azimuth_deg),
+                                az_r)
+            rd = rd._replace(azimuth_deg=az_r)
     for j in range(len(todo)):
         dets = None
         if args.full:
@@ -255,6 +293,8 @@ def cmd_detect(args) -> int:
                         round(float(rd.velocity_mps_interp[j, k]), 4),
                     **({"doppler_hypothesis": int(hyp_x[j, k])}
                        if disambiguate else {}),
+                    **({"elevation_deg": round(float(elev_r[j, k]), 2)}
+                       if elev_r is not None else {}),
                     **({
                         "cluster_id": int(cl.cluster_id[j, k]),
                         "cluster_cells": int(cl.cells[j, k]),
@@ -285,7 +325,8 @@ def cmd_detect(args) -> int:
 
             for d in dets:
                 x, y, z = detections_to_xyz(
-                    d["range_m_interp"], d["azimuth_deg"]
+                    d["range_m_interp"], d["azimuth_deg"],
+                    d.get("elevation_deg"),
                 )
                 points_rows.append((start_frame + j, float(x), float(y),
                                     float(z), d["velocity_mps"],
@@ -1134,7 +1175,8 @@ def main(argv=None) -> int:
     g.add_argument("--frames", type=int, default=90)
     g.add_argument(
         "--target", action="append", default=[],
-        help="range_m,vel_mps,azimuth_deg[,amplitude] (repeatable)",
+        help="range_m,vel_mps,azimuth_deg[,amplitude[,elevation_deg]] "
+             "(repeatable; elevation needs --elevated-tx)",
     )
     g.add_argument("--noise", type=float, default=10.0)
     g.add_argument("--seed", type=int, default=0)
@@ -1144,6 +1186,10 @@ def main(argv=None) -> int:
                         "detect --blank-interference)")
     g.add_argument("--num-tx", type=int, default=None,
                    help="TDM-MIMO transmitters in the synthesized waveform")
+    g.add_argument("--elevated-tx", type=float, default=None, nargs="?",
+                   const=0.5, metavar="WL",
+                   help="raise the last TX by WL wavelengths so targets "
+                        "may carry a nonzero elevation")
     g.set_defaults(fn=cmd_generate)
 
     d = sub.add_parser("detect", help="run detection, write JSONL records")
@@ -1173,6 +1219,7 @@ def main(argv=None) -> int:
                         "colored by radial velocity")
     _add_blank_flag(d)
     _add_pipeline_flags(d)
+    _add_refine_flag(d)
     d.set_defaults(fn=cmd_detect)
 
     s = sub.add_parser("serve", help="live UDP stream -> JSONL detections")

@@ -56,6 +56,47 @@ def test_cli_detect_points(tmp_path, cfg, capture):
     assert rc == 2
 
 
+def test_cli_detect_elevation_points(tmp_path, capsys):
+    """generate --elevated-tx + detect --refine 2d: elevation lands in
+    the records and in the point cloud's z (the full 3D product)."""
+    import json
+
+    from radar_tpu import cli
+
+    cap = tmp_path / "elev.bin"
+    rc = cli.main([
+        "generate", str(cap), "--frames", "3", "--num-tx", "2",
+        "--elevated-tx", "--noise", "2.0",
+        "--target", "6.0,1.0,0,3000,10",
+    ])
+    assert rc == 0
+    out = tmp_path / "d.jsonl"
+    pts = tmp_path / "cloud.csv"
+    rc = cli.main([
+        "detect", str(cap), "--full", "--num-tx", "2", "--elevated-tx",
+        "--refine", "2d", "--out", str(out), "--points", str(pts),
+    ])
+    assert rc == 0
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    dets = [d for r in recs for d in r.get("detections", [])
+            if abs(d["range_m"] - 6.0) < 1.0]
+    assert dets
+    # 0.5-wavelength elevation baseline: coarse, gate generously
+    assert any(abs(d["elevation_deg"] - 10.0) < 8.0 for d in dets)
+    vals = [l.split(",") for l in pts.read_text().splitlines()[1:]]
+    zs = [float(v[3]) for v in vals
+          if abs(float(v[2]) - 6.0) < 1.5]  # boresight y ~ range here
+    assert zs and any(z > 0.2 for z in zs)  # r sin(10 deg) ~ 1.04 m
+
+    # --refine without --full fails fast
+    rc = cli.main(["detect", str(cap), "--refine", "capon"])
+    assert rc == 2
+
+    # --elevated-tx without a second TX is a config error
+    with pytest.raises(ValueError, match="num-tx"):
+        cli.main(["detect", str(cap), "--full", "--elevated-tx"])
+
+
 def test_plot_point_cloud(tmp_path):
     from radar_tpu.config import RadarConfig
     from radar_tpu.viz import plot_point_cloud
