@@ -196,6 +196,17 @@ class TestFunctional:
             abs(r - 6.0) < 0.5 and abs(v) < 0.5 for r, v in dets
         )
 
+    def test_cli_serve_mti(self, mti_cfg, mti_capture, serve_over_udp):
+        """Live serving under MTI: movers served, the 5x static blob
+        suppressed, no empty-scene base needed (frame 0 still primes the
+        base slot but the mode ignores it)."""
+        recs = serve_over_udp(mti_capture[:4], ["--clutter", "mti2"])
+        dets = [d for r in recs if "frame" in r for d in r["detections"]]
+        assert any(abs(d["range_m"] - 9.0) < 1.0 and
+                   abs(d["velocity_mps"] + 4.0) < 1.0 for d in dets)
+        assert not any(abs(d["range_m"] - 6.0) < 0.5 and
+                       abs(d["velocity_mps"]) < 0.5 for d in dets)
+
     def test_cli_detect_clutter_flag(self, tmp_path, mti_capture, capsys):
         import json
 
