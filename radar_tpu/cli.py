@@ -36,6 +36,13 @@ def _build_cfg(args) -> RadarConfig:
         kw["clutter_mode"] = args.clutter
     if getattr(args, "num_tx", None):
         kw["num_tx"] = args.num_tx
+    cal_path = getattr(args, "cal", None)
+    if cal_path:
+        import json
+
+        with open(cal_path) as f:
+            doc = json.load(f)
+        kw["rx_cal"] = tuple(complex(re, im) for re, im in doc["rx_cal"])
     cfg = RadarConfig(**kw)
     wl = getattr(args, "elevated_tx", None)
     if wl is not None:
@@ -92,6 +99,11 @@ def _add_pipeline_flags(sp) -> None:
                     help="raise the last TX by WL wavelengths (default "
                          "0.5): planar virtual array, enables elevation "
                          "via --refine 2d (needs --num-tx >= 2)")
+    sp.add_argument("--cal", default=None, metavar="CAL.json",
+                    help="per-channel calibration file written by "
+                         "`radar-tpu calibrate`: the complex correction "
+                         "is applied to every virtual-array snapshot "
+                         "before angle estimation (cfg.rx_cal)")
 
 
 def _add_blank_flag(sp) -> None:
@@ -157,12 +169,77 @@ def cmd_generate(args) -> int:
     targets = [_parse_target(t) for t in args.target] or [
         _parse_target("5.0,2.0,15")
     ]
+    rx_response = None
+    if getattr(args, "rx_imbalance", None):
+        pairs = [p.split(":") for p in args.rx_imbalance.split(",")]
+        if len(pairs) != cfg.num_rx or any(len(p) != 2 for p in pairs):
+            print(f"error: --rx-imbalance needs {cfg.num_rx} gain:deg "
+                  "pairs", file=sys.stderr)
+            return 2
+        rx_response = np.array([
+            float(g) * np.exp(1j * np.deg2rad(float(ph))) for g, ph in pairs
+        ])
     frames = synthesize_capture(
         targets, args.frames, cfg, noise_std=args.noise, seed=args.seed,
         interference_bursts=args.interference,
+        rx_response=rx_response,
     )
     write_capture(args.path, frames, cfg)
     print(f"wrote {args.frames} frames ({frames.nbytes} bytes) to {args.path}")
+    return 0
+
+
+def cmd_calibrate(args) -> int:
+    """Estimate the per-channel correction from a capture of a single
+    reflector at a known angle (float64 golden path end to end — this is
+    an offline, once-per-array procedure, so precision beats speed)."""
+    import json
+
+    from radar_tpu import golden
+    from radar_tpu.io.capture import read_capture
+
+    cfg = _build_cfg(args)
+    shorts = read_capture(args.path, cfg)
+    if shorts.shape[0] < 2:
+        print("error: calibration needs >= 2 frames (frame 0 is the "
+              "empty-scene base)", file=sys.stderr)
+        return 2
+    if args.frames:
+        shorts = shorts[: args.frames + 1]
+    base = golden.decode_shorts(shorts[0], cfg)
+    cube = golden.virtual_cube(
+        golden.decode_shorts(shorts[1:], cfg) - base[None], cfg
+    )
+    rd = golden.range_doppler_map(cube, cfg)          # (N, V, D, R)
+    power = (np.abs(rd) ** 2).sum(axis=1)
+    snaps, dbins = [], []
+    for f in range(rd.shape[0]):
+        d, r = np.unravel_index(np.argmax(power[f]), power[f].shape)
+        snaps.append(rd[f, :, d, r])
+        dbins.append(d)
+    snaps = golden.mimo_doppler_compensate(
+        np.asarray(snaps), np.asarray(dbins), cfg
+    )
+    cal = golden.estimate_rx_cal(
+        snaps, azimuth_deg=args.az, elevation_deg=args.el, cfg=cfg
+    )
+    doc = {
+        "rx_cal": [[float(c.real), float(c.imag)] for c in cal],
+        "num_rx": cfg.num_rx,
+        "num_tx": cfg.num_tx,
+        "reference_azimuth_deg": args.az,
+        "reference_elevation_deg": args.el,
+        "frames_used": int(rd.shape[0]),
+        "gain_db": [float(20 * np.log10(abs(c))) for c in cal],
+        "phase_deg": [float(np.rad2deg(np.angle(c))) for c in cal],
+    }
+    out = args.out or "cal.json"
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {out}: correction gains "
+          + ", ".join(f"{g:+.2f} dB" for g in doc["gain_db"])
+          + " | phases "
+          + ", ".join(f"{p:+.1f} deg" for p in doc["phase_deg"]))
     return 0
 
 
@@ -1190,7 +1267,36 @@ def main(argv=None) -> int:
                    const=0.5, metavar="WL",
                    help="raise the last TX by WL wavelengths so targets "
                         "may carry a nonzero elevation")
+    g.add_argument("--rx-imbalance", default=None, metavar="G:DEG,...",
+                   help="per-RX hardware channel response as "
+                        "gain:phase_deg pairs (one per RX, e.g. "
+                        "'1:0,1.2:35,0.8:-40,1.1:-18') — the imperfection "
+                        "`calibrate` measures and `--cal` undoes")
     g.set_defaults(fn=cmd_generate)
+
+    c = sub.add_parser(
+        "calibrate",
+        help="estimate per-channel gain/phase correction from a capture "
+             "of one reflector at a known angle (float64 golden path); "
+             "apply with --cal on detect/track/serve/azmap",
+    )
+    c.add_argument("path", help="calibration capture (frame 0 = empty "
+                                "scene, then the boresight reflector)")
+    c.add_argument("--az", type=float, default=0.0,
+                   help="reflector's true azimuth in degrees (default 0 "
+                        "= boresight)")
+    c.add_argument("--el", type=float, default=0.0,
+                   help="reflector's true elevation in degrees")
+    c.add_argument("--frames", type=int, default=None,
+                   help="use at most this many target frames")
+    c.add_argument("--out", default=None, help="output path (cal.json)")
+    c.add_argument("--num-tx", type=int, default=None)
+    c.add_argument("--elevated-tx", type=float, default=None, nargs="?",
+                   const=0.5, metavar="WL")
+    c.add_argument("--window-kind", default=None,
+                   choices=["hann", "hamming", "blackman",
+                            "blackmanharris", "rect"])
+    c.set_defaults(fn=cmd_calibrate)
 
     d = sub.add_parser("detect", help="run detection, write JSONL records")
     d.add_argument("path")

@@ -114,6 +114,33 @@ class RadarConfig:
     # enables elevation estimation (ops.aoa.aoa_2d_from_snapshots).
     tx_positions_wl: Tuple[Tuple[float, float], ...] | None = None
     elevation_grid_deg: Tuple[float, float, int] = (-30.0, 30.0, 61)
+    # Per-channel complex calibration CORRECTION, multiplied onto every
+    # virtual-array snapshot before any angle estimator (and onto the
+    # virtual cube in the scene-level range-azimuth maps).  Hardware RX
+    # chains have per-channel gain/phase imbalances that decohere the
+    # array and bias every angle estimate; ``cli calibrate`` estimates
+    # this vector from a capture of a single boresight target
+    # (golden.estimate_rx_cal) and ``--cal cal.json`` applies it.
+    # Length num_rx (tiled across TX blocks) or num_virtual_rx.
+    # None = identity (an ideally matched array).
+    rx_cal: Tuple[complex, ...] | None = None
+
+    def rx_cal_vector(self):
+        """Per-VIRTUAL-channel complex128 correction (V,), or None.
+
+        A length-num_rx vector describes the physical RX chains and is
+        tiled across the TX blocks (TDM reuses the same receivers for
+        every TX); a length-num_virtual_rx vector is taken verbatim
+        (covers per-TX phase offsets too).
+        """
+        if self.rx_cal is None:
+            return None
+        import numpy as np
+
+        cal = np.asarray(self.rx_cal, dtype=np.complex128)
+        if cal.shape == (self.num_rx,):
+            cal = np.tile(cal, self.num_tx)
+        return cal
 
     def __post_init__(self):
         """Validate enum-like and count fields: an invalid value must fail
@@ -139,6 +166,13 @@ class RadarConfig:
         if not 0.0 < self.cfar_os_k_frac <= 1.0:
             raise ValueError(
                 f"cfar_os_k_frac must be in (0, 1], got {self.cfar_os_k_frac!r}"
+            )
+        if self.rx_cal is not None and len(self.rx_cal) not in (
+            self.num_rx, self.num_tx * self.num_rx
+        ):
+            raise ValueError(
+                f"rx_cal must have num_rx ({self.num_rx}) or num_virtual_rx "
+                f"({self.num_tx * self.num_rx}) entries, got {len(self.rx_cal)}"
             )
 
     def effective_clutter(self, has_base: bool) -> str:

@@ -236,6 +236,71 @@ def mimo_doppler_compensate(
     return snaps * np.exp(1j * phase)
 
 
+def apply_rx_cal(
+    x: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG, axis: int = -1
+) -> np.ndarray:
+    """Multiply the per-virtual-channel calibration correction
+    (``cfg.rx_cal``) along ``axis``.  Identity when no calibration is
+    configured.  The correction is diagonal and constant, so it commutes
+    with the TDM phase compensation and with the disambiguation
+    hypothesis ramps — apply it once, wherever snapshots are formed.
+
+    Args:
+      x: complex (..., V on ``axis``, ...) snapshots or virtual cube.
+    """
+    cal = cfg.rx_cal_vector()
+    if cal is None:
+        return np.asarray(x)
+    x = np.asarray(x)
+    shape = [1] * x.ndim
+    shape[axis] = -1
+    return x * cal.reshape(shape)
+
+
+def estimate_rx_cal(
+    snaps: np.ndarray,
+    azimuth_deg: float = 0.0,
+    elevation_deg: float = 0.0,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+) -> np.ndarray:
+    """Estimate the per-channel calibration correction from snapshots of
+    a single target at a KNOWN angle (the standard corner-reflector
+    calibration: park a strong reflector at boresight, record, solve).
+
+    The measured channel-v response of a lone target with unit signal s_n
+    is ``s_{n,v} = g_v * a_v(theta) * s_n`` where g_v is the unknown
+    hardware gain/phase of the chain and a_v the ideal steering phase.
+    The least-squares relative response vs channel 0 is
+    ``h_v = sum_n s_{n,v} conj(s_{n,0}) / sum_n |s_{n,0}|^2
+         = (g_v a_v) / (g_0 a_0)``,
+    so the correction ``c_v = (a_v / a_0) / h_v`` makes the calibrated
+    snapshots ``c_v s_{n,v} = g_0 a_v s_n / a_0`` — an ideally matched
+    array up to one common complex scalar (irrelevant to every angle
+    estimator).  c_0 == 1 by construction.
+
+    Args:
+      snaps: complex (N, V) TDM-compensated virtual snapshots of the
+        calibration target across N frames (gather at the detection
+        cell, ``mimo_doppler_compensate`` applied — for the standard
+        STATIC calibration target the compensation is identity anyway).
+      azimuth_deg / elevation_deg: the target's true angle.
+
+    Returns:
+      complex128 (V,) correction vector for ``cfg.rx_cal``.
+    """
+    snaps = np.asarray(snaps, dtype=np.complex128)
+    if snaps.ndim == 1:
+        snaps = snaps[None, :]
+    pos = cfg.virtual_positions_wl()                      # (V, 2)
+    sin_az = np.sin(np.deg2rad(azimuth_deg))
+    cos_el = np.cos(np.deg2rad(elevation_deg))
+    sin_el = np.sin(np.deg2rad(elevation_deg))
+    a = np.exp(2j * np.pi * (pos[:, 0] * sin_az * cos_el + pos[:, 1] * sin_el))
+    ref = snaps[:, :1]
+    h = (snaps * np.conj(ref)).sum(axis=0) / (np.abs(ref) ** 2).sum()
+    return (a / a[0]) / h
+
+
 def disambiguate_velocity(
     snaps: np.ndarray,
     doppler_bin: np.ndarray,
@@ -437,6 +502,7 @@ def _compensated_rd_map(frames_shorts, base_cube, cfg, window):
     else:
         cube = cube - cube.mean(axis=-2, keepdims=True)
     rd = range_doppler_map(virtual_cube(cube, cfg), cfg, window)
+    rd = apply_rx_cal(rd, cfg, axis=-3)
     # apply the per-detection TDM compensation to every Doppler row at
     # once — same helper, broadcast doppler_bin
     d = cfg.doppler_fft_size

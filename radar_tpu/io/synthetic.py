@@ -49,6 +49,7 @@ def synthesize_cube(
     interference_bursts: int = 0,
     interference_amplitude: float = 20000.0,
     interference_len: int = 6,
+    rx_response: np.ndarray | None = None,
 ) -> np.ndarray:
     """Simulate complex radar cubes.
 
@@ -57,6 +58,11 @@ def synthesize_cube(
     ``interference_bursts`` > 0 adds that many mutual-FMCW-interference
     bursts per frame (short broadband mini-chirps at random positions,
     ``interference_amplitude`` ADC counts — see the in-function note).
+    ``rx_response`` (complex, (num_rx,)) models per-channel hardware
+    gain/phase imbalance: everything each RX chain receives (targets,
+    clutter, interference, its own noise) is multiplied by that
+    channel's response — the imperfection ``golden.estimate_rx_cal``
+    / ``cli calibrate`` exist to measure and undo.
     """
     rng = np.random.default_rng(seed)
     t = np.arange(cfg.num_samples) / cfg.sample_rate_hz  # fast time
@@ -144,6 +150,14 @@ def synthesize_cube(
         # overlapping bursts encodable)
         np.clip(cube.real, -32767, 32767, out=cube.real)
         np.clip(cube.imag, -32767, 32767, out=cube.imag)
+
+    if rx_response is not None:
+        resp = np.asarray(rx_response, dtype=np.complex128)
+        if resp.shape != (cfg.num_rx,):
+            raise ValueError(
+                f"rx_response must have shape ({cfg.num_rx},), got {resp.shape}"
+            )
+        cube *= resp[None, :, None, None]
     return cube
 
 
@@ -157,6 +171,7 @@ def synthesize_capture(
     interference_bursts: int = 0,
     interference_amplitude: float = 20000.0,
     interference_len: int = 6,
+    rx_response: np.ndarray | None = None,
 ) -> np.ndarray:
     """Simulate and encode to the on-disk int16 stream.
 
@@ -166,5 +181,6 @@ def synthesize_capture(
     cube = synthesize_cube(
         targets, num_frames, cfg, noise_std, clutter_amplitude, seed,
         interference_bursts, interference_amplitude, interference_len,
+        rx_response,
     )
     return encode_frame(cube, cfg)

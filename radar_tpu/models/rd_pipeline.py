@@ -120,6 +120,23 @@ def virtualize_cube(cube: jnp.ndarray, cfg: RadarConfig) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-3)
 
 
+def apply_rx_cal(
+    x: jnp.ndarray, cfg: RadarConfig, axis: int = -1
+) -> jnp.ndarray:
+    """Multiply the per-virtual-channel calibration correction
+    (``cfg.rx_cal``, twin of golden.apply_rx_cal) along ``axis``.
+    Identity (no-op) when no calibration is configured; the correction
+    is a compile-time complex64 constant otherwise, so the cost is one
+    tiny fused elementwise multiply on the KB-sized snapshot tensors.
+    """
+    cal = cfg.rx_cal_vector()
+    if cal is None:
+        return x
+    shape = [1] * x.ndim
+    shape[axis] = -1
+    return x * jnp.asarray(cal, jnp.complex64).reshape(shape)
+
+
 def mimo_compensate(
     snaps: jnp.ndarray, d_bin: jnp.ndarray, cfg: RadarConfig
 ) -> jnp.ndarray:
@@ -287,7 +304,7 @@ def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig,
     range_interp, vel_interp = interp_cell_physics(
         power, top_idx, d_bin, r_bin, cfg
     )
-    snaps = mimo_compensate(rd_snaps(top_idx), d_bin, cfg)
+    snaps = mimo_compensate(apply_rx_cal(rd_snaps(top_idx), cfg), d_bin, cfg)
     azimuth, angle_bin = aoa_from_snapshots(snaps, cfg)
     return RDResult(
         num_hits=num_hits,
@@ -327,7 +344,7 @@ def assemble_result_from_kernel(
         nbr5[..., 0], nbr5[..., 1], nbr5[..., 2], nbr5[..., 3],
         nbr5[..., 4], d_bin, r_bin, cfg,
     )
-    snaps = mimo_compensate(snaps, d_bin, cfg)
+    snaps = mimo_compensate(apply_rx_cal(snaps, cfg), d_bin, cfg)
     azimuth, angle_bin = aoa_from_snapshots(snaps, cfg)
     return RDResult(
         num_hits=num_hits,
@@ -490,7 +507,7 @@ class RDPipeline:
         cube = decode_to_cube(shorts, cfg)
         base = base_cube if self.use_base_frame else None
         cube = _declutter(cube, base, cfg)
-        cube = virtualize_cube(cube, cfg)  # (B, V, CPT, S)
+        cube = apply_rx_cal(virtualize_cube(cube, cfg), cfg, axis=-3)  # (B, V, CPT, S)
         x = cube * make_window(cube.shape[-1], cfg.window_kind, jnp.float32)
         rng = jnp.fft.fft(x, n=cfg.range_fft_size, axis=-1)
         return capon_aoa_at_cells(rng, d_bin, r_bin, cfg)
@@ -523,9 +540,9 @@ class RDPipeline:
         base = base_cube if self.use_base_frame else None
         dr_p, di_p = fused_rd_planes(shorts, base, cfg)
         top_idx = d_bin * cfg.range_fft_size + r_bin
-        snaps = jax.lax.complex(
+        snaps = apply_rx_cal(jax.lax.complex(
             gather_snapshots(dr_p, top_idx), gather_snapshots(di_p, top_idx)
-        )
+        ), cfg)
         vel, hyp, comp = disambiguate_velocity(snaps, d_bin, cfg)
         azimuth, _ = aoa_from_snapshots(comp, cfg)
         return vel, azimuth, hyp
@@ -553,9 +570,9 @@ class RDPipeline:
         base = base_cube if self.use_base_frame else None
         dr_p, di_p = fused_rd_planes(shorts, base, cfg)
         top_idx = d_bin * cfg.range_fft_size + r_bin
-        snaps = jax.lax.complex(
+        snaps = apply_rx_cal(jax.lax.complex(
             gather_snapshots(dr_p, top_idx), gather_snapshots(di_p, top_idx)
-        )
+        ), cfg)
         snaps = mimo_compensate(snaps, d_bin, cfg)
         return aoa_2d_from_snapshots(snaps, cfg)
 

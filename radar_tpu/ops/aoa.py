@@ -356,8 +356,14 @@ def _tdm_compensated_rd(shorts, base_cube, cfg, window):
     fd = (np.arange(d) - d // 2) / (d * cfg.slow_time_interval_s)
     tx_idx = np.arange(cfg.num_virtual_rx) // cfg.num_rx
     ph = -2.0 * np.pi * fd[None, :] * tx_idx[:, None] * cfg.chirp_interval_s
-    pr = jnp.asarray(np.cos(ph), jnp.float32)[..., None]   # (V', D, 1)
-    pi_ = jnp.asarray(np.sin(ph), jnp.float32)[..., None]
+    # per-channel calibration correction folds into the same host
+    # constant (both are diagonal in V — one combined complex multiply)
+    comb = np.exp(1j * ph)
+    cal = cfg.rx_cal_vector()
+    if cal is not None:
+        comb = comb * cal[:, None]
+    pr = jnp.asarray(comb.real, jnp.float32)[..., None]   # (V', D, 1)
+    pi_ = jnp.asarray(comb.imag, jnp.float32)[..., None]
     return dr * pr - di * pi_, dr * pi_ + di * pr
 
 
