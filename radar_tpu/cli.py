@@ -275,6 +275,11 @@ def cmd_detect(args) -> int:
                   "ambiguity; pass --num-tx to match the capture) -- "
                   "skipping it", file=sys.stderr)
             disambiguate = False
+    ego_gate = getattr(args, "ego", None)
+    if ego_gate is not None and not args.full:
+        print("error: --ego requires --full (the fit runs on the RD "
+              "pipeline's detections)", file=sys.stderr)
+        return 2
     want_points = bool(getattr(args, "points", None)
                        or getattr(args, "points_plot", None))
     if want_points and not args.full:
@@ -356,6 +361,32 @@ def cmd_detect(args) -> int:
                 az_r = np.where(hyp_x != 0, np.asarray(rd.azimuth_deg),
                                 az_r)
             rd = rd._replace(azimuth_deg=az_r)
+    ego = ego_static = ego_vground = None
+    if args.full and ego_gate is not None:
+        import jax.numpy as jnp
+
+        from radar_tpu.ops.egomotion import (
+            ego_compensated_velocity,
+            estimate_ego_motion,
+        )
+
+        em = estimate_ego_motion(
+            jnp.asarray(rd.azimuth_deg), jnp.asarray(rd.velocity_mps),
+            jnp.asarray(rd.valid), inlier_mps=ego_gate,
+        )
+        ego = jax.tree.map(np.asarray, em)
+        ego_static = ego.is_static
+        ego_vground = np.asarray(ego_compensated_velocity(
+            jnp.asarray(rd.azimuth_deg), jnp.asarray(rd.velocity_mps),
+            jnp.asarray(ego.velocity),
+        ))
+        n_ok = int(ego.ok.sum())
+        print(f"ego-motion: fit ok on {n_ok}/{len(todo)} frames; "
+              f"mean v = ({ego.velocity[ego.ok, 0].mean():.2f}, "
+              f"{ego.velocity[ego.ok, 1].mean():.2f}) m/s"
+              if n_ok else
+              "ego-motion: no frame had a non-degenerate fit",
+              file=sys.stderr)
     for j in range(len(todo)):
         dets = None
         if args.full:
@@ -372,6 +403,11 @@ def cmd_detect(args) -> int:
                        if disambiguate else {}),
                     **({"elevation_deg": round(float(elev_r[j, k]), 2)}
                        if elev_r is not None else {}),
+                    **({
+                        "is_static": bool(ego_static[j, k]),
+                        "velocity_ground_mps":
+                            round(float(ego_vground[j, k]), 4),
+                    } if ego is not None else {}),
                     **({
                         "cluster_id": int(cl.cluster_id[j, k]),
                         "cluster_cells": int(cl.cells[j, k]),
@@ -395,6 +431,12 @@ def cmd_detect(args) -> int:
                 distance_m=float(out.distance_m[j]),
                 magnitude=float(out.peak_magnitude[j]),
                 detections=dets,
+                ego=(None if ego is None else {
+                    "vx_mps": round(float(ego.velocity[j, 0]), 3),
+                    "vy_mps": round(float(ego.velocity[j, 1]), 3),
+                    "ok": bool(ego.ok[j]),
+                    "n_static": int(ego.n_inliers[j]),
+                }),
             )
         )
         if want_points and dets:
@@ -1323,6 +1365,14 @@ def main(argv=None) -> int:
     d.add_argument("--points-plot", default=None, metavar="PNG",
                    help="with --full: top-down point-cloud scatter "
                         "colored by radial velocity")
+    d.add_argument("--ego", type=float, default=None, nargs="?",
+                   const=0.5, metavar="INLIER_MPS",
+                   help="with --full: fit the platform (ego) velocity per "
+                        "frame from the static-scatterer Doppler-azimuth "
+                        "sinusoid; records ego {vx, vy, ok, n_static} per "
+                        "frame and is_static / velocity_ground_mps per "
+                        "detection (optional value = inlier gate in m/s, "
+                        "default 0.5)")
     _add_blank_flag(d)
     _add_pipeline_flags(d)
     _add_refine_flag(d)

@@ -1011,3 +1011,88 @@ def cluster_hits(hits: np.ndarray) -> np.ndarray:
                 for d, r in comp:
                     out[b, d, r] = label
     return out.reshape(lead + (d_sz, r_sz))
+
+
+def estimate_ego_motion(
+    azimuth_deg: np.ndarray,
+    radial_velocity: np.ndarray,
+    valid: np.ndarray | None = None,
+    n_iters: int = 5,
+    inlier_mps: float = 0.5,
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Instantaneous platform (ego) velocity from one frame's detections
+    (float64 golden).
+
+    Every STATIC scatterer at azimuth ``az`` seen from a platform moving
+    with velocity ``(vx lateral, vy forward)`` has radial velocity
+    ``vr = -(vx sin az + vy cos az)`` — so the (az, vr) pairs of the
+    static world lie on one sinusoid whose two coefficients are the ego
+    velocity (the classic single-radar instantaneous ego-motion fit;
+    moving targets are off-curve outliers).  Solved by iteratively
+    reweighted least squares with CAUCHY weights
+    ``w = 1 / (1 + (resid / inlier_mps)^2)``: a soft redescending loss,
+    because a hard gate after the mover-contaminated INITIAL fit can
+    shed every static point (a single fast mover biases the first
+    all-in 2x2 solve by more than the gate width), whereas Cauchy
+    down-weights the mover ~100x more than the statics and converges in
+    a few iterations.  The final static/moving label is the hard gate
+    ``|resid| <= inlier_mps`` on the converged fit.  Assumes the
+    static world dominates the detection list (true of road scenes; a
+    frame that is mostly movers can converge onto them).
+
+    The reference has no platform-motion story at all (its pipeline ends
+    at a single per-frame distance, acceleration.cu:523).
+
+    Args:
+      azimuth_deg: (K,) detection azimuths.
+      radial_velocity: (K,) measured radial velocities (positive =
+        receding), e.g. ``RDResult.velocity_mps``.
+      valid: optional (K,) bool mask of usable detections.
+      n_iters: IRLS refinement iterations.
+      inlier_mps: residual gate for the static-scatterer set.
+
+    Returns:
+      (v, is_static, ok): ``v`` float64 (2,) = (vx, vy); ``is_static``
+      bool (K,) marks detections consistent with the fit; ``ok`` False
+      when the fit is degenerate (fewer than 3 inliers, or all
+      detections near one azimuth — the normal matrix is singular) —
+      then ``v`` is zero and ``is_static`` all False.
+    """
+    az = np.deg2rad(np.asarray(azimuth_deg, np.float64))
+    vr = np.asarray(radial_velocity, np.float64)
+    a = np.stack([np.sin(az), np.cos(az)], axis=-1)  # (K, 2)
+    b = -vr
+    base = (np.ones(vr.shape, bool) if valid is None
+            else np.asarray(valid, bool))
+    w = base.astype(np.float64)
+    v = np.zeros(2)
+    resid = b.copy()
+    for _ in range(max(1, int(n_iters))):
+        aw = a * w[:, None]
+        ata = aw.T @ a  # (2, 2)
+        det = ata[0, 0] * ata[1, 1] - ata[0, 1] * ata[1, 0]
+        if base.sum() < 3 or det < 1e-9:
+            return np.zeros(2), np.zeros(vr.shape, bool), False
+        v = np.linalg.solve(ata, aw.T @ b)
+        resid = b - a @ v
+        # Cauchy reweight over the BASE set (soft: a detection shed by
+        # the mover-contaminated initial fit re-enters as the fit lands)
+        w = base / (1.0 + (resid / inlier_mps) ** 2)
+    is_static = (np.abs(resid) <= inlier_mps) & base
+    if is_static.sum() < 3:
+        return np.zeros(2), np.zeros(vr.shape, bool), False
+    return v, is_static, True
+
+
+def ego_compensated_velocity(
+    azimuth_deg: np.ndarray,
+    radial_velocity: np.ndarray,
+    v_ego: np.ndarray,
+) -> np.ndarray:
+    """Ground-frame radial velocity: measured vr plus the ego
+    projection ``vx sin az + vy cos az`` (zero for static scatterers
+    when ``v_ego`` is the :func:`estimate_ego_motion` fit)."""
+    az = np.deg2rad(np.asarray(azimuth_deg, np.float64))
+    v = np.asarray(v_ego, np.float64)
+    return (np.asarray(radial_velocity, np.float64)
+            + v[..., 0] * np.sin(az) + v[..., 1] * np.cos(az))

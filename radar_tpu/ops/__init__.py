@@ -26,6 +26,11 @@ from radar_tpu.ops.mdoppler import (
     micro_doppler_spectrogram,
 )
 from radar_tpu.ops.interference import blank_interference
+from radar_tpu.ops.egomotion import (
+    EgoMotion,
+    ego_compensated_velocity,
+    estimate_ego_motion,
+)
 
 __all__ = [
     "decode_to_cube",
@@ -37,6 +42,9 @@ __all__ = [
     "distance_from_bin",
     "scan_window_argmax",
     "ca_cfar_2d",
+    "EgoMotion",
+    "estimate_ego_motion",
+    "ego_compensated_velocity",
     "ClusterResult",
     "cluster_detections",
     "representatives",

@@ -21,11 +21,13 @@ class DetectionRecord:
     distance_m: float
     magnitude: float
     detections: list[dict] | None = None  # CFAR/AoA hits if available
+    ego: dict | None = None  # per-frame ego-motion fit (detect --ego)
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
-        if d["detections"] is None:
-            del d["detections"]
+        for key in ("detections", "ego"):
+            if d[key] is None:
+                del d[key]
         return json.dumps(d, separators=(",", ":"))
 
 
