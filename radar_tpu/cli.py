@@ -280,6 +280,22 @@ def cmd_detect(args) -> int:
         print("error: --ego requires --full (the fit runs on the RD "
               "pipeline's detections)", file=sys.stderr)
         return 2
+    n_int = getattr(args, "integrate", None) or 1
+    if n_int > 1:
+        if not args.full:
+            print("error: --integrate requires --full (integration sums "
+                  "the RD pipeline's power maps)", file=sys.stderr)
+            return 2
+        for bad, why in (
+            ("cluster", "clusters per-frame hit maps"),
+            ("disambiguate", "re-tests per-frame snapshots"),
+            ("refine", "re-estimates per-frame angles"),
+            ("resume", "group alignment would drift across runs"),
+        ):
+            if getattr(args, bad, None):
+                print(f"error: --integrate cannot be combined with "
+                      f"--{bad} ({why})", file=sys.stderr)
+                return 2
     want_points = bool(getattr(args, "points", None)
                        or getattr(args, "points_plot", None))
     if want_points and not args.full:
@@ -318,6 +334,17 @@ def cmd_detect(args) -> int:
     # detect only the frames that still need records (resume == seek: the
     # pipeline is stateless past the base frame)
     todo = capture[start_frame:]
+    if n_int > 1:
+        kept = (len(todo) // n_int) * n_int
+        if kept == 0:
+            print(f"error: --integrate {n_int} needs at least {n_int} "
+                  f"frames past the base frame (capture has {len(todo)})",
+                  file=sys.stderr)
+            return 2
+        if kept < len(todo):
+            print(f"--integrate {n_int}: trimming {len(todo) - kept} "
+                  f"trailing frame(s) to a whole group", file=sys.stderr)
+            todo = todo[:kept]
     det = RangeDetector(cfg)
     base_rx0 = det.prepare_base(capture[0])
     out = jax.tree.map(np.asarray, det.detect(todo, base_rx0))
@@ -333,6 +360,10 @@ def cmd_detect(args) -> int:
         if cluster:
             rd, cl = jax.tree.map(
                 np.asarray, pipe.detect_objects(todo, base)
+            )
+        elif n_int > 1:
+            rd = jax.tree.map(
+                np.asarray, pipe.detect_integrated(todo, base, n_int)
             )
         else:
             rd = jax.tree.map(np.asarray, pipe.detect(todo, base))
@@ -387,7 +418,11 @@ def cmd_detect(args) -> int:
               if n_ok else
               "ego-motion: no frame had a non-degenerate fit",
               file=sys.stderr)
-    for j in range(len(todo)):
+    # one record per frame, or per integration group (--integrate N):
+    # the record carries the group's LAST frame index and that frame's
+    # range-parity fields, with detections from the summed map
+    for j in range(len(todo) // n_int):
+        pj = j * n_int + n_int - 1  # parity-path / frame index
         dets = None
         if args.full:
             dets = [
@@ -426,10 +461,10 @@ def cmd_detect(args) -> int:
             ]
         records.append(
             DetectionRecord(
-                frame=start_frame + j,
-                peak_bin=int(out.peak_bin[j]),
-                distance_m=float(out.distance_m[j]),
-                magnitude=float(out.peak_magnitude[j]),
+                frame=start_frame + pj,
+                peak_bin=int(out.peak_bin[pj]),
+                distance_m=float(out.distance_m[pj]),
+                magnitude=float(out.peak_magnitude[pj]),
                 detections=dets,
                 ego=(None if ego is None else {
                     "vx_mps": round(float(ego.velocity[j, 0]), 3),
@@ -447,7 +482,7 @@ def cmd_detect(args) -> int:
                     d["range_m_interp"], d["azimuth_deg"],
                     d.get("elevation_deg"),
                 )
-                points_rows.append((start_frame + j, float(x), float(y),
+                points_rows.append((start_frame + pj, float(x), float(y),
                                     float(z), d["velocity_mps"],
                                     d["power"]))
     mode = "a" if (args.resume and start_frame > 1) else "w"
@@ -806,16 +841,49 @@ def cmd_track(args) -> int:
             from radar_tpu.models.tracker import EKFConfig
 
             params = EKFConfig(sigma_azimuth_deg=1.0)
+    ego = None
+    ego_gate = getattr(args, "ego", None)
+    if ego_gate is not None:
+        # moving-platform tracking: fit the ego velocity per frame and
+        # drop the static world from the measurement stream — trackers
+        # then spend their gates on genuine movers instead of confirming
+        # one track per roadside scatterer
+        import jax.numpy as jnp
+
+        from radar_tpu.ops.egomotion import estimate_ego_motion
+
+        em = estimate_ego_motion(
+            jnp.asarray(out.azimuth_deg),
+            jnp.asarray(out.velocity_mps), jnp.asarray(out.valid),
+            inlier_mps=ego_gate,
+        )
+        ego = jax.tree.map(np.asarray, em)
+        keep = np.asarray(out.valid) & ~ego.is_static
+        n_drop = int((np.asarray(out.valid) & ego.is_static).sum())
+        out = out._replace(valid=keep)
+        n_ok = int(ego.ok.sum())
+        print(f"ego-motion: fit ok on {n_ok}/{len(ego.ok)} frames, "
+              f"{n_drop} static detections dropped before tracking",
+              file=sys.stderr)
     tracker = track_capture(out, cfg, kind=args.tracker, params=params)
     tracks = [t for t in tracker.tracks if t.confirmed]
     for t in tracks:
-        print(json.dumps({
+        rec = {
             "track_id": t.track_id,
             "range_m": round(t.range_m, 4),
             "velocity_mps": round(t.velocity_mps, 4),
             "azimuth_deg": round(t.azimuth_deg, 2),
             "hits": t.hits,
-        }))
+        }
+        if ego is not None:
+            ok_v = ego.velocity[ego.ok]
+            if len(ok_v):
+                vx, vy = float(ok_v[:, 0].mean()), float(ok_v[:, 1].mean())
+                az = np.deg2rad(t.azimuth_deg)
+                rec["velocity_ground_mps"] = round(
+                    t.velocity_mps + vx * float(np.sin(az))
+                    + vy * float(np.cos(az)), 4)
+        print(json.dumps(rec))
     print(f"# {len(tracks)} confirmed tracks over {len(capture)-1} frames",
           file=sys.stderr)
     return 0
@@ -1074,17 +1142,26 @@ def cmd_eval(args) -> int:
     from radar_tpu.evaluate import measure_pfa, pd_curve
 
     cfg = _build_cfg(args)
+    n_int = args.integrate or 1
+    if n_int > 1 and args.frames % n_int:
+        print(f"error: --frames {args.frames} must be a multiple of "
+              f"--integrate {n_int}", file=sys.stderr)
+        return 2
     pfa = measure_pfa(cfg, frames=args.frames, noise_std=args.noise,
-                      seed=args.seed, rd_impl=args.rd_impl)
-    print(json.dumps({"event": "pfa", "cfar_kind": cfg.cfar_kind, **pfa}),
+                      seed=args.seed, rd_impl=args.rd_impl,
+                      n_integrate=n_int)
+    print(json.dumps({"event": "pfa", "cfar_kind": cfg.cfar_kind,
+                      **({"n_integrate": n_int} if n_int > 1 else {}),
+                      **pfa}),
           flush=True)
     amps = tuple(float(a) for a in args.amplitudes.split(","))
     for pt in pd_curve(cfg, amplitudes=amps, frames=args.frames,
                        noise_std=args.noise, range_m=args.range,
                        velocity_mps=args.velocity, seed=args.seed,
-                       rd_impl=args.rd_impl):
+                       rd_impl=args.rd_impl, n_integrate=n_int):
         print(json.dumps({
             "event": "pd", "cfar_kind": cfg.cfar_kind,
+            **({"n_integrate": n_int} if n_int > 1 else {}),
             "amplitude": pt.amplitude, "pd": round(pt.pd, 4),
             "frames": pt.frames, "mean_hits": round(pt.mean_hits, 2),
         }), flush=True)
@@ -1365,6 +1442,11 @@ def main(argv=None) -> int:
     d.add_argument("--points-plot", default=None, metavar="PNG",
                    help="with --full: top-down point-cloud scatter "
                         "colored by radial velocity")
+    d.add_argument("--integrate", type=int, default=None, metavar="N",
+                   help="with --full: non-coherent integration — sum N "
+                        "consecutive frames' RD power maps before CFAR "
+                        "(one record per group, frame = the group's last; "
+                        "the low-SNR Pd lever)")
     d.add_argument("--ego", type=float, default=None, nargs="?",
                    const=0.5, metavar="INLIER_MPS",
                    help="with --full: fit the platform (ego) velocity per "
@@ -1424,6 +1506,13 @@ def main(argv=None) -> int:
                    help="feed one measurement per hit-blob object "
                         "(suppress same-cluster duplicates before "
                         "tracking)")
+    t.add_argument("--ego", type=float, default=None, nargs="?",
+                   const=0.5, metavar="INLIER_MPS",
+                   help="moving-platform tracking: fit the ego velocity "
+                        "per frame, drop static-world detections before "
+                        "tracking, and report each track's ground-frame "
+                        "radial velocity (optional value = inlier gate "
+                        "in m/s, default 0.5)")
     t.add_argument("--disambiguate", action="store_true",
                    help="TDM phase-hypothesis velocity disambiguation "
                         "before tracking (num_tx > 1): track states get "
@@ -1475,6 +1564,9 @@ def main(argv=None) -> int:
     e.add_argument("--velocity", type=float, default=2.0,
                    help="target velocity (m/s)")
     e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--integrate", type=int, default=None, metavar="N",
+                   help="non-coherent integration depth for the Pfa/Pd "
+                        "metrics (one decision per N-frame group)")
     e.add_argument("--objects", action="store_true",
                    help="also score the object level: clustered "
                         "representatives matched to the true targets "

@@ -73,6 +73,19 @@ class RadarConfig:
     # rather than a necessity (the XLA gather+sort fallback still pays
     # ~118 fps full-pipeline at stride 1).
     cfar_os_stride: int = 1
+    # Non-coherent integration depth the CFAR alpha is solved for: 1 =
+    # exponential cells (the closed form); N > 1 = Erlang-N summed cells
+    # (``RDPipeline.detect_integrated`` multiplies this by its group size
+    # so the threshold harvests the integration gain instead of sitting a
+    # deterministic single-pulse alpha above the N-scaled noise mean).
+    # Note the per-frame RD power map is ITSELF a non-coherent sum over
+    # the num_tx*num_rx virtual channels, so the historical
+    # ``cfar_n_pulses = 1`` convention is conservative (realized Pfa
+    # below configured — measured 0 hits where 1e-4 expects ~52 on
+    # target-free noise); set ``cfar_n_pulses = num_tx * num_rx`` to
+    # Erlang-match the single-frame detector.  Applies to 'ca';
+    # 'goca'/'soca'/'os' keep their single-pulse alphas.
+    cfar_n_pulses: int = 1
     # Window applied on both FFT axes before the range/Doppler DFTs:
     # trades main-lobe width for sidelobe level (strong-target sidelobes
     # masking weak targets).  'hann' (-31 dB, the default and the only
@@ -162,6 +175,10 @@ class RadarConfig:
         if not isinstance(self.cfar_os_stride, int) or self.cfar_os_stride < 1:
             raise ValueError(
                 f"cfar_os_stride must be a positive int, got {self.cfar_os_stride!r}"
+            )
+        if not isinstance(self.cfar_n_pulses, int) or self.cfar_n_pulses < 1:
+            raise ValueError(
+                f"cfar_n_pulses must be a positive int, got {self.cfar_n_pulses!r}"
             )
         if not 0.0 < self.cfar_os_k_frac <= 1.0:
             raise ValueError(

@@ -63,10 +63,16 @@ def measure_pfa(
     seed: int = 0,
     max_detections: int = 16,
     rd_impl: str = "auto",
+    n_integrate: int = 1,
 ) -> dict:
     """Realized false-alarm rate on target-free frames.
 
     Returns {'pfa_measured', 'pfa_configured', 'cells', 'hits'}.
+    ``n_integrate > 1`` measures the non-coherently-integrated detector
+    (one decision per N-frame group; the summed cells are Erlang-N, so
+    the measured Pfa should come out BELOW the configured exponential
+    alpha — the documented conservatism of
+    ``RDPipeline.detect_integrated``).
     """
     import jax.numpy as jnp
 
@@ -77,9 +83,14 @@ def measure_pfa(
                              seed=seed)
     pipe = RDPipeline(cfg, max_detections=max_detections, rd_impl=rd_impl)
     base = pipe.prepare_base(jnp.asarray(cap[0]))
-    out = pipe.detect(jnp.asarray(cap[1:]), base)
+    if n_integrate > 1:
+        out = pipe.detect_integrated(jnp.asarray(cap[1:]), base,
+                                     n_integrate)
+    else:
+        out = pipe.detect(jnp.asarray(cap[1:]), base)
     hits = int(np.asarray(out.num_hits).sum())
-    cells = frames * cfg.doppler_fft_size * cfg.range_fft_size
+    cells = ((frames // n_integrate) * cfg.doppler_fft_size
+             * cfg.range_fft_size)
     return {
         "pfa_measured": hits / cells,
         "pfa_configured": cfg.cfar_pfa,
@@ -100,8 +111,14 @@ def pd_curve(
     seed: int = 0,
     max_detections: int = 16,
     rd_impl: str = "auto",
+    n_integrate: int = 1,
 ) -> list[EvalPoint]:
     """Pd over target amplitude for one target geometry.
+
+    ``n_integrate > 1`` scores the non-coherently-integrated detector:
+    one decision per N-frame group against the group's LAST frame's
+    truth cell (the target must hold its cell across the group — the
+    integration assumption itself).
 
     A frame scores as detected when any VALID output detection lands
     within ``tol_bins`` (doppler, range) of the ground-truth cell.
@@ -133,14 +150,21 @@ def pd_curve(
             frames + 1, cfg, noise_std=noise_std, seed=seed + 17 * i,
         )
         base = pipe.prepare_base(jnp.asarray(cap[0]))
-        out = pipe.detect(jnp.asarray(cap[1:]), base)
+        if n_integrate > 1:
+            out = pipe.detect_integrated(jnp.asarray(cap[1:]), base,
+                                         n_integrate)
+            d_t = d_true[n_integrate - 1 :: n_integrate]
+            r_t = r_true[n_integrate - 1 :: n_integrate]
+        else:
+            out = pipe.detect(jnp.asarray(cap[1:]), base)
+            d_t, r_t = d_true, r_true
         valid = np.asarray(out.valid)
         d_bin = np.asarray(out.doppler_bin)
         r_bin = np.asarray(out.range_bin)
         ok = (
             valid
-            & (np.abs(d_bin - d_true[:, None]) <= tol_bins[0])
-            & (np.abs(r_bin - r_true[:, None]) <= tol_bins[1])
+            & (np.abs(d_bin - d_t[:, None]) <= tol_bins[0])
+            & (np.abs(r_bin - r_t[:, None]) <= tol_bins[1])
         )
         points.append(EvalPoint(
             amplitude=float(amp),

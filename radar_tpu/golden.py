@@ -564,12 +564,46 @@ def range_azimuth_map(
     return (s.real * s.real + s.imag * s.imag).sum(axis=-2)
 
 
+def ca_cfar_alpha_integrated(n_train: int, pfa: float, n_pulses: int) -> float:
+    """CA-CFAR threshold ratio t for N-pulse NON-COHERENTLY INTEGRATED
+    maps (float64 golden twin of ``ops.cfar.cfar_alpha`` at
+    ``n_pulses > 1``): cells Erlang-N, training sum Gamma(n*N),
+
+        Pfa(t) = sum_{k=0}^{N-1} C(nN+k-1, k) t^k / (1+t)^{nN+k},
+
+    solved by bisection; threshold = t * training_sum.  Reduces to the
+    exponential closed form ``t = pfa^{-1/n} - 1`` at N = 1."""
+    from math import exp, lgamma, log, log1p
+
+    if n_pulses <= 1:
+        return pfa ** (-1.0 / n_train) - 1.0
+    nn = n_train * n_pulses
+
+    def pfa_of(t: float) -> float:
+        lt, l1t = log(t), log1p(t)
+        return sum(
+            exp(lgamma(nn + k) - lgamma(k + 1) - lgamma(nn)
+                + k * lt - (nn + k) * l1t)
+            for k in range(n_pulses)
+        )
+
+    lo, hi = 1e-9, 10.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if pfa_of(mid) > pfa:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
 def ca_cfar_2d(
     power: np.ndarray,
     guard: tuple[int, int],
     train: tuple[int, int],
     pfa: float,
     range_mode: str = "reflect",
+    n_pulses: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """2D cell-averaging CFAR on a power map.
 
@@ -580,6 +614,9 @@ def ca_cfar_2d(
       range_mode: edge handling on the range axis — 'reflect' (default;
         range is not circular, so a strong target near bin 0 must not
         inflate the noise estimate at the far edge) or 'wrap'.
+      n_pulses: non-coherent integration depth the map was summed over
+        (> 1 switches to the Erlang-matched alpha,
+        :func:`ca_cfar_alpha_integrated`).
 
     Returns:
       (detections bool map, threshold map).  The Doppler axis always uses
@@ -590,7 +627,7 @@ def ca_cfar_2d(
     td, tr = train
     wd, wr = gd + td, gr + tr
     n_train = (2 * wd + 1) * (2 * wr + 1) - (2 * gd + 1) * (2 * gr + 1)
-    alpha = n_train * (pfa ** (-1.0 / n_train) - 1.0)
+    alpha = n_train * ca_cfar_alpha_integrated(n_train, pfa, n_pulses)
 
     def window_sum(p: np.ndarray, hd: int, hr: int) -> np.ndarray:
         lead = [(0, 0)] * (p.ndim - 2)

@@ -440,9 +440,10 @@ class RDPipeline:
             return "pallas" if jax.default_backend() == "tpu" else "xla"
         return self.topk_impl
 
-    def _cfar(self, power, hits_only=False):
+    def _cfar(self, power, hits_only=False, cfg=None):
         from radar_tpu.ops.cfar import cfar_detect
 
+        cfg = self.cfg if cfg is None else cfg
         impl = self.cfar_impl
         if impl == "auto":
             # measured on v5e (round 3): the band-matrix CA kernel beats
@@ -458,7 +459,7 @@ class RDPipeline:
         )
         if impl == "pallas-interpret":
             impl = "pallas"
-        return cfar_detect(power, self.cfg, impl, interpret=interpret,
+        return cfar_detect(power, cfg, impl, interpret=interpret,
                            hits_only=hits_only)
 
     # -- base frame --------------------------------------------------------
@@ -639,6 +640,99 @@ class RDPipeline:
         )
         return out, clusters
 
+    @partial(jax.jit, static_argnums=(0, 3))
+    def detect_integrated(
+        self,
+        shorts: jnp.ndarray,
+        base_cube: jnp.ndarray | None = None,
+        n_integrate: int = 2,
+    ) -> RDResult:
+        """Non-coherent integration: sum ``n_integrate`` consecutive
+        frames' RD power maps, then CFAR + detection on the summed map.
+
+        The classic low-SNR Pd lever: a target steady within its RD cell
+        over N frames integrates linearly in power while the noise
+        fluctuation around its (also-scaled) mean shrinks like 1/sqrt(N),
+        so weak targets climb out of the CFAR threshold band.  For
+        ``cfar_kind='ca'`` the threshold is INTEGRATION-MATCHED — the
+        alpha is re-solved for Erlang-N cells
+        (``ops.cfar.cfar_alpha(n_pulses=N)``); without that the gain is
+        mostly thrown away (the single-pulse alpha holds a deterministic
+        gap above the N-scaled noise mean that variance averaging cannot
+        cross — measured Pd 0.28 -> 0.38 at the knee vs -> 1.0 matched).
+        'goca'/'soca'/'os' keep their single-pulse alphas: realized Pfa
+        under integration comes out BELOW configured (lighter-tailed
+        Erlang cells) and Pd gains stay partial;
+        ``cli eval --integrate`` measures both.
+
+        Pair integration with a FRESH-NOISE clutter mode ('mean', 'mti2'/
+        'mti3', or no clutter removal) — measured finding: under
+        base-frame subtraction every frame carries the SAME base-noise
+        realization, which integrates coherently (N^2 * |N0|^2 vs
+        N * sigma^2 for the fresh noise), so the summed map is dominated
+        by one un-averaged noise realization and Pd can come out BELOW
+        single-frame (observed 0.25 -> 0.0 at the Pd knee on the default
+        geometry).  The fix is structural, not a bug: re-using one
+        empty-scene frame (the reference's own design,
+        cudaBenchMarking.cpp:242-250) is exactly what NCI's variance
+        averaging cannot forgive.
+
+        AoA snapshots are gathered from each group's LAST frame (targets
+        must hold their cell across the group — the same assumption the
+        integration itself makes).  Returns one :class:`RDResult` row
+        per group (``B // n_integrate`` results); ``B`` must divide.
+
+        Reference contrast: the reference detects on single 16K spectra
+        (acceleration.cu:522) and has no multi-frame integration.
+        """
+        cfg = self.cfg
+        n = int(n_integrate)
+        if n < 1:
+            raise ValueError(f"n_integrate must be >= 1, got {n}")
+        b = shorts.shape[0]
+        if b % n:
+            raise ValueError(
+                f"batch of {b} frames does not divide into groups of "
+                f"{n}; pass a multiple (cli detect --integrate trims)"
+            )
+        impl = self._resolve_rd_impl()
+        if impl in ("mega", "mega-interpret"):
+            impl = "mega-maps" + impl[len("mega"):]
+        power, _, _ = self._maps(shorts, base_cube, impl, want_hits=False)
+        p_int = power.reshape((b // n, n) + power.shape[1:]).sum(axis=1)
+        # integration-matched threshold: Erlang-N cells need their own
+        # alpha (ops.cfar.cfar_alpha n_pulses) or the gain is thrown away
+        import dataclasses
+
+        # compose with any user-set pulse count (e.g. cfar_n_pulses =
+        # num_virtual_rx to also match the per-frame RX power sum)
+        cfg_int = dataclasses.replace(
+            cfg, cfar_n_pulses=n * cfg.cfar_n_pulses
+        )
+        hits = self._cfar(p_int, hits_only=True, cfg=cfg_int)[0]
+        # snapshots from each group's last frame: for the mega impl the
+        # snaps_fn recomputes from raw (cheap per-detection contractions —
+        # no front-end rerun); plane impls re-run theirs on the 1/n subset
+        last = shorts.reshape((b // n, n) + shorts.shape[1:])[:, -1]
+        if impl in ("mega-maps", "mega-maps-interpret"):
+            from radar_tpu.ops.pallas.megakernel import snapshots_from_shorts
+
+            base = base_cube if self.use_base_frame else None
+            snaps_fn = lambda top_idx: snapshots_from_shorts(  # noqa: E731
+                last, base, top_idx, cfg
+            )
+        else:
+            _, _, snaps_fn = self._maps(last, base_cube, impl,
+                                        want_hits=False)
+        return assemble_result(
+            p_int,
+            snaps_fn,
+            hits,
+            self.max_detections,
+            cfg,
+            topk_impl=self._topk_impl(),
+        )
+
     # -- streaming ingest: donated input buffer ------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def detect_donated(
@@ -712,14 +806,17 @@ class RDPipeline:
             topk_impl=self._topk_impl(),
         )
 
-    def _maps(self, shorts, base_cube, impl):
+    def _maps(self, shorts, base_cube, impl, want_hits=True):
         """Run the selected RD front-end up to its (power, hits) maps.
 
         Returns ``(power, hits, snaps_fn)`` where ``snaps_fn(top_idx)``
         gathers the per-detection complex virtual-RX snapshots.  Every
         maps-producing impl routes through here ('mega'/'mega-interpret'
         reaching this method means the fused detect kernel did not
-        apply, so they behave as 'mega-maps')."""
+        apply, so they behave as 'mega-maps').  ``want_hits=False``
+        skips per-frame CFAR and returns ``hits=None`` — the
+        non-coherent-integration path runs CFAR on the SUMMED maps
+        instead (:meth:`detect_integrated`)."""
         cfg = self.cfg
         base = base_cube if self.use_base_frame else None
         if impl in ("mega", "mega-interpret", "mega-maps",
@@ -736,7 +833,7 @@ class RDPipeline:
             )
             # unsupported geometries raise inside _mega_call (one gate
             # for every entry point); 'auto' never reaches here for them
-            if (cfg.cfar_kind in ("ca", "goca", "soca")
+            if (want_hits and cfg.cfar_kind in ("ca", "goca", "soca")
                     and self.cfar_impl == "auto"):
                 power, thresh = power_cfar_from_shorts_pallas(
                     shorts, base, cfg, interpret=interpret
@@ -746,7 +843,8 @@ class RDPipeline:
                 power = power_from_shorts_pallas(
                     shorts, base, cfg, interpret=interpret
                 )
-                hits, _ = self._cfar(power, hits_only=True)
+                hits = (self._cfar(power, hits_only=True)[0]
+                        if want_hits else None)
             return power, hits, lambda top_idx: snapshots_from_shorts(
                 shorts, base, top_idx, cfg
             )
@@ -776,12 +874,12 @@ class RDPipeline:
                 im = virtualize_cube(im, cfg)
                 dr, di = range_doppler_planes(re, im, cfg)  # (B, rx, D, R)
             power = jnp.sum(dr * dr + di * di, axis=-3)
-            hits, _ = self._cfar(power, hits_only=True)
+            hits = self._cfar(power, hits_only=True)[0] if want_hits else None
             return power, hits, lambda top_idx: jax.lax.complex(
                 gather_snapshots(dr, top_idx), gather_snapshots(di, top_idx)
             )
         # complex-cube path ('fft', the CPU auto default)
         rd = self.rd_cube(shorts, base_cube)  # (B, rx, D, R)
         power = integrate_power(rd)
-        hits, _ = self._cfar(power, hits_only=True)
+        hits = self._cfar(power, hits_only=True)[0] if want_hits else None
         return power, hits, lambda top_idx: gather_snapshots(rd, top_idx)

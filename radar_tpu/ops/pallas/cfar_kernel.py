@@ -193,7 +193,8 @@ def ca_cfar_2d_pallas(
     power: f32 (..., D, R), finite and below bf16 max (~3.39e38) — the
     split-scheme products overflow past that (see ``split3``); RD power
     maps are orders of magnitude inside the bound."""
-    alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa)
+    alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train,
+                                cfg.cfar_pfa, cfg.cfar_n_pulses)
 
     lead = power.shape[:-2]
     d, r = power.shape[-2], power.shape[-1]

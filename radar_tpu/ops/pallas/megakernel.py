@@ -546,7 +546,7 @@ def _cfar_kind_consts(cfg, d_size, r_true, rp):
 
     if cfg.cfar_kind == "ca":
         alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train,
-                                    cfg.cfar_pfa)
+                                    cfg.cfar_pfa, cfg.cfar_n_pulses)
         return (_padded_band_matrices(cfg, d_size, r_true, rp),
                 float(alpha / n_train))
     if cfg.cfar_kind not in ("goca", "soca"):

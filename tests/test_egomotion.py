@@ -1,5 +1,7 @@
 """Ego-motion estimation: golden/jnp parity, robustness, end-to-end."""
 
+import json
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -155,8 +157,6 @@ def test_end_to_end_capture(cfg):
 
 
 def test_cli_detect_ego(tmp_path, cfg):
-    import json
-
     from radar_tpu import cli
     from radar_tpu.io.capture import write_capture
 
@@ -191,3 +191,35 @@ def test_cli_detect_ego_requires_full(tmp_path, cfg):
     path = tmp_path / "c.bin"
     write_capture(str(path), np.asarray(cap))
     assert cli.main(["detect", str(path), "--ego"]) == 2
+
+
+def test_cli_track_ego_drops_static_world(tmp_path, cfg, capsys):
+    """Moving-platform tracking: without --ego the static world confirms
+    tracks; with it only the genuine mover tracks."""
+    from radar_tpu import cli
+    from radar_tpu.io.capture import write_capture
+
+    tgts = static_scene_targets(
+        V_EGO, ranges_m=[3.0, 5.5, 8.0, 4.5],
+        azimuths_deg=[-35.0, -15.0, 20.0, 45.0], amplitude=2500.0)
+    tgts.append(SceneTarget(range_m=7.0, velocity_mps=4.0,
+                            azimuth_deg=0.0, amplitude=2500.0))
+    cap = synthesize_capture(tgts, 8, cfg, noise_std=5.0, seed=11)
+    path = tmp_path / "drive.bin"
+    write_capture(str(path), np.asarray(cap))
+
+    rc = cli.main(["track", str(path)])
+    assert rc in (0, None)
+    base_tracks = [json.loads(l) for l in
+                   capsys.readouterr().out.splitlines() if l.strip()]
+    rc = cli.main(["track", str(path), "--ego"])
+    assert rc in (0, None)
+    ego_tracks = [json.loads(l) for l in
+                  capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(base_tracks) >= 4  # static world confirms tracks
+    assert len(ego_tracks) == 1   # only the mover survives the ego gate
+    t = ego_tracks[0]
+    assert abs(t["range_m"] - 7.0) < 1.0
+    # ground-frame radial velocity = sensor 4.0 + ego projection at az 0
+    assert abs(t["velocity_ground_mps"] - (4.0 + V_EGO[1])) < 0.5
+

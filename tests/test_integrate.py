@@ -1,0 +1,124 @@
+"""Non-coherent integration: golden parity, Pd gain, CLI."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from radar_tpu import golden
+from radar_tpu.config import RadarConfig
+from radar_tpu.io.capture import write_capture
+from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+from radar_tpu.models.rd_pipeline import RDPipeline
+
+
+def test_integrated_map_matches_golden_sum(cfg):
+    """The pipeline's integrated detection == golden per-frame RD maps
+    summed + golden CFAR on the sum (bin-level)."""
+    tgt = SceneTarget(range_m=5.0, velocity_mps=2.0, azimuth_deg=10.0,
+                      amplitude=1500.0)
+    cap = synthesize_capture([tgt], 9, cfg, noise_std=10.0, seed=3)
+    pipe = RDPipeline(cfg, max_detections=16)
+    base = pipe.prepare_base(cap[0])
+    out = pipe.detect_integrated(jnp.asarray(cap[1:]), base, 4)
+    assert out.valid.shape[0] == 2  # 8 frames -> 2 groups
+
+    from radar_tpu.io.capture import decode_frame
+
+    base_g = decode_frame(cap[0], cfg)
+    maps = np.stack([
+        np.sum(np.abs(golden.range_doppler_map(
+            golden.virtual_cube(decode_frame(cap[1 + f], cfg) - base_g,
+                                cfg), cfg)) ** 2, axis=-3)
+        for f in range(8)
+    ])
+    p_sum = maps.reshape(2, 4, *maps.shape[1:]).sum(axis=1)
+    hits_g, _ = golden.ca_cfar_2d(p_sum, cfg.cfar_guard, cfg.cfar_train,
+                                  cfg.cfar_pfa, cfg.cfar_range_mode,
+                                  n_pulses=4)
+    d = np.asarray(out.doppler_bin)
+    r = np.asarray(out.range_bin)
+    valid = np.asarray(out.valid)
+    for g in range(2):
+        for k in range(valid.shape[1]):
+            if valid[g, k]:
+                assert hits_g[g, d[g, k], r[g, k]], (g, k)
+    # the target cell is detected in both groups
+    for g in range(2):
+        assert valid[g, 0]
+
+
+def test_integration_improves_pd():
+    """A target invisible to single-frame CFAR becomes certain after
+    4-frame integration (the whole point of NCI).  MTI clutter mode:
+    under base-frame subtraction every frame carries the SAME base-noise
+    realization, which integrates coherently and kills the gain (the
+    measured finding in ``detect_integrated``'s docstring)."""
+    from radar_tpu.evaluate import pd_curve
+
+    cfg = RadarConfig(clutter_mode="mti2")
+    kw = dict(cfg=cfg, amplitudes=(1.0,), frames=16, noise_std=20.0,
+              range_m=6.0, velocity_mps=2.0, seed=1)
+    single = pd_curve(**kw)[0].pd
+    integ = pd_curve(**kw, n_integrate=4)[0].pd
+    assert single < 0.3, f"amplitude not weak enough (single Pd {single})"
+    assert integ == 1.0, f"integrated Pd {integ} (single {single})"
+
+
+def test_integrated_alpha_matches_golden():
+    """ops.cfar.cfar_alpha(n_pulses=N) == golden bisection; reduces to
+    the closed form at N=1; alpha-per-pulse decreases with N (the
+    integration gain the matched threshold harvests)."""
+    from radar_tpu.ops.cfar import cfar_alpha
+
+    a1, n_train = cfar_alpha((2, 2), (4, 8), 1e-4)
+    assert a1 == n_train * (1e-4 ** (-1.0 / n_train) - 1.0)
+    prev = a1
+    for n_p in (2, 4, 8):
+        a, _ = cfar_alpha((2, 2), (4, 8), 1e-4, n_pulses=n_p)
+        t_g = golden.ca_cfar_alpha_integrated(n_train, 1e-4, n_p)
+        np.testing.assert_allclose(a / n_train, t_g, rtol=1e-9)
+        # threshold relative to the n_p-scaled noise mean must drop
+        assert a / n_p < prev
+        prev = a
+
+
+def test_integrated_pfa_bounded(cfg):
+    """Realized Pfa under matched-alpha integration stays at or below
+    the configured value (windowing correlates neighboring cells, which
+    only reduces false alarms)."""
+    from radar_tpu.evaluate import measure_pfa
+
+    m = measure_pfa(cfg, frames=16, noise_std=20.0, seed=0, n_integrate=4)
+    assert m["pfa_measured"] <= 1.5 * m["pfa_configured"]
+
+
+def test_bad_group_size_raises(cfg):
+    cap = synthesize_capture([SceneTarget(range_m=4.0)], 6, cfg, seed=0)
+    pipe = RDPipeline(cfg, max_detections=8)
+    base = pipe.prepare_base(cap[0])
+    with pytest.raises(ValueError, match="does not divide"):
+        pipe.detect_integrated(jnp.asarray(cap[1:]), base, 4)
+
+
+def test_cli_detect_integrate(tmp_path, cfg):
+    from radar_tpu import cli
+
+    tgt = SceneTarget(range_m=5.0, velocity_mps=1.0, azimuth_deg=-10.0,
+                      amplitude=2000.0)
+    cap = synthesize_capture([tgt], 10, cfg, noise_std=10.0, seed=5)
+    path = tmp_path / "c.bin"
+    write_capture(str(path), np.asarray(cap))
+    out = tmp_path / "d.jsonl"
+    # 9 frames past base, N=4 -> trims 1, two groups
+    rc = cli.main(["detect", str(path), "--out", str(out), "--full",
+                   "--integrate", "4"])
+    assert rc == 0
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["frame"] for r in recs] == [4, 8]
+    assert all(r["detections"] for r in recs)
+    # incompatible-flag and missing --full guards
+    assert cli.main(["detect", str(path), "--integrate", "4"]) == 2
+    assert cli.main(["detect", str(path), "--full", "--integrate", "4",
+                     "--cluster"]) == 2
