@@ -302,6 +302,33 @@ void radar_range_doppler(const double* in_re, const double* in_im,
   }
 }
 
+double radar_ca_cfar_alpha_integrated(int n_train, double pfa,
+                                      int n_pulses) {
+  // Erlang-N cell / Gamma(n*N) training-sum CA-CFAR Pfa; bisection in
+  // [1e-9, 10] (200 iterations) exactly as the Python golden twin.
+  if (n_pulses <= 1) return std::pow(pfa, -1.0 / n_train) - 1.0;
+  const double nn = (double)n_train * n_pulses;
+  auto pfa_of = [&](double t) {
+    const double lt = std::log(t), l1t = std::log1p(t);
+    double s = 0.0;
+    for (int k = 0; k < n_pulses; ++k) {
+      s += std::exp(std::lgamma(nn + k) - std::lgamma(k + 1.0) -
+                    std::lgamma(nn) + k * lt - (nn + k) * l1t);
+    }
+    return s;
+  };
+  double lo = 1e-9, hi = 10.0;
+  for (int it = 0; it < 200; ++it) {
+    const double mid = 0.5 * (lo + hi);
+    if (pfa_of(mid) > pfa) {
+      lo = mid;
+    } else {
+      hi = mid;
+    }
+  }
+  return 0.5 * (lo + hi);
+}
+
 void radar_ca_cfar(const double* power, int d, int r, int guard_d,
                    int guard_r, int train_d, int train_r, double pfa,
                    int range_mode, double* threshold, uint8_t* hits) {

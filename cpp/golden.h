@@ -92,6 +92,14 @@ void radar_ca_cfar(const double* power, int d, int r, int guard_d,
                    int guard_r, int train_d, int train_r, double pfa,
                    int range_mode, double* threshold, uint8_t* hits);
 
+// CA-CFAR threshold RATIO t (threshold = t * training_sum) for N-pulse
+// non-coherently integrated maps: cells Erlang-N, training sum
+// Gamma(n*N), Pfa(t) = sum_{k<N} C(nN+k-1,k) t^k (1+t)^-(nN+k); reduces
+// to pfa^{-1/n}-1 at N=1.  Matches radar_tpu.golden
+// .ca_cfar_alpha_integrated (same bisection, double precision).
+double radar_ca_cfar_alpha_integrated(int n_train, double pfa,
+                                      int n_pulses);
+
 // Ordered-statistic CFAR: threshold = alpha * k-th smallest training cell,
 // k = round(k_frac * n_train); alpha from Rohling's exponential-noise Pfa
 // (radar_os_cfar_alpha).  Same window geometry / edge conventions as

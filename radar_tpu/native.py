@@ -132,6 +132,10 @@ def load() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_double, ctypes.c_int,
         ]
         lib.radar_go_so_cfar_alpha.restype = ctypes.c_double
+        lib.radar_ca_cfar_alpha_integrated.argtypes = [
+            ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        ]
+        lib.radar_ca_cfar_alpha_integrated.restype = ctypes.c_double
         _lib = lib
     return _lib
 
@@ -284,6 +288,16 @@ def os_cfar_2d(
         hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
     )
     return hits.astype(bool), thresh
+
+
+def ca_cfar_alpha_integrated(
+    n_train: int, pfa: float, n_pulses: int
+) -> float:
+    """Native Erlang-matched CA-CFAR threshold ratio (twin of
+    golden.ca_cfar_alpha_integrated — same bisection in double)."""
+    return float(load().radar_ca_cfar_alpha_integrated(
+        int(n_train), float(pfa), int(n_pulses)
+    ))
 
 
 def go_so_cfar_2d(

@@ -177,3 +177,17 @@ def test_native_go_so_alpha_matches_python():
             a_py = go_so_cfar_alpha(n, pfa, kind)
             a_c = lib.radar_go_so_cfar_alpha(n, pfa, ki)
             assert abs(a_c - a_py) / a_py < 1e-9, (n, pfa, kind)
+
+
+def test_native_integrated_alpha_matches_golden():
+    from radar_tpu import golden, native
+
+    for n_p in (1, 2, 4, 8):
+        t_c = native.ca_cfar_alpha_integrated(104, 1e-4, n_p)
+        t_g = golden.ca_cfar_alpha_integrated(104, 1e-4, n_p)
+        # libm lgamma ULP differences flip late bisection branches, so
+        # the twins agree to the bisection width, not bit-for-bit
+        assert abs(t_c - t_g) <= 1e-10 * t_g, (n_p, t_c, t_g)
+    # N = 1 takes the closed form in both: exact
+    assert (native.ca_cfar_alpha_integrated(104, 1e-4, 1)
+            == golden.ca_cfar_alpha_integrated(104, 1e-4, 1))
