@@ -1323,6 +1323,72 @@ def cmd_azmap(args) -> int:
     return 0
 
 
+def cmd_admap(args) -> int:
+    """Angle-Doppler heatmap at a range gate (movers separate by
+    velocity AND bearing)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from radar_tpu.golden import angle_bin_to_deg
+    from radar_tpu.io.capture import read_capture
+    from radar_tpu.ops.aoa import angle_doppler_from_shorts
+    from radar_tpu.ops.decode import decode_to_cube
+    from radar_tpu.ops.mdoppler import auto_range_bin
+
+    cfg = _build_cfg(args)
+    capture = read_capture(args.path, cfg)
+    if len(capture) < 2:
+        print("error: capture needs a base frame + at least one frame",
+              file=sys.stderr)
+        return 2
+    frames = capture[1:]
+    if args.frame is not None:
+        if not 1 <= args.frame < len(capture):
+            print(f"error: --frame must be in [1, {len(capture) - 1}]",
+                  file=sys.stderr)
+            return 2
+        frames = capture[args.frame : args.frame + 1]
+    base_cube = decode_to_cube(jnp.asarray(capture[0]), cfg)
+    gate = args.range_bin
+    if gate is None:
+        gate = auto_range_bin(jnp.asarray(frames), base_cube, cfg)
+    elif not 0 <= gate < cfg.range_fft_size:
+        print(f"error: --range-bin must be in [0, {cfg.range_fft_size})",
+              file=sys.stderr)
+        return 2
+    pmaps = np.asarray(angle_doppler_from_shorts(
+        jnp.asarray(frames), base_cube, cfg, range_bin=int(gate)))
+    pmap = pmaps.mean(axis=0)     # noncoherent integration over frames
+    d_bin, a_bin = np.unravel_index(np.argmax(pmap), pmap.shape)
+    d = cfg.doppler_fft_size
+    peak_v = ((int(d_bin) - d // 2) / (d * cfg.slow_time_interval_s)
+              * cfg.wavelength_m / 2.0)
+    print(json.dumps({
+        "event": "angle_doppler",
+        "range_bin": int(gate),
+        "range_m": round(float(gate) * (cfg.sample_rate_hz
+                         / cfg.range_fft_size) * 3.0e8
+                         / (2.0 * cfg.slope_hz_per_s), 3),
+        "frames": int(pmaps.shape[0]),
+        "doppler_bins": int(pmap.shape[0]),
+        "angle_bins": int(pmap.shape[1]),
+        "peak_velocity_mps": round(float(peak_v), 4),
+        "peak_azimuth_deg": round(
+            float(angle_bin_to_deg(a_bin, pmap.shape[1], cfg)), 3),
+    }))
+    if args.out:
+        np.save(args.out, pmap)
+        print(f"wrote {pmap.shape} angle-doppler map to {args.out}",
+              file=sys.stderr)
+    if args.plot:
+        from radar_tpu.viz import plot_angle_doppler
+
+        plot_angle_doppler(pmap, cfg, path=args.plot)
+        print(f"wrote plot to {args.plot}", file=sys.stderr)
+    return 0
+
+
 def cmd_verify(args) -> int:
     """TPU pipeline vs float64 golden, frame by frame — the promoted
     version of the reference's disabled verification loop
@@ -1631,6 +1697,33 @@ def main(argv=None) -> int:
                     choices=["hann", "hamming", "blackman",
                              "blackmanharris", "rect"])
     az.set_defaults(fn=cmd_azmap)
+
+    ad = sub.add_parser(
+        "admap",
+        help="angle-Doppler heatmap at a range gate (movers separate by "
+             "velocity AND bearing; .npy out + PNG plot)",
+    )
+    ad.add_argument("path")
+    ad.add_argument("--frame", type=int, default=None,
+                    help="single capture frame (default: average over "
+                         "all frames)")
+    ad.add_argument("--range-bin", type=int, default=None,
+                    help="range gate (default: strongest bin over the "
+                         "capture)")
+    ad.add_argument("--out", default=None,
+                    help="write the (doppler_fft, angle_bins) map as .npy")
+    ad.add_argument("--plot", default=None,
+                    help="write an azimuth x velocity PNG")
+    ad.add_argument("--num-tx", type=int, default=None,
+                    help="TDM-MIMO TX count")
+    ad.add_argument("--cal", default=None, metavar="CAL.json",
+                    help="apply per-channel calibration corrections")
+    ad.add_argument("--dft-precision", default=None,
+                    choices=["high", "highest", "default"])
+    ad.add_argument("--window-kind", default=None,
+                    choices=["hann", "hamming", "blackman",
+                             "blackmanharris", "rect"])
+    ad.set_defaults(fn=cmd_admap)
 
     st = sub.add_parser(
         "selftest",

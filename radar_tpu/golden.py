@@ -564,6 +564,43 @@ def range_azimuth_map(
     return (s.real * s.real + s.imag * s.imag).sum(axis=-2)
 
 
+def angle_doppler_map(
+    frames_shorts: np.ndarray,
+    base_cube: np.ndarray | None,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    range_bin: int | None = None,
+    window: bool | str = True,
+) -> tuple[np.ndarray, int]:
+    """Angle-Doppler power map at one range gate (float64 golden).
+
+    The third classic scene product (with the RD map and the
+    range-azimuth map): at a range gate, beamform each Doppler bin's
+    virtual-array snapshot — movers separate by BOTH their radial
+    velocity and their bearing, so two targets that collide in the
+    range-azimuth view split here.  Per-Doppler-row TDM compensation
+    and calibration as in :func:`range_azimuth_map`.
+
+    Args:
+      range_bin: gate, or None for the strongest gate (argmax of total
+        RD power over the range axis).
+
+    Returns:
+      (power float64 (..., doppler_fft, num_angle_bins), gate used);
+      angle axis fftshifted (:func:`angle_bin_to_deg`).
+    """
+    rd = _compensated_rd_map(frames_shorts, base_cube, cfg, window)
+    if range_bin is None:
+        p_r = (rd.real**2 + rd.imag**2).sum(
+            axis=tuple(range(rd.ndim - 1))
+        )
+        range_bin = int(np.argmax(p_r))
+    a = cfg.num_angle_bins
+    v = min(cfg.num_virtual_rx, a)
+    snap = np.moveaxis(rd[..., :v, :, range_bin], -2, -1)  # (..., D, v)
+    spec = angle_fft(snap, a, cfg)
+    return (spec.real**2 + spec.imag**2), range_bin
+
+
 def ca_cfar_alpha_integrated(n_train: int, pfa: float, n_pulses: int) -> float:
     """CA-CFAR threshold ratio t for N-pulse NON-COHERENTLY INTEGRATED
     maps (float64 golden twin of ``ops.cfar.cfar_alpha`` at

@@ -19,6 +19,7 @@ from radar_tpu.ops.aoa import (
     music_spectrum,
     angle_bins_deg,
     range_azimuth_capon_from_shorts,
+    angle_doppler_from_shorts,
     range_azimuth_from_shorts,
 )
 from radar_tpu.ops.mdoppler import (

@@ -342,6 +342,47 @@ def range_azimuth_from_shorts(
     si = ein(wr, ci[..., :v, :, :]) + ein(wi, cr[..., :v, :, :])
     return (sr * sr + si * si).sum(axis=-2)
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "range_bin", "window")
+)
+def angle_doppler_from_shorts(
+    shorts: jnp.ndarray,
+    base_cube: jnp.ndarray | None,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    range_bin: int = 0,
+    window: bool = True,
+) -> jnp.ndarray:
+    """Raw int16 frames -> angle-Doppler power map at one range gate.
+
+    The third scene product (with the RD map and the range-azimuth map):
+    movers separate by velocity AND bearing, so targets that collide in
+    the range-azimuth view split here.  Same fused front-end,
+    per-Doppler-row TDM compensation and calibration fold as
+    :func:`range_azimuth_from_shorts`; the gate slice makes the angle
+    DFT a tiny (D, v) x (v, A) contraction per frame.  float64 twin:
+    ``golden.angle_doppler_map``.  Resolve an 'auto' gate with
+    ``ops.mdoppler.auto_range_bin`` (a concrete int — static here).
+
+    Returns:
+      float32 (..., doppler_fft, num_angle_bins), angle axis fftshifted.
+    """
+    from radar_tpu.ops.dftmat import resolve_precision
+
+    cr, ci = _tdm_compensated_rd(shorts, base_cube, cfg, window)
+    a = cfg.num_angle_bins
+    v = min(cfg.num_virtual_rx, a)
+    w = _angle_dft_rows(v, a)                               # (v, A) c64
+    wr = jnp.asarray(np.real(w))
+    wi = jnp.asarray(np.imag(w))
+    prec = resolve_precision(cfg.dft_precision)
+    xr = cr[..., :v, :, range_bin]                          # (..., v, D)
+    xi = ci[..., :v, :, range_bin]
+    ein = functools.partial(jnp.einsum, "...vd,va->...da", precision=prec)
+    sr = ein(xr, wr) - ein(xi, wi)
+    si = ein(xr, wi) + ein(xi, wr)
+    return sr * sr + si * si
+
+
 def _tdm_compensated_rd(shorts, base_cube, cfg, window):
     """(..., V', D, R) planar RD planes with the per-Doppler-row TDM
     MIMO time-offset compensation applied (the per-detection

@@ -216,6 +216,37 @@ def plot_range_azimuth(
     return fig
 
 
+def plot_angle_doppler(
+    pmap,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    path: str | None = None,
+    db: bool = True,
+):
+    """Angle-Doppler heatmap at a range gate with physical axes.
+
+    ``pmap`` is the (doppler_fft, num_angle_bins) power from
+    ``ops.aoa.angle_doppler_from_shorts`` (both axes fftshifted; the
+    sin-space angle bins map nonuniformly to degrees, so pcolormesh with
+    the true per-bin coordinates, like :func:`plot_range_azimuth`)."""
+    from radar_tpu.golden import angle_bin_to_deg
+
+    p = np.asarray(pmap, np.float64)
+    d, a = p.shape
+    img = 10.0 * np.log10(np.maximum(p, p.max() * 1e-8)) if db else p
+    deg = angle_bin_to_deg(np.arange(a), a, cfg)
+    v_max = cfg.wavelength_m / (4.0 * cfg.slow_time_interval_s)
+    vel = (np.arange(d) - d // 2) * (2.0 * v_max / d)
+    fig, ax = plt.subplots(figsize=(7, 4.6), constrained_layout=True)
+    im = ax.pcolormesh(deg, vel, img, cmap="magma", shading="nearest")
+    fig.colorbar(im, ax=ax, label="power (dB)" if db else "power")
+    ax.set_xlabel("azimuth (deg)")
+    ax.set_ylabel("radial velocity (m/s)")
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
 def plot_point_cloud(
     rows,
     cfg: RadarConfig = DEFAULT_CONFIG,
