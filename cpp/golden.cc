@@ -331,11 +331,13 @@ double radar_ca_cfar_alpha_integrated(int n_train, double pfa,
 
 void radar_ca_cfar(const double* power, int d, int r, int guard_d,
                    int guard_r, int train_d, int train_r, double pfa,
-                   int range_mode, double* threshold, uint8_t* hits) {
+                   int n_pulses, int range_mode, double* threshold,
+                   uint8_t* hits) {
   const int wd = guard_d + train_d, wr = guard_r + train_r;
   const int n_train =
       (2 * wd + 1) * (2 * wr + 1) - (2 * guard_d + 1) * (2 * guard_r + 1);
-  const double alpha = n_train * (std::pow(pfa, -1.0 / n_train) - 1.0);
+  const double alpha =
+      n_train * radar_ca_cfar_alpha_integrated(n_train, pfa, n_pulses);
 
   // separable box sums: Doppler circular, range wrap or reflect (numpy
   // 'reflect': edge sample not repeated) — same convention as the TPU

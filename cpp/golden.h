@@ -88,9 +88,13 @@ void radar_range_doppler(const double* in_re, const double* in_im,
 // axis wraps, range axis per range_mode (0 = wrap, 1 = reflect — range is
 // not circular).  power: (d, r) row-major; outputs threshold (d, r) and
 // hit flags (0/1).
+// n_pulses: non-coherent integration depth the alpha is solved for
+// (1 = exponential closed form; N > 1 = Erlang-matched, see
+// radar_ca_cfar_alpha_integrated).
 void radar_ca_cfar(const double* power, int d, int r, int guard_d,
                    int guard_r, int train_d, int train_r, double pfa,
-                   int range_mode, double* threshold, uint8_t* hits);
+                   int n_pulses, int range_mode, double* threshold,
+                   uint8_t* hits);
 
 // CA-CFAR threshold RATIO t (threshold = t * training_sum) for N-pulse
 // non-coherently integrated maps: cells Erlang-N, training sum

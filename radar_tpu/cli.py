@@ -19,7 +19,7 @@ from collections import deque
 
 import numpy as np
 
-from radar_tpu.config import RadarConfig
+from radar_tpu.config import LIGHT_SPEED, RadarConfig
 
 
 def _build_cfg(args) -> RadarConfig:
@@ -42,6 +42,35 @@ def _build_cfg(args) -> RadarConfig:
 
         with open(cal_path) as f:
             doc = json.load(f)
+        # cross-check the geometry the calibration was ESTIMATED under —
+        # a length-only check would silently accept a correction whose
+        # embedded steering reference belongs to a different array
+        want_tx = kw.get("num_tx", 1)
+        for field, have in (("num_rx", RadarConfig().num_rx),
+                            ("num_tx", want_tx)):
+            rec = doc.get(field)
+            if rec is not None and int(rec) != int(have):
+                raise ValueError(
+                    f"calibration file {cal_path} was estimated at "
+                    f"{field}={rec}, but this run uses {field}={have}; "
+                    "re-run `cli calibrate` under the matching geometry"
+                )
+        if "tx_positions_wl" in doc:   # absent in pre-round-4 files
+            rec_pos = doc["tx_positions_wl"]   # null = azimuth ULA
+            rec_pos = (None if rec_pos is None
+                       else [[float(x) for x in p] for p in rec_pos])
+            wl = getattr(args, "elevated_tx", None)
+            run_pos = None if wl is None else (
+                [[t * RadarConfig().num_rx * 0.5, 0.0]
+                 for t in range(want_tx - 1)] + [[0.0, float(wl)]])
+            if rec_pos != run_pos:
+                raise ValueError(
+                    f"calibration file {cal_path} was estimated under TX "
+                    f"geometry {rec_pos}, but this run uses {run_pos}; "
+                    "the embedded steering reference would mis-correct "
+                    "every angle — re-run `cli calibrate` under the "
+                    "matching geometry"
+                )
         kw["rx_cal"] = tuple(complex(re, im) for re, im in doc["rx_cal"])
     cfg = RadarConfig(**kw)
     wl = getattr(args, "elevated_tx", None)
@@ -227,6 +256,8 @@ def cmd_calibrate(args) -> int:
         "rx_cal": [[float(c.real), float(c.imag)] for c in cal],
         "num_rx": cfg.num_rx,
         "num_tx": cfg.num_tx,
+        "tx_positions_wl": (None if cfg.tx_positions_wl is None
+                            else [list(p) for p in cfg.tx_positions_wl]),
         "reference_azimuth_deg": args.az,
         "reference_elevation_deg": args.el,
         "frames_used": int(rd.shape[0]),
@@ -412,7 +443,7 @@ def cmd_detect(args) -> int:
             jnp.asarray(ego.velocity),
         ))
         n_ok = int(ego.ok.sum())
-        print(f"ego-motion: fit ok on {n_ok}/{len(todo)} frames; "
+        print(f"ego-motion: fit ok on {n_ok}/{len(ego.ok)} frames; "
               f"mean v = ({ego.velocity[ego.ok, 0].mean():.2f}, "
               f"{ego.velocity[ego.ok, 1].mean():.2f}) m/s"
               if n_ok else
@@ -1368,7 +1399,7 @@ def cmd_admap(args) -> int:
         "event": "angle_doppler",
         "range_bin": int(gate),
         "range_m": round(float(gate) * (cfg.sample_rate_hz
-                         / cfg.range_fft_size) * 3.0e8
+                         / cfg.range_fft_size) * LIGHT_SPEED
                          / (2.0 * cfg.slope_hz_per_s), 3),
         "frames": int(pmaps.shape[0]),
         "doppler_bins": int(pmap.shape[0]),
@@ -1691,6 +1722,14 @@ def main(argv=None) -> int:
                     help="write the (angle_bins, range_fft) map as .npy")
     az.add_argument("--plot", default=None,
                     help="write a range x azimuth PNG")
+    az.add_argument("--num-tx", type=int, default=None,
+                    help="TDM-MIMO TX count")
+    az.add_argument("--cal", default=None, metavar="CAL.json",
+                    help="apply per-channel calibration corrections")
+    az.add_argument("--elevated-tx", type=float, default=None, nargs="?",
+                    const=0.5, metavar="WL",
+                    help="raise the last TX by WL wavelengths (planar "
+                         "virtual array)")
     az.add_argument("--dft-precision", default=None,
                     choices=["high", "highest", "default"])
     az.add_argument("--window-kind", default=None,

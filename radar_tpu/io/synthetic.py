@@ -146,10 +146,6 @@ def synthesize_cube(
             cube[f, :, c, s : s + interference_len] += (
                 interference_amplitude * np.exp(1j * phase) * burst
             )
-        # a jammed ADC saturates: clip to the int16 rails (also keeps
-        # overlapping bursts encodable)
-        np.clip(cube.real, -32767, 32767, out=cube.real)
-        np.clip(cube.imag, -32767, 32767, out=cube.imag)
 
     if rx_response is not None:
         resp = np.asarray(rx_response, dtype=np.complex128)
@@ -158,6 +154,13 @@ def synthesize_cube(
                 f"rx_response must have shape ({cfg.num_rx},), got {resp.shape}"
             )
         cube *= resp[None, :, None, None]
+    if interference_bursts > 0 and num_frames > 1:
+        # a jammed ADC saturates: clip to the int16 rails (also keeps
+        # overlapping bursts encodable).  AFTER the channel response:
+        # the RX chain precedes the ADC, so a gain > 1 channel must not
+        # push clipped rails back past the encodable range.
+        np.clip(cube.real, -32767, 32767, out=cube.real)
+        np.clip(cube.imag, -32767, 32767, out=cube.imag)
     return cube
 
 

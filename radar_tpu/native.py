@@ -111,8 +111,8 @@ def load() -> ctypes.CDLL:
         ]
         lib.radar_ca_cfar.argtypes = [
             dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int, dp,
-            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, dp, ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.radar_os_cfar.argtypes = [
             dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -263,6 +263,7 @@ def ca_cfar_2d(
     lib.radar_ca_cfar(
         _dptr(p), d, r, cfg.cfar_guard[0], cfg.cfar_guard[1],
         cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa,
+        cfg.cfar_n_pulses,
         1 if cfg.cfar_range_mode == "reflect" else 0, _dptr(thresh),
         hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
     )

@@ -98,3 +98,23 @@ def test_cli_detect_blank_interference(tmp_path, capsys):
                "--out", str(out)])
     assert rc == 0
     assert out.exists()
+
+
+def test_interference_with_rx_imbalance_encodes(cfg):
+    """Review regression: the channel response applies BEFORE the ADC
+    clip, so a gain > 1 channel on a saturated (jammed) cube must still
+    encode to int16."""
+    import numpy as np
+
+    from radar_tpu.io.capture import encode_frame
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_cube
+
+    resp = np.array([1.0, 1.26 * np.exp(1j * 0.6),
+                     0.79 * np.exp(-1j * 0.7), 1.12 * np.exp(-1j * 0.3)])
+    cube = synthesize_cube(
+        [SceneTarget(range_m=4.0, amplitude=2000.0)], 3, cfg,
+        interference_bursts=6, interference_amplitude=30000.0,
+        rx_response=resp, seed=2,
+    )
+    shorts = encode_frame(cube, cfg)  # must not raise
+    assert shorts.dtype == np.int16

@@ -191,3 +191,23 @@ def test_native_integrated_alpha_matches_golden():
     # N = 1 takes the closed form in both: exact
     assert (native.ca_cfar_alpha_integrated(104, 1e-4, 1)
             == golden.ca_cfar_alpha_integrated(104, 1e-4, 1))
+
+
+def test_native_ca_cfar_respects_n_pulses():
+    import dataclasses
+
+    from radar_tpu import golden, native
+    from radar_tpu.config import RadarConfig
+
+    rng = np.random.default_rng(0)
+    p = rng.exponential(1.0, (32, 4, 64, 64)).sum(axis=1)  # Erlang-4 cells
+    cfg = dataclasses.replace(RadarConfig(), cfar_n_pulses=4)
+    hits_c, thr_c = native.ca_cfar_2d(p[0], cfg)
+    hits_g, thr_g = golden.ca_cfar_2d(
+        p[0], cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa,
+        cfg.cfar_range_mode, n_pulses=4)
+    np.testing.assert_allclose(thr_c, thr_g, rtol=1e-9)
+    np.testing.assert_array_equal(hits_c, hits_g)
+    # and the matched threshold sits BELOW the single-pulse one
+    _, thr_1 = native.ca_cfar_2d(p[0], RadarConfig())
+    assert thr_c.mean() < thr_1.mean()
