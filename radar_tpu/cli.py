@@ -915,6 +915,22 @@ def cmd_track(args) -> int:
                     t.velocity_mps + vx * float(np.sin(az))
                     + vy * float(np.cos(az)), 4)
         print(json.dumps(rec))
+    if getattr(args, "out", None):
+        with open(args.out, "w") as f:
+            for t in tracks:
+                f.write(json.dumps({
+                    "track_id": t.track_id,
+                    "hits": t.hits,
+                    "history": [[round(r, 4), round(v, 4), round(a, 2)]
+                                for r, v, a in t.history],
+                }) + "\n")
+        print(f"wrote {len(tracks)} track histories to {args.out}",
+              file=sys.stderr)
+    if getattr(args, "plot", None):
+        from radar_tpu.viz import plot_tracks
+
+        plot_tracks(tracker, cfg, path=args.plot)
+        print(f"wrote track plot to {args.plot}", file=sys.stderr)
     print(f"# {len(tracks)} confirmed tracks over {len(capture)-1} frames",
           file=sys.stderr)
     return 0
@@ -1354,6 +1370,113 @@ def cmd_azmap(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Derived system parameters for a configuration — the numbers a
+    radar engineer reaches for first (resolutions, unambiguous spans,
+    data rates).  The reference never prints these; they are scattered
+    through its #defines (acceleration.cu:7-15)."""
+    import json
+
+    cfg = _build_cfg(args)
+    c = LIGHT_SPEED
+    r_res = (cfg.sample_rate_hz / cfg.range_fft_size) * c / (
+        2.0 * cfg.slope_hz_per_s)
+    ts = cfg.slow_time_interval_s
+    v_max = cfg.wavelength_m / (4.0 * ts)
+    v_res = cfg.wavelength_m / (2.0 * cfg.doppler_fft_size * ts)
+    cpi_s = cfg.num_chirps * cfg.chirp_interval_s
+    # 3-dB beamwidth of an N-element half-wavelength ULA ~ 102/N deg
+    n_v = cfg.num_virtual_rx
+    doc = {
+        "waveform": {
+            "carrier_ghz": cfg.carrier_hz / 1e9,
+            "slope_mhz_per_us": cfg.slope_hz_per_s / 1e12,
+            "sample_rate_mhz": cfg.sample_rate_hz / 1e6,
+            "chirp_interval_us": cfg.chirp_interval_s * 1e6,
+            "samples_per_chirp": cfg.num_samples,
+            "chirps_per_frame": cfg.num_chirps,
+            "cpi_ms": round(cpi_s * 1e3, 3),
+            "frame_rate_hz_max": round(1.0 / cpi_s, 1),
+        },
+        "array": {
+            "num_tx": cfg.num_tx,
+            "num_rx": cfg.num_rx,
+            "virtual_elements": n_v,
+            "approx_beamwidth_deg": round(102.0 / n_v, 1),
+            "angle_bins": cfg.num_angle_bins,
+        },
+        "range": {
+            "resolution_m": round(r_res, 4),
+            "max_m": round(r_res * cfg.range_fft_size, 2),
+            "fft_size": cfg.range_fft_size,
+            "parity_scan_max_m": round(cfg.max_range_m, 2),
+        },
+        "velocity": {
+            "resolution_mps": round(v_res, 4),
+            "unambiguous_span_mps": [round(-v_max, 3), round(v_max, 3)],
+            "tdm_note": (None if cfg.num_tx == 1 else
+                         "span divided by num_tx under TDM; "
+                         "--disambiguate recovers the full span"),
+            "fft_size": cfg.doppler_fft_size,
+        },
+        "data": {
+            "bytes_per_frame": cfg.bytes_per_frame,
+            "mb_per_s_at_1000fps": round(cfg.bytes_per_frame * 1e3 / 1e6, 1),
+        },
+    }
+    print(json.dumps(doc, indent=1))
+    return 0
+
+
+def cmd_rti(args) -> int:
+    """Range-time intensity (RTI) waterfall: per-frame range power
+    (Doppler-integrated), frames x range — the classic scrolling view
+    of how the scene evolves."""
+    import json
+
+    import jax.numpy as jnp
+
+    import jax
+
+    from radar_tpu.io.capture import read_capture
+    from radar_tpu.ops.decode import decode_to_cube
+    from radar_tpu.ops.fuseddft import fused_rd_planes
+
+    cfg = _build_cfg(args)
+    capture = read_capture(args.path, cfg)
+    if len(capture) < 2:
+        print("error: capture needs a base frame + at least one frame",
+              file=sys.stderr)
+        return 2
+    base = decode_to_cube(jnp.asarray(capture[0]), cfg)
+
+    @jax.jit
+    def rti(shorts, base_cube):
+        dr, di = fused_rd_planes(shorts, base_cube, cfg)
+        return (dr * dr + di * di).sum(axis=(-3, -2))  # (B, R)
+
+    m = np.asarray(rti(jnp.asarray(capture[1:]), base))
+    r_bin = int(np.unravel_index(np.argmax(m), m.shape)[1])
+    print(json.dumps({
+        "event": "rti",
+        "frames": int(m.shape[0]),
+        "range_bins": int(m.shape[1]),
+        "peak_range_bin": r_bin,
+        "peak_range_m": round(r_bin * (cfg.sample_rate_hz
+                              / cfg.range_fft_size) * LIGHT_SPEED
+                              / (2.0 * cfg.slope_hz_per_s), 3),
+    }))
+    if args.out:
+        np.save(args.out, m)
+        print(f"wrote {m.shape} RTI matrix to {args.out}", file=sys.stderr)
+    if args.plot:
+        from radar_tpu.viz import plot_rti
+
+        plot_rti(m, cfg, path=args.plot)
+        print(f"wrote plot to {args.plot}", file=sys.stderr)
+    return 0
+
+
 def cmd_admap(args) -> int:
     """Angle-Doppler heatmap at a range gate (movers separate by
     velocity AND bearing)."""
@@ -1614,6 +1737,13 @@ def main(argv=None) -> int:
                    help="TDM phase-hypothesis velocity disambiguation "
                         "before tracking (num_tx > 1): track states get "
                         "true velocities past the TDM limit")
+    t.add_argument("--out", default=None, metavar="TRACKS.jsonl",
+                   help="also write one JSONL record per confirmed "
+                        "track, including its full (range, velocity, "
+                        "azimuth) state history")
+    t.add_argument("--plot", default=None, metavar="PNG",
+                   help="range-vs-time trajectory plot of the confirmed "
+                        "tracks")
     _add_blank_flag(t)
     _add_pipeline_flags(t)
     _add_refine_flag(t)
@@ -1763,6 +1893,33 @@ def main(argv=None) -> int:
                     choices=["hann", "hamming", "blackman",
                              "blackmanharris", "rect"])
     ad.set_defaults(fn=cmd_admap)
+
+    inf = sub.add_parser(
+        "info",
+        help="derived system parameters (resolutions, unambiguous "
+             "spans, CPI, data rates) for a configuration",
+    )
+    inf.add_argument("--num-tx", type=int, default=None)
+    inf.add_argument("--elevated-tx", type=float, default=None, nargs="?",
+                     const=0.5, metavar="WL")
+    inf.set_defaults(fn=cmd_info)
+
+    rt = sub.add_parser(
+        "rti",
+        help="range-time intensity waterfall (per-frame range power, "
+             "Doppler-integrated; .npy out + PNG plot)",
+    )
+    rt.add_argument("path")
+    rt.add_argument("--out", default=None,
+                    help="write the (frames, range_fft) matrix as .npy")
+    rt.add_argument("--plot", default=None, help="write a PNG waterfall")
+    rt.add_argument("--num-tx", type=int, default=None)
+    rt.add_argument("--clutter", default=None,
+                    choices=["auto", "base", "mean", "mti2", "mti3", "none"])
+    rt.add_argument("--window-kind", default=None,
+                    choices=["hann", "hamming", "blackman",
+                             "blackmanharris", "rect"])
+    rt.set_defaults(fn=cmd_rti)
 
     st = sub.add_parser(
         "selftest",

@@ -247,6 +247,39 @@ def plot_angle_doppler(
     return fig
 
 
+def plot_rti(
+    m,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    path: str | None = None,
+    db: bool = True,
+):
+    """Range-time intensity waterfall: frames (time) x range.
+
+    ``m`` is the (frames, range_fft) Doppler-integrated power from
+    ``cli rti``."""
+    m = np.asarray(m, np.float64)
+    n_f, r = m.shape
+    img = 10.0 * np.log10(np.maximum(m, m.max() * 1e-8)) if db else m
+    r_max = cfg.sample_rate_hz * 3.0e8 / (2 * cfg.slope_hz_per_s)
+    dt = cfg.num_chirps * cfg.chirp_interval_s
+    fig, ax = plt.subplots(figsize=(7, 4.2), constrained_layout=True)
+    im = ax.imshow(
+        img,
+        origin="lower",
+        aspect="auto",
+        extent=[0, r_max, 0, n_f * dt * 1e3],
+        cmap="magma",
+        interpolation="nearest",
+    )
+    fig.colorbar(im, ax=ax, label="power (dB)" if db else "power")
+    ax.set_xlabel("range (m)")
+    ax.set_ylabel("time (ms)")
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
 def plot_point_cloud(
     rows,
     cfg: RadarConfig = DEFAULT_CONFIG,

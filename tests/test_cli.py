@@ -2,6 +2,8 @@
 
 import json
 
+import numpy as np
+
 import pytest
 
 from radar_tpu import cli
@@ -244,3 +246,54 @@ def test_selftest_plumbing_cpu():
     from radar_tpu.selftest import run_selftests
 
     assert run_selftests(["topk", "band-matrix", "magargmax"]) == 0
+
+
+def test_cli_info(capsys):
+    import json as _json
+
+    rc = cli.main(["info"])
+    assert rc in (0, None)
+    doc = _json.loads(capsys.readouterr().out)
+    assert abs(doc["range"]["resolution_m"] - 0.3915) < 1e-3
+    assert abs(doc["velocity"]["unambiguous_span_mps"][1] - 15.22) < 0.05
+    assert doc["array"]["virtual_elements"] == 4
+    assert doc["data"]["bytes_per_frame"] == 204800
+    # TDM halves the span note appears at num_tx 2
+    rc = cli.main(["info", "--num-tx", "2"])
+    doc2 = _json.loads(capsys.readouterr().out)
+    assert doc2["velocity"]["tdm_note"]
+    assert abs(doc2["velocity"]["unambiguous_span_mps"][1] - 15.22 / 2) < 0.05
+
+
+def test_cli_rti(cap_path, tmp_path, capsys):
+    import json as _json
+
+    out = tmp_path / "rti.npy"
+    png = tmp_path / "rti.png"
+    rc = cli.main(["rti", str(cap_path), "--out", str(out),
+                   "--plot", str(png)])
+    assert rc in (0, None)
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["event"] == "rti"
+    m = np.load(out)
+    assert m.shape == (rec["frames"], rec["range_bins"])
+    assert png.exists()
+    # the cap_path scene's target sits at 4 m
+    assert abs(rec["peak_range_m"] - 4.0) < 1.0
+
+
+def test_cli_track_out_and_plot(cap_path, tmp_path, capsys):
+    import json as _json
+
+    out = tmp_path / "tracks.jsonl"
+    png = tmp_path / "tracks.png"
+    rc = cli.main(["track", str(cap_path), "--out", str(out),
+                   "--plot", str(png)])
+    assert rc in (0, None)
+    capsys.readouterr()
+    recs = [_json.loads(l) for l in out.read_text().splitlines()]
+    assert len(recs) == 1  # the cap_path scene's single target
+    for r in recs:
+        assert len(r["history"]) == r["hits"]
+        assert all(len(h) == 3 for h in r["history"])
+    assert png.exists()
