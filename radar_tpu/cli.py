@@ -564,6 +564,7 @@ def cmd_serve(args) -> int:
               "it (a per-batch no-op dispatch would double serve latency)",
               file=sys.stderr)
         disambiguate = False
+    ego_gate = getattr(args, "ego", None)
     pipe = RDPipeline(cfg, max_detections=args.max_detections,
                       rd_impl=args.rd_impl)
     blank_k = getattr(args, "blank_interference", None)
@@ -711,10 +712,37 @@ def cmd_serve(args) -> int:
                     for k in range(out.shape[1]) if out[j, k, 4] > 0.5
                 ]
                 dets = group_peaks(dets)
-                confirmed = trackers[src].update(dets)
+                ego_rec = None
+                if ego_gate is not None:
+                    from radar_tpu import golden as _golden
+
+                    v_e, static, ok = _golden.estimate_ego_motion(
+                        np.array([d["azimuth_deg"] for d in dets]),
+                        np.array([d["velocity_mps"] for d in dets]),
+                        inlier_mps=ego_gate,
+                    )
+                    for d, st in zip(dets, static):
+                        d["is_static"] = bool(st)
+                        d["velocity_ground_mps"] = round(float(
+                            _golden.ego_compensated_velocity(
+                                d["azimuth_deg"], d["velocity_mps"], v_e
+                            )), 4)
+                    ego_rec = {"vx_mps": round(float(v_e[0]), 3),
+                               "vy_mps": round(float(v_e[1]), 3),
+                               "ok": bool(ok),
+                               "n_static": int(static.sum())}
+                    # the tracker sees movers only (a moving platform
+                    # would otherwise confirm one track per roadside
+                    # scatterer); records keep every detection, labeled
+                    track_in = [d for d, st in zip(dets, static)
+                                if not st] if ok else dets
+                else:
+                    track_in = dets
+                confirmed = trackers[src].update(track_in)
                 rec = {
                     "frame": frame_no[src],
                     "detections": dets,
+                    **({"ego": ego_rec} if ego_rec is not None else {}),
                     "tracks": [
                         {"id": t.track_id, "range_m": round(t.range_m, 4),
                          "velocity_mps": round(t.velocity_mps, 4),
@@ -1695,6 +1723,12 @@ def main(argv=None) -> int:
                    help="max frames per detection dispatch (frames already "
                         "received batch together with zero added wait)")
     s.add_argument("--max-detections", type=int, default=16)
+    s.add_argument("--ego", type=float, default=None, nargs="?",
+                   const=0.5, metavar="INLIER_MPS",
+                   help="moving-platform serving: fit the ego velocity "
+                        "per frame (host-side, zero device cost), label "
+                        "detections static/moving with ground-frame "
+                        "velocities, and track movers only")
     s.add_argument("--disambiguate", action="store_true",
                    help="TDM phase-hypothesis velocity disambiguation per "
                         "batch (num_tx > 1): served velocities cover the "

@@ -223,3 +223,29 @@ def test_cli_track_ego_drops_static_world(tmp_path, cfg, capsys):
     # ground-frame radial velocity = sensor 4.0 + ego projection at az 0
     assert abs(t["velocity_ground_mps"] - (4.0 + V_EGO[1])) < 0.5
 
+
+
+def test_serve_ego_labels_and_tracks_movers(cfg, serve_over_udp):
+    """serve --ego: detections get static/moving labels + ground-frame
+    velocities and the tracker sees movers only."""
+    tgts = static_scene_targets(
+        V_EGO, ranges_m=[3.0, 5.5, 8.0, 4.5],
+        azimuths_deg=[-35.0, -15.0, 20.0, 45.0], amplitude=2500.0)
+    tgts.append(SceneTarget(range_m=7.0, velocity_mps=4.0,
+                            azimuth_deg=0.0, amplitude=2500.0))
+    cap = synthesize_capture(tgts, 6, cfg, noise_std=5.0, seed=13)
+    recs = serve_over_udp(np.asarray(cap), ["--ego"])
+    frame_recs = [r for r in recs if "frame" in r]
+    assert frame_recs
+    ok_recs = [r for r in frame_recs if r.get("ego", {}).get("ok")]
+    assert ok_recs
+    for r in ok_recs:
+        assert abs(r["ego"]["vx_mps"] - V_EGO[0]) < 0.4
+        assert abs(r["ego"]["vy_mps"] - V_EGO[1]) < 0.4
+        for d in r["detections"]:
+            assert "is_static" in d and "velocity_ground_mps" in d
+    # confirmed tracks are movers only (static world excluded)
+    last_tracks = frame_recs[-1]["tracks"]
+    assert last_tracks
+    for t in last_tracks:
+        assert abs(t["range_m"] - 7.0) < 1.0
