@@ -194,10 +194,26 @@ def cmd_generate(args) -> int:
     from radar_tpu.io.capture import write_capture
     from radar_tpu.io.synthetic import synthesize_capture
 
+    from radar_tpu.io.synthetic import SceneTarget
+
     cfg = _build_cfg(args)
-    targets = [_parse_target(t) for t in args.target] or [
-        _parse_target("5.0,2.0,15")
-    ]
+    targets = [_parse_target(t) for t in args.target]
+    plat = (0.0, 0.0)
+    if getattr(args, "platform", None):
+        vx, vy = (float(v) for v in args.platform.split(","))
+        plat = (vx, vy)
+    for wt in getattr(args, "world_target", None) or []:
+        parts = [float(v) for v in wt.split(",")]
+        if len(parts) not in (2, 3):
+            print("error: --world-target takes x,y[,amplitude]",
+                  file=sys.stderr)
+            return 2
+        targets.append(SceneTarget(
+            range_m=0.0, amplitude=parts[2] if len(parts) == 3 else 2000.0,
+            world_xy=(parts[0], parts[1]),
+        ))
+    if not targets:
+        targets = [_parse_target("5.0,2.0,15")]
     rx_response = None
     if getattr(args, "rx_imbalance", None):
         pairs = [p.split(":") for p in args.rx_imbalance.split(",")]
@@ -211,7 +227,7 @@ def cmd_generate(args) -> int:
     frames = synthesize_capture(
         targets, args.frames, cfg, noise_std=args.noise, seed=args.seed,
         interference_bursts=args.interference,
-        rx_response=rx_response,
+        rx_response=rx_response, platform_velocity=plat,
     )
     write_capture(args.path, frames, cfg)
     print(f"wrote {args.frames} frames ({frames.nbytes} bytes) to {args.path}")
@@ -1398,6 +1414,79 @@ def cmd_azmap(args) -> int:
     return 0
 
 
+def cmd_bev(args) -> int:
+    """World-frame bird's-eye view from a moving platform: detect, fit
+    the ego velocity per frame, dead-reckon the platform pose, and
+    accumulate every detection in WORLD coordinates — static scatterers
+    observed from different positions collapse onto the same world
+    cells, movers trace their paths.  Heading is held fixed (yaw rate is
+    unobservable from one radar's Doppler; see
+    ``utils.points.world_points``)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from radar_tpu.io.capture import read_capture
+    from radar_tpu.models.rd_pipeline import RDPipeline
+    from radar_tpu.ops.egomotion import (
+        ego_compensated_velocity,
+        estimate_ego_motion,
+    )
+    from radar_tpu.utils.points import detections_to_xyz, world_points
+
+    cfg = _build_cfg(args)
+    capture = read_capture(args.path, cfg)
+    if len(capture) < 3:
+        print("error: bev needs a base frame + at least two frames",
+              file=sys.stderr)
+        return 2
+    pipe = RDPipeline(cfg, max_detections=args.max_detections,
+                      rd_impl=args.rd_impl)
+    base = pipe.prepare_base(capture[0])
+    rd = jax.tree.map(np.asarray, pipe.detect(capture[1:], base))
+    em = jax.tree.map(np.asarray, estimate_ego_motion(
+        jnp.asarray(rd.azimuth_deg), jnp.asarray(rd.velocity_mps),
+        jnp.asarray(rd.valid), inlier_mps=args.ego,
+    ))
+    vg = np.asarray(ego_compensated_velocity(
+        jnp.asarray(rd.azimuth_deg), jnp.asarray(rd.velocity_mps),
+        jnp.asarray(em.velocity)))
+    valid = rd.valid
+    fi, ki = np.nonzero(valid)
+    x, y, _ = detections_to_xyz(rd.range_m_interp[fi, ki],
+                                rd.azimuth_deg[fi, ki])
+    dt = cfg.num_chirps * cfg.chirp_interval_s
+    xw, yw, pose = world_points(fi, x, y, em.velocity, em.ok, dt)
+    st = em.is_static[fi, ki]
+    n_ok = int(em.ok.sum())
+    print(json.dumps({
+        "event": "bev",
+        "frames": int(valid.shape[0]),
+        "ego_fit_ok_frames": n_ok,
+        "points": int(len(xw)),
+        "static_points": int(st.sum()),
+        "mover_points": int(len(xw) - st.sum()),
+        "platform_distance_m": round(float(
+            np.linalg.norm(pose[-1] - pose[0])), 3),
+    }))
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("frame,x_world_m,y_world_m,is_static,"
+                    "velocity_ground_mps\n")
+            for i in range(len(xw)):
+                f.write(f"{int(fi[i])},{xw[i]:.4f},{yw[i]:.4f},"
+                        f"{int(st[i])},{vg[fi[i], ki[i]]:.4f}\n")
+        print(f"wrote {len(xw)} world points to {args.out}",
+              file=sys.stderr)
+    if args.plot:
+        from radar_tpu.viz import plot_bev
+
+        plot_bev(xw, yw, st, vg[fi, ki], pose, cfg, path=args.plot)
+        print(f"wrote plot to {args.plot}", file=sys.stderr)
+    return 0
+
+
 def cmd_info(args) -> int:
     """Derived system parameters for a configuration — the numbers a
     radar engineer reaches for first (resolutions, unambiguous spans,
@@ -1634,6 +1723,14 @@ def main(argv=None) -> int:
                    const=0.5, metavar="WL",
                    help="raise the last TX by WL wavelengths so targets "
                         "may carry a nonzero elevation")
+    g.add_argument("--platform", default=None, metavar="VX,VY",
+                   help="platform (ego) velocity in m/s: world-fixed "
+                        "targets (--world-target) evolve range/azimuth/"
+                        "Doppler from the true geometry")
+    g.add_argument("--world-target", action="append", default=None,
+                   metavar="X,Y[,AMP]",
+                   help="WORLD-fixed scatterer at (x right, y boresight) "
+                        "meters; repeatable (pairs with --platform)")
     g.add_argument("--rx-imbalance", default=None, metavar="G:DEG,...",
                    help="per-RX hardware channel response as "
                         "gain:phase_deg pairs (one per RX, e.g. "
@@ -1937,6 +2034,22 @@ def main(argv=None) -> int:
     inf.add_argument("--elevated-tx", type=float, default=None, nargs="?",
                      const=0.5, metavar="WL")
     inf.set_defaults(fn=cmd_info)
+
+    bv = sub.add_parser(
+        "bev",
+        help="world-frame bird's-eye view from a moving platform: "
+             "ego-motion dead reckoning + accumulated detections "
+             "(CSV out + PNG plot)",
+    )
+    bv.add_argument("path")
+    bv.add_argument("--ego", type=float, default=0.5, metavar="INLIER_MPS",
+                    help="ego-fit inlier gate in m/s (default 0.5)")
+    bv.add_argument("--max-detections", type=int, default=16)
+    bv.add_argument("--out", default=None,
+                    help="write world points as CSV")
+    bv.add_argument("--plot", default=None, help="write a PNG BEV")
+    _add_pipeline_flags(bv)
+    bv.set_defaults(fn=cmd_bev)
 
     rt = sub.add_parser(
         "rti",

@@ -37,6 +37,12 @@ class SceneTarget:
     amplitude: float = 2000.0  # ADC counts
     # nonzero elevation needs an elevated TX (cfg.tx_positions_wl)
     elevation_deg: float = 0.0
+    # WORLD-FIXED scatterer (x right, y boresight, meters): with a
+    # nonzero ``platform_velocity`` the generator evolves this point's
+    # range, azimuth AND Doppler per frame from the true geometry —
+    # unlike the radial-only fields above, which model sensor-frame
+    # motion.  When set, range_m/velocity_mps/azimuth_deg are ignored.
+    world_xy: tuple[float, float] | None = None
 
 
 def synthesize_cube(
@@ -50,6 +56,7 @@ def synthesize_cube(
     interference_amplitude: float = 20000.0,
     interference_len: int = 6,
     rx_response: np.ndarray | None = None,
+    platform_velocity: tuple[float, float] = (0.0, 0.0),
 ) -> np.ndarray:
     """Simulate complex radar cubes.
 
@@ -63,6 +70,12 @@ def synthesize_cube(
     clutter, interference, its own noise) is multiplied by that
     channel's response — the imperfection ``golden.estimate_rx_cal``
     / ``cli calibrate`` exist to measure and undo.
+    ``platform_velocity`` (vx lateral, vy forward, m/s) moves the RADAR:
+    targets with ``world_xy`` set are world-fixed scatterers whose
+    per-frame range, azimuth and Doppler follow the true geometry
+    (``p(f) = v * f * frame_interval``; range rate
+    ``vr = -(v . rel)/|rel|``); the tone clutter stays sensor-locked
+    (a DC leak, not a world object).
     """
     rng = np.random.default_rng(seed)
     t = np.arange(cfg.num_samples) / cfg.sample_rate_hz  # fast time
@@ -95,7 +108,32 @@ def synthesize_cube(
     virt_of = tx_of_chirp[None, :] * cfg.num_rx + rxs[:, None]  # (rx, chirps)
     x_pos = vpos[virt_of, 0]
     z_pos = vpos[virt_of, 1]
+    plat_v = np.asarray(platform_velocity, np.float64)
     for tgt in targets:
+        if tgt.world_xy is not None:
+            # true world-fixed point under platform motion: per-frame
+            # geometry, not the radial-only approximation below
+            rel = (np.asarray(tgt.world_xy, np.float64)[None, :]
+                   - plat_v[None, :] * (frames * frame_interval)[:, None])
+            rng_f = np.linalg.norm(rel, axis=1)           # (frames,)
+            rng_f = np.maximum(rng_f, 1e-6)
+            sin_az_f = rel[:, 0] / rng_f
+            vr_f = -(rel @ plat_v) / rng_f                # range rate
+            cos_el = np.cos(np.deg2rad(tgt.elevation_deg))
+            sin_el = np.sin(np.deg2rad(tgt.elevation_deg))
+            fb_f = cfg.distance_to_beat_hz(rng_f)
+            fd_f = cfg.velocity_to_doppler_hz(vr_f)
+            fast = np.exp(1j * 2 * np.pi * fb_f[:, None] * t[None, :])
+            dopp = np.exp(1j * 2 * np.pi * fd_f[:, None]
+                          * chirps[None, :] * cfg.chirp_interval_s)
+            steer = np.exp(1j * 2 * np.pi * (
+                x_pos[None] * sin_az_f[:, None, None] * cos_el
+                + z_pos[None] * sin_el
+            ))                                            # (frames, rx, ch)
+            sig = (tgt.amplitude * steer[:, :, :, None]
+                   * dopp[:, None, :, None] * fast[:, None, None, :])
+            cube[1:] += sig[1:]
+            continue
         fd = cfg.velocity_to_doppler_hz(tgt.velocity_mps)
         sin_az = np.sin(np.deg2rad(tgt.azimuth_deg))
         cos_el = np.cos(np.deg2rad(tgt.elevation_deg))
@@ -175,6 +213,7 @@ def synthesize_capture(
     interference_amplitude: float = 20000.0,
     interference_len: int = 6,
     rx_response: np.ndarray | None = None,
+    platform_velocity: tuple[float, float] = (0.0, 0.0),
 ) -> np.ndarray:
     """Simulate and encode to the on-disk int16 stream.
 
@@ -184,7 +223,7 @@ def synthesize_capture(
     cube = synthesize_cube(
         targets, num_frames, cfg, noise_std, clutter_amplitude, seed,
         interference_bursts, interference_amplitude, interference_len,
-        rx_response,
+        rx_response, platform_velocity,
     )
     return encode_frame(cube, cfg)
 

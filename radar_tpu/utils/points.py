@@ -59,3 +59,52 @@ def write_point_cloud(path: str, rows: list[tuple]) -> int:
             f.write(f"{int(frame)},{x:.4f},{y:.4f},{z:.4f},{v:.4f},"
                     f"{p:.6g}\n")
     return len(rows)
+
+
+def world_points(
+    frame_idx: np.ndarray,
+    x_m: np.ndarray,
+    y_m: np.ndarray,
+    ego_velocity: np.ndarray,
+    ego_ok: np.ndarray,
+    frame_interval_s: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Radar-frame points -> WORLD frame via dead-reckoned ego motion.
+
+    Integrates the per-frame ego velocity fit (``ops.egomotion``) into a
+    platform trajectory p_f = sum_{g<f} v_g * dt (frames with a
+    degenerate fit coast at the previous good velocity) and translates
+    each detection by its frame's pose: static world scatterers observed
+    from different positions collapse onto the same world cells, movers
+    trace their actual paths.  Straight-line dead reckoning: yaw rate is
+    not observable from a single radar's Doppler alone, so heading is
+    held fixed (the classic single-sensor limitation; an IMU or a
+    multi-radar yaw fit would close it).
+
+    Args:
+      frame_idx: (N,) frame index per point (0-based, contiguous).
+      x_m / y_m: (N,) radar-frame coordinates (detections_to_xyz).
+      ego_velocity: (F, 2) per-frame (vx, vy) fits.
+      ego_ok: (F,) fit validity.
+      frame_interval_s: frame-to-frame time step.
+
+    Returns:
+      (x_world, y_world, pose): translated points and the (F, 2)
+      integrated platform positions (pose[f] = position when frame f was
+      observed; pose[0] = origin).
+    """
+    v = np.asarray(ego_velocity, np.float64).copy()
+    ok = np.asarray(ego_ok, bool)
+    last = np.zeros(2)
+    for f in range(len(v)):   # coast through degenerate frames
+        if ok[f]:
+            last = v[f]
+        else:
+            v[f] = last
+    steps = v * float(frame_interval_s)
+    pose = np.concatenate([np.zeros((1, 2)), np.cumsum(steps, axis=0)[:-1]],
+                          axis=0)
+    fi = np.asarray(frame_idx, np.int64)
+    return (np.asarray(x_m, np.float64) + pose[fi, 0],
+            np.asarray(y_m, np.float64) + pose[fi, 1],
+            pose)

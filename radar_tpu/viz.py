@@ -313,6 +313,50 @@ def plot_point_cloud(
     return fig
 
 
+def plot_bev(
+    x_w,
+    y_w,
+    is_static,
+    v_ground,
+    pose,
+    cfg: RadarConfig = DEFAULT_CONFIG,
+    path: str | None = None,
+):
+    """World-frame bird's-eye view: accumulated detections + platform
+    trajectory (``cli bev``).  Static world in gray, movers colored by
+    ground-frame radial velocity, the dead-reckoned platform path as a
+    line from the origin."""
+    x_w = np.asarray(x_w, np.float64)
+    y_w = np.asarray(y_w, np.float64)
+    st = np.asarray(is_static, bool)
+    vg = np.asarray(v_ground, np.float64)
+    pose = np.asarray(pose, np.float64)
+    fig, ax = plt.subplots(figsize=(5.6, 5.6), constrained_layout=True)
+    if st.any():
+        ax.scatter(x_w[st], y_w[st], c="#9a9a9a", s=12, lw=0,
+                   label="static world")
+    mv = ~st
+    if mv.any():
+        vmax = max(1e-6, float(np.abs(vg[mv]).max()))
+        sc = ax.scatter(x_w[mv], y_w[mv], c=vg[mv], cmap="coolwarm",
+                        vmin=-vmax, vmax=vmax, s=16, lw=0, label="movers")
+        fig.colorbar(sc, ax=ax, label="ground radial velocity (m/s)",
+                     shrink=0.8)
+    ax.plot(pose[:, 0], pose[:, 1], "-", color=_SERIES[0], lw=1.4,
+            label="platform path")
+    ax.plot([0.0], [0.0], "^", color=_SERIES[0], ms=8)
+    ax.set_xlabel("world x (m)")
+    ax.set_ylabel("world y (m)")
+    ax.set_aspect("equal")
+    ax.grid(alpha=0.25, lw=0.5)
+    ax.legend(frameon=False, fontsize=8)
+    ax.spines[["top", "right"]].set_visible(False)
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
 def plot_tracks(
     tracker,
     cfg: RadarConfig = DEFAULT_CONFIG,

@@ -249,3 +249,51 @@ def test_serve_ego_labels_and_tracks_movers(cfg, serve_over_udp):
     assert last_tracks
     for t in last_tracks:
         assert abs(t["range_m"] - 7.0) < 1.0
+
+
+def test_world_targets_collapse_in_bev(tmp_path, cfg, capsys):
+    """World-fixed scatterers + moving platform: the generator evolves
+    range/azimuth/Doppler from true geometry, the ego fit recovers the
+    platform velocity, and dead-reckoned world accumulation collapses
+    each scatterer to a tight cluster (vs the sensor-frame smear)."""
+    from radar_tpu import cli
+    from radar_tpu.io.capture import write_capture
+
+    world = [(-3.0, 6.0), (1.5, 4.0), (4.0, 8.0), (-1.0, 9.0)]
+    tgts = [SceneTarget(range_m=0.0, amplitude=2500.0, world_xy=w)
+            for w in world]
+    n_frames = 13
+    cap = synthesize_capture(tgts, n_frames, cfg, noise_std=5.0, seed=21,
+                             platform_velocity=V_EGO)
+    path = tmp_path / "w.bin"
+    write_capture(str(path), np.asarray(cap))
+    out = tmp_path / "bev.csv"
+    png = tmp_path / "bev.png"
+    rc = cli.main(["bev", str(path), "--out", str(out),
+                   "--plot", str(png)])
+    assert rc in (0, None)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["event"] == "bev"
+    assert rec["ego_fit_ok_frames"] >= n_frames - 3
+    # platform covers ~ |v| * (F-1) * dt meters
+    import math
+    dt = cfg.num_chirps * cfg.chirp_interval_s
+    want_dist = math.hypot(*V_EGO) * (n_frames - 2) * dt
+    assert abs(rec["platform_distance_m"] - want_dist) < 0.4 * want_dist
+    assert png.exists()
+
+    rows = [l.split(",") for l in out.read_text().splitlines()[1:]]
+    xw = np.array([float(r[1]) for r in rows])
+    yw = np.array([float(r[2]) for r in rows])
+    static = np.array([r[3] == "1" for r in rows])
+    assert static.mean() > 0.8  # the scene IS the static world
+    # each world target's accumulated points cluster around its true
+    # position within bin-quantization noise; the sensor-frame smear
+    # over the same capture is the platform displacement (~0.8 m)
+    for wx, wy in world:
+        d = np.hypot(xw - wx, yw - wy)
+        sel = d < 1.2
+        assert sel.sum() >= n_frames // 2, (wx, wy, d.min())
+        spread = np.hypot(xw[sel] - xw[sel].mean(),
+                          yw[sel] - yw[sel].mean()).max()
+        assert spread < 0.7, (wx, wy, spread)
