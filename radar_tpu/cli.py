@@ -410,7 +410,9 @@ def cmd_detect(args) -> int:
             )
         elif n_int > 1:
             rd = jax.tree.map(
-                np.asarray, pipe.detect_integrated(todo, base, n_int)
+                np.asarray,
+                pipe.detect_integrated(todo, base, n_int,
+                                       getattr(args, "walk", False)),
             )
         else:
             rd = jax.tree.map(np.asarray, pipe.detect(todo, base))
@@ -1240,7 +1242,7 @@ def cmd_eval(args) -> int:
         return 2
     pfa = measure_pfa(cfg, frames=args.frames, noise_std=args.noise,
                       seed=args.seed, rd_impl=args.rd_impl,
-                      n_integrate=n_int)
+                      n_integrate=n_int, range_walk=args.walk)
     print(json.dumps({"event": "pfa", "cfar_kind": cfg.cfar_kind,
                       **({"n_integrate": n_int} if n_int > 1 else {}),
                       **pfa}),
@@ -1249,7 +1251,8 @@ def cmd_eval(args) -> int:
     for pt in pd_curve(cfg, amplitudes=amps, frames=args.frames,
                        noise_std=args.noise, range_m=args.range,
                        velocity_mps=args.velocity, seed=args.seed,
-                       rd_impl=args.rd_impl, n_integrate=n_int):
+                       rd_impl=args.rd_impl, n_integrate=n_int,
+                       range_walk=args.walk):
         print(json.dumps({
             "event": "pd", "cfar_kind": cfg.cfar_kind,
             **({"n_integrate": n_int} if n_int > 1 else {}),
@@ -1792,6 +1795,10 @@ def main(argv=None) -> int:
                         "consecutive frames' RD power maps before CFAR "
                         "(one record per group, frame = the group's last; "
                         "the low-SNR Pd lever)")
+    d.add_argument("--walk", action="store_true",
+                   help="with --integrate: Doppler-conditioned range-walk "
+                        "alignment before the sum (fast targets keep "
+                        "integrating past one range cell per group)")
     d.add_argument("--ego", type=float, default=None, nargs="?",
                    const=0.5, metavar="INLIER_MPS",
                    help="with --full: fit the platform (ego) velocity per "
@@ -1925,6 +1932,9 @@ def main(argv=None) -> int:
     e.add_argument("--integrate", type=int, default=None, metavar="N",
                    help="non-coherent integration depth for the Pfa/Pd "
                         "metrics (one decision per N-frame group)")
+    e.add_argument("--walk", action="store_true",
+                   help="with --integrate: range-walk alignment before "
+                        "the sum")
     e.add_argument("--objects", action="store_true",
                    help="also score the object level: clustered "
                         "representatives matched to the true targets "

@@ -64,6 +64,7 @@ def measure_pfa(
     max_detections: int = 16,
     rd_impl: str = "auto",
     n_integrate: int = 1,
+    range_walk: bool = False,
 ) -> dict:
     """Realized false-alarm rate on target-free frames.
 
@@ -85,7 +86,7 @@ def measure_pfa(
     base = pipe.prepare_base(jnp.asarray(cap[0]))
     if n_integrate > 1:
         out = pipe.detect_integrated(jnp.asarray(cap[1:]), base,
-                                     n_integrate)
+                                     n_integrate, range_walk)
     else:
         out = pipe.detect(jnp.asarray(cap[1:]), base)
     hits = int(np.asarray(out.num_hits).sum())
@@ -112,6 +113,7 @@ def pd_curve(
     max_detections: int = 16,
     rd_impl: str = "auto",
     n_integrate: int = 1,
+    range_walk: bool = False,
 ) -> list[EvalPoint]:
     """Pd over target amplitude for one target geometry.
 
@@ -152,7 +154,7 @@ def pd_curve(
         base = pipe.prepare_base(jnp.asarray(cap[0]))
         if n_integrate > 1:
             out = pipe.detect_integrated(jnp.asarray(cap[1:]), base,
-                                         n_integrate)
+                                         n_integrate, range_walk)
             d_t = d_true[n_integrate - 1 :: n_integrate]
             r_t = r_true[n_integrate - 1 :: n_integrate]
         else:

@@ -640,12 +640,13 @@ class RDPipeline:
         )
         return out, clusters
 
-    @partial(jax.jit, static_argnums=(0, 3))
+    @partial(jax.jit, static_argnums=(0, 3, 4))
     def detect_integrated(
         self,
         shorts: jnp.ndarray,
         base_cube: jnp.ndarray | None = None,
         n_integrate: int = 2,
+        range_walk: bool = False,
     ) -> RDResult:
         """Non-coherent integration: sum ``n_integrate`` consecutive
         frames' RD power maps, then CFAR + detection on the summed map.
@@ -677,9 +678,24 @@ class RDPipeline:
         cudaBenchMarking.cpp:242-250) is exactly what NCI's variance
         averaging cannot forgive.
 
+        ``range_walk=True`` adds Doppler-conditioned range alignment
+        before the sum: each Doppler bin's rows are shifted by its OWN
+        velocity's per-frame range migration
+        (``round(v_d * (N-1-f) * dt / r_res)`` bins, aligning every
+        frame onto the LAST frame's range grid), so fast targets keep
+        integrating past the one-cell-per-group limit the plain sum
+        imposes (a map-level form of range-migration-compensated NCI;
+        the full keystone transform interpolates slow time instead).
+        The shift uses the map's ALIASED velocity — targets beyond the
+        unambiguous span walk by their true velocity and stay smeared.
+        Cells shifted in from outside the window are ZERO, which thins
+        the CFAR training ring within ~v_max*N*dt/r_res bins of the
+        range edges (~2–3 bins at N=8 on the default geometry).
+
         AoA snapshots are gathered from each group's LAST frame (targets
         must hold their cell across the group — the same assumption the
-        integration itself makes).  Returns one :class:`RDResult` row
+        plain integration makes; under ``range_walk`` the aligned grid
+        IS the last frame's).  Returns one :class:`RDResult` row
         per group (``B // n_integrate`` results); ``B`` must divide.
 
         Reference contrast: the reference detects on single 16K spectra
@@ -699,7 +715,34 @@ class RDPipeline:
         if impl in ("mega", "mega-interpret"):
             impl = "mega-maps" + impl[len("mega"):]
         power, _, _ = self._maps(shorts, base_cube, impl, want_hits=False)
-        p_int = power.reshape((b // n, n) + power.shape[1:]).sum(axis=1)
+        pw = power.reshape((b // n, n) + power.shape[1:])
+        if range_walk and n > 1:
+            import numpy as onp
+
+            from radar_tpu.config import LIGHT_SPEED
+
+            d_sz, r_sz = cfg.doppler_fft_size, cfg.range_fft_size
+            dt_f = cfg.num_chirps * cfg.chirp_interval_s
+            r_res = ((cfg.sample_rate_hz / r_sz) * LIGHT_SPEED
+                     / (2.0 * cfg.slope_hz_per_s))
+            v_d = ((onp.arange(d_sz) - d_sz // 2)
+                   / (d_sz * cfg.slow_time_interval_s)
+                   * cfg.wavelength_m / 2.0)
+            shift = onp.rint(
+                v_d[None, :] * (n - 1 - onp.arange(n))[:, None]
+                * dt_f / r_res
+            ).astype(onp.int32)                             # (N, D)
+            src = onp.arange(r_sz)[None, None, :] - shift[:, :, None]
+            ok_src = jnp.asarray((src >= 0) & (src < r_sz))
+            src_c = jnp.asarray(onp.clip(src, 0, r_sz - 1))
+            pw = jnp.where(
+                ok_src,
+                jnp.take_along_axis(
+                    pw, jnp.broadcast_to(src_c, pw.shape), axis=-1
+                ),
+                0.0,
+            )
+        p_int = pw.sum(axis=1)
         # integration-matched threshold: Erlang-N cells need their own
         # alpha (ops.cfar.cfar_alpha n_pulses) or the gain is thrown away
         import dataclasses
