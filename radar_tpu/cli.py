@@ -36,6 +36,8 @@ def _build_cfg(args) -> RadarConfig:
         kw["clutter_mode"] = args.clutter
     if getattr(args, "num_tx", None):
         kw["num_tx"] = args.num_tx
+    if getattr(args, "cfar_pulses", None):
+        kw["cfar_n_pulses"] = args.cfar_pulses
     cal_path = getattr(args, "cal", None)
     if cal_path:
         import json
@@ -114,6 +116,13 @@ def _add_pipeline_flags(sp) -> None:
                     help="MXU matmul precision: 'high' 3-pass (~8e-6 vs "
                          "golden, the default), 'highest' f32 (~8e-8), or "
                          "'default' 1 bf16 pass (~9e-4, fastest)")
+    sp.add_argument("--cfar-pulses", type=int, default=None, metavar="N",
+                    help="solve the CA-CFAR alpha for Erlang-N cells "
+                         "instead of exponential: set to num_tx*num_rx "
+                         "to match the RX-summed per-frame map (the "
+                         "historical default 1 is conservative — "
+                         "measured ~0 false alarms where pfa=1e-4 "
+                         "expects ~52)")
     sp.add_argument("--clutter", default=None,
                     choices=["auto", "base", "mean", "mti2", "mti3"],
                     help="slow-time clutter removal: 'auto' (base frame "
@@ -1972,6 +1981,8 @@ def main(argv=None) -> int:
                     help="write a time x velocity PNG")
     md.add_argument("--dft-precision", default=None,
                     choices=["high", "highest", "default"])
+    md.add_argument("--clutter", default=None,
+                    choices=["auto", "base", "mean", "mti2", "mti3"])
     md.add_argument("--window-kind", default=None,
                     choices=["hann", "hamming", "blackman",
                              "blackmanharris", "rect"])
@@ -2003,6 +2014,8 @@ def main(argv=None) -> int:
                          "virtual array)")
     az.add_argument("--dft-precision", default=None,
                     choices=["high", "highest", "default"])
+    az.add_argument("--clutter", default=None,
+                    choices=["auto", "base", "mean", "mti2", "mti3"])
     az.add_argument("--window-kind", default=None,
                     choices=["hann", "hamming", "blackman",
                              "blackmanharris", "rect"])
@@ -2030,6 +2043,8 @@ def main(argv=None) -> int:
                     help="apply per-channel calibration corrections")
     ad.add_argument("--dft-precision", default=None,
                     choices=["high", "highest", "default"])
+    ad.add_argument("--clutter", default=None,
+                    choices=["auto", "base", "mean", "mti2", "mti3"])
     ad.add_argument("--window-kind", default=None,
                     choices=["hann", "hamming", "blackman",
                              "blackmanharris", "rect"])
