@@ -240,6 +240,20 @@ def main() -> None:
             f"constants, no base frame): {1000*dt:.2f} ms/{args.batch} = "
             f"{args.batch/dt:.0f} fps")
 
+        # non-coherent integration (x4, Erlang-matched alpha): the
+        # power-only mega kernel + reshape-sum + band CFAR + tail; one
+        # detection set per 4 frames
+        p = RDPipeline(cfg, 16)
+        fence(p.detect_integrated(batch_dev, base, 4))
+        t0 = time.perf_counter()
+        outs = [p.detect_integrated(batch_dev, base, 4)
+                for _ in range(n_batches)]
+        fence([o.power for o in outs])
+        dt = (time.perf_counter() - t0) / n_batches
+        log(f"variant detect_integrated n=4 (NCI, Erlang-matched alpha): "
+            f"{1000*dt:.2f} ms/{args.batch} frames = {args.batch/dt:.0f} "
+            f"fps ({args.batch//4} detection sets)")
+
         # exact (stride-1) OS-CFAR via the Pallas box-count hits kernel:
         # the full 248-cell ring, no decimation (golden truth
         # radar_tpu/golden.py:313; upgraded detector for the reference's

@@ -336,6 +336,17 @@ def cmd_detect(args) -> int:
         print("error: --ego requires --full (the fit runs on the RD "
               "pipeline's detections)", file=sys.stderr)
         return 2
+    cmap_beta = getattr(args, "cmap", None)
+    if cmap_beta is not None:
+        if not args.full:
+            print("error: --cmap requires --full (the clutter map runs "
+                  "on the RD pipeline's power maps)", file=sys.stderr)
+            return 2
+        for bad in ("cluster", "integrate"):
+            if getattr(args, bad, None):
+                print(f"error: --cmap cannot be combined with --{bad}",
+                      file=sys.stderr)
+                return 2
     n_int = getattr(args, "integrate", None) or 1
     if n_int > 1:
         if not args.full:
@@ -417,6 +428,10 @@ def cmd_detect(args) -> int:
             rd, cl = jax.tree.map(
                 np.asarray, pipe.detect_objects(todo, base)
             )
+        elif cmap_beta is not None:
+            rd, _ = pipe.detect_cmap(todo, base, beta=cmap_beta,
+                                     block=args.cmap_block)
+            rd = jax.tree.map(np.asarray, rd)
         elif n_int > 1:
             rd = jax.tree.map(
                 np.asarray,
@@ -592,6 +607,8 @@ def cmd_serve(args) -> int:
               file=sys.stderr)
         disambiguate = False
     ego_gate = getattr(args, "ego", None)
+    cmap_beta = getattr(args, "cmap", None)
+    cmap_state: dict = {}   # per-source recursive background map
     pipe = RDPipeline(cfg, max_detections=args.max_detections,
                       rd_impl=args.rd_impl)
     blank_k = getattr(args, "blank_interference", None)
@@ -696,7 +713,20 @@ def cmd_serve(args) -> int:
                 stack, nbl = blank_interference(jnp.asarray(stack),
                                                 k=blank_k)
                 blank_acc = blank_acc + jnp.sum(nbl)
-            out = np.array(pack_detections(pipe.detect(stack, bases[src])))
+            if cmap_beta is not None:
+                # block=1 alpha: serve's map updates once per dispatch
+                # with varying micro-batch sizes, and the per-frame
+                # (largest) alpha keeps the realized Pfa at or below
+                # the configured rate for any batch size
+                res, m_out = pipe.detect_cmap(
+                    stack, bases[src], beta=cmap_beta,
+                    m0=cmap_state.get(src), block=1,
+                )
+                cmap_state[src] = m_out   # stays device-resident
+                out = np.array(pack_detections(res))
+            else:
+                out = np.array(pack_detections(pipe.detect(stack,
+                                                           bases[src])))
             fetch_ms.append(1e3 * (time.perf_counter() - t_x))
             elev = None
             hyp = None
@@ -1804,6 +1834,20 @@ def main(argv=None) -> int:
                         "consecutive frames' RD power maps before CFAR "
                         "(one record per group, frame = the group's last; "
                         "the low-SNR Pd lever)")
+    d.add_argument("--cmap", type=float, default=None, nargs="?",
+                   const=0.25, metavar="BETA",
+                   help="with --full: clutter-map detector instead of "
+                        "spatial CFAR — per-cell recursive background "
+                        "updated once per block of frames (exact under "
+                        "spatially varying clutter floors; the first "
+                        "block warms up; optional value = update weight "
+                        "beta, default 0.25)")
+    d.add_argument("--cmap-block", type=int, default=16, metavar="B",
+                   help="frames per clutter-map update (default 16): "
+                        "choose >= the slowest target's cell dwell or "
+                        "the map absorbs movers (measured: a 3 m/s "
+                        "target vanished after ONE frame under per-frame "
+                        "updates)")
     d.add_argument("--walk", action="store_true",
                    help="with --integrate: Doppler-conditioned range-walk "
                         "alignment before the sum (fast targets keep "
@@ -1842,6 +1886,12 @@ def main(argv=None) -> int:
                         "per frame (host-side, zero device cost), label "
                         "detections static/moving with ground-frame "
                         "velocities, and track movers only")
+    s.add_argument("--cmap", type=float, default=None, nargs="?",
+                   const=0.25, metavar="BETA",
+                   help="clutter-map detector instead of spatial CFAR: "
+                        "per-cell recursive background carried across "
+                        "micro-batches per source (first served frame "
+                        "warms up)")
     s.add_argument("--disambiguate", action="store_true",
                    help="TDM phase-hypothesis velocity disambiguation per "
                         "batch (num_tx > 1): served velocities cover the "

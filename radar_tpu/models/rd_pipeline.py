@@ -776,6 +776,45 @@ class RDPipeline:
             topk_impl=self._topk_impl(),
         )
 
+    @partial(jax.jit, static_argnums=(0,),
+             static_argnames=("beta", "block"))
+    def detect_cmap(
+        self,
+        shorts: jnp.ndarray,
+        base_cube: jnp.ndarray | None = None,
+        beta: float = 0.25,
+        m0: jnp.ndarray | None = None,
+        block: int = 16,
+    ) -> tuple[RDResult, jnp.ndarray]:
+        """Detection with the CLUTTER-MAP detector instead of spatial
+        CFAR: each cell's threshold comes from its own recursive
+        background over frames (``ops.cmap.clutter_map_cfar``) — exact
+        wherever the clutter floor varies across the map, which is
+        where a spatial training ring averages two levels and gets both
+        sides wrong.  Stateful: pass the previous call's returned map as
+        ``m0`` to continue a stream (the serve path does); without it
+        the first frame seeds the map and emits no hits (warmup).
+
+        Returns ``(RDResult, m_out)``.
+        """
+        from radar_tpu.ops.cmap import clutter_map_cfar
+
+        cfg = self.cfg
+        impl = self._resolve_rd_impl()
+        if impl in ("mega", "mega-interpret"):
+            impl = "mega-maps" + impl[len("mega"):]
+        power, _, snaps_fn = self._maps(shorts, base_cube, impl,
+                                        want_hits=False)
+        hits, m_out = clutter_map_cfar(
+            power, cfg.cfar_pfa, beta, m0, seeded=m0 is not None,
+            block=block,
+        )
+        out = assemble_result(
+            power, snaps_fn, hits, self.max_detections, cfg,
+            topk_impl=self._topk_impl(),
+        )
+        return out, m_out
+
     # -- streaming ingest: donated input buffer ------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def detect_donated(
