@@ -381,7 +381,61 @@ void radar_ca_cfar(const double* power, int d, int r, int guard_d,
   }
 }
 
-double radar_go_so_cfar_alpha(int n_half, double pfa, int kind) {
+double radar_go_so_cfar_alpha(int n_half, double pfa, int kind,
+                              int n_pulses) {
+  if (n_pulses > 1) {
+    // Erlang-matched double sum (radar_tpu.golden._go_so_alpha_integrated):
+    // cell Gamma(N), half sums Gamma(M = n_half*N);
+    //   Pfa_SO = 2 sum_{k<N} sum_{j<M} G(M+k+j)/(G(M) k! j!)
+    //                                  t^k (2+t)^-(M+k+j)
+    //   Pfa_GO = 2 sum_{k<N} C(M+k-1,k) t^k (1+t)^-(M+k) - Pfa_SO
+    const int np = n_pulses, m = n_half * n_pulses;
+    const double lg_m = std::lgamma((double)m);
+    std::vector<double> lco((size_t)np * m), lbin(np);
+    for (int k = 0; k < np; ++k) {
+      lbin[k] = std::lgamma((double)m + k) - std::lgamma(k + 1.0) - lg_m;
+      for (int j = 0; j < m; ++j) {
+        lco[(size_t)k * m + j] = std::lgamma((double)m + k + j) - lg_m -
+                                 std::lgamma(k + 1.0) -
+                                 std::lgamma(j + 1.0);
+      }
+    }
+    auto pfa_of = [&](double t) {
+      const double lt = std::log(t), l2t = std::log(2.0 + t),
+                   l1t = std::log(1.0 + t);
+      double mx = -std::numeric_limits<double>::infinity();
+      for (int k = 0; k < np; ++k) {
+        for (int j = 0; j < m; ++j) {
+          mx = std::max(mx, lco[(size_t)k * m + j] + k * lt -
+                                (m + k + j) * l2t);
+        }
+      }
+      double s = 0.0;
+      for (int k = 0; k < np; ++k) {
+        for (int j = 0; j < m; ++j) {
+          s += std::exp(lco[(size_t)k * m + j] + k * lt -
+                        (m + k + j) * l2t - mx);
+        }
+      }
+      const double so = 2.0 * std::exp(mx) * s;
+      if (kind == 1) return so;
+      double half = 0.0;
+      for (int k = 0; k < np; ++k) {
+        half += std::exp(lbin[k] + k * lt - (m + k) * l1t);
+      }
+      return 2.0 * half - so;
+    };
+    double lo = 1e-9, hi = 1e9;
+    for (int it = 0; it < 200; ++it) {
+      const double mid = std::sqrt(lo * hi);
+      if (pfa_of(mid) > pfa) {
+        lo = mid;
+      } else {
+        hi = mid;
+      }
+    }
+    return std::sqrt(lo * hi);
+  }
   // Exact GO/SO-CFAR false-alarm rates for exponential noise with n
   // cells per half and threshold t * S_half [Gandhi & Kassam 1988]:
   //   Pfa_SO(t) = 2 * sum_{k=0}^{n-1} C(n-1+k, k) * (2+t)^-(n+k)
@@ -422,11 +476,12 @@ double radar_go_so_cfar_alpha(int n_half, double pfa, int kind) {
 
 void radar_go_so_cfar(const double* power, int d, int r, int guard_d,
                       int guard_r, int train_d, int train_r, double pfa,
-                      int kind, int range_mode, double* threshold,
-                      uint8_t* hits) {
+                      int kind, int n_pulses, int range_mode,
+                      double* threshold, uint8_t* hits) {
   const int wd = guard_d + train_d, wr = guard_r + train_r;
   const int n_half = (2 * wd + 1) * wr - (2 * guard_d + 1) * guard_r;
-  const double t = radar_go_so_cfar_alpha(n_half, pfa, kind);
+  const double t = radar_go_so_cfar_alpha(n_half, pfa, kind,
+                                          n_pulses);
   for (int i = 0; i < d; ++i) {
     for (int j = 0; j < r; ++j) {
       double lead = 0.0, lag = 0.0;

@@ -120,11 +120,15 @@ void radar_os_cfar(const double* power, int d, int r, int guard_d,
 // threshold = t * max/min(half sums) with t from the exact Gandhi-Kassam
 // exponential-noise Pfa (radar_go_so_cfar_alpha).  Matches
 // radar_tpu.golden.go_so_cfar_2d; same edge conventions as radar_ca_cfar.
-double radar_go_so_cfar_alpha(int n_half, double pfa, int kind);
+// n_pulses: non-coherent integration depth (1 = the exponential
+// Gandhi-Kassam forms; N > 1 = the Erlang-matched double-sum
+// generalization, matching radar_tpu.golden.go_so_cfar_alpha).
+double radar_go_so_cfar_alpha(int n_half, double pfa, int kind,
+                              int n_pulses);
 void radar_go_so_cfar(const double* power, int d, int r, int guard_d,
                       int guard_r, int train_d, int train_r, double pfa,
-                      int kind, int range_mode, double* threshold,
-                      uint8_t* hits);
+                      int kind, int n_pulses, int range_mode,
+                      double* threshold, uint8_t* hits);
 
 #ifdef __cplusplus
 }  // extern "C"

@@ -689,7 +689,9 @@ def ca_cfar_2d(
     return power > threshold, threshold
 
 
-def go_so_cfar_alpha(n_half: int, pfa: float, kind: str) -> float:
+def go_so_cfar_alpha(
+    n_half: int, pfa: float, kind: str, n_pulses: int = 1
+) -> float:
     """GO/SO-CFAR scale factor for exponential (square-law) noise.
 
     Exact false-alarm rates for greatest-of / smallest-of cell averaging
@@ -699,11 +701,26 @@ def go_so_cfar_alpha(n_half: int, pfa: float, kind: str) -> float:
       Pfa_SO(t) = 2 * sum_{k=0}^{n-1} C(n-1+k, k) * (2+t)^-(n+k)
       Pfa_GO(t) = 2 * (1+t)^-n - Pfa_SO(t)
 
+    ``n_pulses = N > 1`` (non-coherently integrated maps): the cell is
+    Erlang-N and each half-sum Gamma(M), M = n_half*N; the same
+    conditioning argument generalizes to the double sum
+
+      P(X > t Sa, Sb > Sa)
+        = sum_{k<N} sum_{j<M} G(M+k+j)/(G(M) k! j!) t^k (2+t)^-(M+k+j)
+      Pfa_SO = 2 * that;  Pfa_GO = 2 * Pfa_half(t) - Pfa_SO
+
+    with ``Pfa_half`` the CA series over Gamma(M) training
+    (:func:`ca_cfar_alpha_integrated`'s integrand) — at N = 1 both
+    reduce to the Gandhi-Kassam forms above (the N = 1 code path is
+    kept verbatim for bit-compatibility).
+
     Both are monotone decreasing in t; solved by bisection in log space
     (log-gamma binomials, no scipy).  Returns t.
     """
     import math
 
+    if n_pulses > 1:
+        return _go_so_alpha_integrated(n_half, pfa, kind, n_pulses)
     n = n_half
     log_binom = [
         math.lgamma(n + k) - math.lgamma(k + 1) - math.lgamma(n)
@@ -724,6 +741,51 @@ def go_so_cfar_alpha(n_half: int, pfa: float, kind: str) -> float:
     for _ in range(200):
         mid = math.sqrt(lo * hi)  # geometric: t spans many decades
         if pfa_of(mid) > pfa:  # Pfa decreases as t grows
+            lo = mid
+        else:
+            hi = mid
+    return math.sqrt(lo * hi)
+
+
+def _go_so_alpha_integrated(
+    n_half: int, pfa: float, kind: str, n_pulses: int
+) -> float:
+    """Erlang-matched GO/SO alpha (see :func:`go_so_cfar_alpha`)."""
+    import math
+
+    n_p, m = n_pulses, n_half * n_pulses
+    lg_m = math.lgamma(m)
+    # log coefficient table for the SO double sum
+    lco = [
+        [math.lgamma(m + k + j) - lg_m - math.lgamma(k + 1)
+         - math.lgamma(j + 1) for j in range(m)]
+        for k in range(n_p)
+    ]
+    lbin_half = [
+        math.lgamma(m + k) - math.lgamma(k + 1) - lg_m
+        for k in range(n_p)
+    ]
+
+    def pfa_of(t: float) -> float:
+        lt, l2t, l1t = math.log(t), math.log(2.0 + t), math.log(1.0 + t)
+        terms = [
+            lco[k][j] + k * lt - (m + k + j) * l2t
+            for k in range(n_p) for j in range(m)
+        ]
+        mx = max(terms)
+        so = 2.0 * math.exp(mx) * sum(math.exp(x - mx) for x in terms)
+        if kind == "so":
+            return so
+        half = sum(
+            math.exp(lbin_half[k] + k * lt - (m + k) * l1t)
+            for k in range(n_p)
+        )
+        return 2.0 * half - so
+
+    lo, hi = 1e-9, 1e9
+    for _ in range(200):
+        mid = math.sqrt(lo * hi)
+        if pfa_of(mid) > pfa:
             lo = mid
         else:
             hi = mid

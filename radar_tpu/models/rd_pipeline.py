@@ -661,9 +661,9 @@ class RDPipeline:
         mostly thrown away (the single-pulse alpha holds a deterministic
         gap above the N-scaled noise mean that variance averaging cannot
         cross — measured Pd 0.28 -> 0.38 at the knee vs -> 1.0 matched).
-        'goca'/'soca'/'os' keep their single-pulse alphas: realized Pfa
-        under integration comes out BELOW configured (lighter-tailed
-        Erlang cells) and Pd gains stay partial;
+        'goca'/'soca' are matched too (the Gandhi-Kassam double-sum
+        generalization); 'os' keeps its single-pulse alpha — realized
+        Pfa below configured, partial Pd gain;
         ``cli eval --integrate`` measures both.
 
         Pair integration with a FRESH-NOISE clutter mode ('mean', 'mti2'/

@@ -126,10 +126,11 @@ def load() -> ctypes.CDLL:
         lib.radar_go_so_cfar.argtypes = [
             dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
-            ctypes.c_int, dp, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, dp,
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.radar_go_so_cfar_alpha.argtypes = [
-            ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
         ]
         lib.radar_go_so_cfar_alpha.restype = ctypes.c_double
         lib.radar_ca_cfar_alpha_integrated.argtypes = [
@@ -315,7 +316,7 @@ def go_so_cfar_2d(
     lib.radar_go_so_cfar(
         _dptr(p), d, r, cfg.cfar_guard[0], cfg.cfar_guard[1],
         cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa,
-        0 if kind == "go" else 1,
+        0 if kind == "go" else 1, cfg.cfar_n_pulses,
         1 if cfg.cfar_range_mode == "reflect" else 0, _dptr(thresh),
         hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
     )

@@ -294,7 +294,8 @@ def go_so_params(cfg: RadarConfig, kind: str) -> tuple[int, float]:
             f"{kind.upper()}CA-CFAR needs range training cells: "
             f"cfar_train[1] > 0 (got train={cfg.cfar_train})"
         )
-    return n_half, float(go_so_cfar_alpha(n_half, cfg.cfar_pfa, kind))
+    return n_half, float(go_so_cfar_alpha(n_half, cfg.cfar_pfa, kind,
+                                          cfg.cfar_n_pulses))
 
 
 def go_so_band_matrices(cfg: RadarConfig, d_size: int, r_size: int):

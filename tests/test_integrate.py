@@ -177,3 +177,22 @@ def test_rx_matched_alpha_realizes_design_pfa(cfg):
     assert (0.2 * matched["pfa_configured"]
             <= matched["pfa_measured"]
             <= 3.0 * matched["pfa_configured"]), matched
+
+
+def test_go_so_integrated_alpha_mc():
+    """Erlang-matched GO/SO alphas land on the design rate (the
+    Gandhi-Kassam double-sum generalization; MC over iid Erlang cells)."""
+    rng = np.random.default_rng(7)
+    n_half, pfa = 20, 1e-3
+    for n_p in (2, 4):
+        for kind in ("go", "so"):
+            t = golden.go_so_cfar_alpha(n_half, pfa, kind, n_p)
+            x = rng.gamma(n_p, 1.0, 500_000)
+            sa = rng.gamma(n_half * n_p, 1.0, 500_000)
+            sb = rng.gamma(n_half * n_p, 1.0, 500_000)
+            s = np.maximum(sa, sb) if kind == "go" else np.minimum(sa, sb)
+            meas = (x > t * s).mean()
+            assert 0.6 * pfa < meas < 1.6 * pfa, (n_p, kind, meas)
+    # N=1 path bit-compatible with the legacy signature
+    assert (golden.go_so_cfar_alpha(20, 1e-3, "go", 1)
+            == golden.go_so_cfar_alpha(20, 1e-3, "go"))

@@ -175,7 +175,7 @@ def test_native_go_so_alpha_matches_python():
     for n, pfa in [(104, 1e-6), (40, 1e-4), (12, 1e-2)]:
         for kind, ki in (("go", 0), ("so", 1)):
             a_py = go_so_cfar_alpha(n, pfa, kind)
-            a_c = lib.radar_go_so_cfar_alpha(n, pfa, ki)
+            a_c = lib.radar_go_so_cfar_alpha(n, pfa, ki, 1)
             assert abs(a_c - a_py) / a_py < 1e-9, (n, pfa, kind)
 
 
@@ -211,3 +211,14 @@ def test_native_ca_cfar_respects_n_pulses():
     # and the matched threshold sits BELOW the single-pulse one
     _, thr_1 = native.ca_cfar_2d(p[0], RadarConfig())
     assert thr_c.mean() < thr_1.mean()
+
+
+def test_native_go_so_integrated_alpha_matches_golden():
+    from radar_tpu.golden import go_so_cfar_alpha
+
+    lib = native.load()
+    for n_p in (2, 4):
+        for kind, ki in (("go", 0), ("so", 1)):
+            a_py = go_so_cfar_alpha(20, 1e-3, kind, n_p)
+            a_c = lib.radar_go_so_cfar_alpha(20, 1e-3, ki, n_p)
+            assert abs(a_c - a_py) / a_py < 1e-9, (n_p, kind)
