@@ -509,7 +509,60 @@ void radar_go_so_cfar(const double* power, int d, int r, int guard_d,
   }
 }
 
-double radar_os_cfar_alpha(int n_train, int k, double pfa) {
+double radar_os_cfar_alpha(int n_train, int k, double pfa,
+                           int n_pulses) {
+  if (n_pulses > 1) {
+    // Erlang-matched OS alpha (radar_tpu.golden._os_alpha_integrated):
+    // Pfa(a) = k C(n,k) INT Q(N, a y) F^{k-1} (1-F)^{n-k} f(y) dy with
+    // the integer-shape Erlang CDF, trapezoid rule on a dense grid.
+    const int n = n_train, np = n_pulses;
+    const int grid = 20001;
+    const double y_max = np + 40.0 + 8.0 * std::sqrt((double)np);
+    std::vector<double> y(grid), dens(grid);
+    std::vector<double> lfact(np);
+    for (int i = 0; i < np; ++i) lfact[i] = std::lgamma(i + 1.0);
+    const double log_c = std::log((double)k) + std::lgamma(n + 1.0) -
+                         std::lgamma(k + 1.0) - std::lgamma(n - k + 1.0);
+    for (int g = 0; g < grid; ++g) {
+      const double yy = 1e-9 + (y_max - 1e-9) * g / (grid - 1);
+      y[g] = yy;
+      double s = 0.0;
+      for (int i = 0; i < np; ++i) {
+        s += std::exp(i * std::log(yy) - lfact[i]);
+      }
+      const double ccdf = std::max(std::exp(-yy) * s, 1e-300);
+      const double cdf = std::max(1.0 - ccdf, 1e-300);
+      const double log_f =
+          (np - 1) * std::log(yy) - yy - std::lgamma((double)np);
+      dens[g] = std::exp(log_c + (k - 1) * std::log(cdf) +
+                         (n - k) * std::log(ccdf) + log_f);
+    }
+    auto pfa_of = [&](double a) {
+      double acc = 0.0, prev = 0.0;
+      for (int g = 0; g < grid; ++g) {
+        const double ay = a * y[g];
+        double s = 0.0;
+        for (int i = 0; i < np; ++i) {
+          s += std::exp(i * std::log(ay) - lfact[i]);
+        }
+        const double q = std::exp(-ay) * s;
+        const double v = q * dens[g];
+        if (g) acc += 0.5 * (v + prev) * (y[g] - y[g - 1]);
+        prev = v;
+      }
+      return acc;
+    };
+    double lo = 1e-6, hi = 1e6;
+    for (int it = 0; it < 100; ++it) {
+      const double mid = std::sqrt(lo * hi);
+      if (pfa_of(mid) > pfa) {
+        lo = mid;
+      } else {
+        hi = mid;
+      }
+    }
+    return std::sqrt(lo * hi);
+  }
   // Rohling's exponential-noise OS-CFAR Pfa, solved by bisection on
   // log Pfa(alpha) = log k + lgamma(N+1) - lgamma(k+1) - lgamma(N-k+1)
   //                + lgamma(alpha+N-k+1) + lgamma(k) - lgamma(alpha+N+1)
@@ -535,8 +588,8 @@ double radar_os_cfar_alpha(int n_train, int k, double pfa) {
 
 void radar_os_cfar(const double* power, int d, int r, int guard_d,
                    int guard_r, int train_d, int train_r, double pfa,
-                   double k_frac, int stride, int range_mode,
-                   double* threshold, uint8_t* hits) {
+                   double k_frac, int stride, int n_pulses,
+                   int range_mode, double* threshold, uint8_t* hits) {
   const int wd = guard_d + train_d, wr = guard_r + train_r;
   if (stride < 1) stride = 1;
   // training ring size (window minus guard block), decimated by stride in
@@ -547,7 +600,8 @@ void radar_os_cfar(const double* power, int d, int r, int guard_d,
   int k = (int)std::llround(k_frac * n_train);
   if (k < 1) k = 1;
   if (k > n_train) k = n_train;
-  const double alpha = radar_os_cfar_alpha(n_train, k, pfa);
+  const double alpha = radar_os_cfar_alpha(n_train, k, pfa,
+                                           n_pulses);
 
   std::vector<double> ring((size_t)n_train);
   for (int i = 0; i < d; ++i) {

@@ -108,11 +108,14 @@ double radar_ca_cfar_alpha_integrated(int n_train, double pfa,
 // k = round(k_frac * n_train); alpha from Rohling's exponential-noise Pfa
 // (radar_os_cfar_alpha).  Same window geometry / edge conventions as
 // radar_ca_cfar.
-double radar_os_cfar_alpha(int n_train, int k, double pfa);
+// n_pulses: non-coherent integration depth (1 = Rohling's Beta form;
+// N > 1 = Erlang-matched via the numerical order-statistic integral,
+// matching radar_tpu.golden.os_cfar_alpha).
+double radar_os_cfar_alpha(int n_train, int k, double pfa, int n_pulses);
 void radar_os_cfar(const double* power, int d, int r, int guard_d,
                    int guard_r, int train_d, int train_r, double pfa,
-                   double k_frac, int stride, int range_mode,
-                   double* threshold, uint8_t* hits);
+                   double k_frac, int stride, int n_pulses,
+                   int range_mode, double* threshold, uint8_t* hits);
 
 // Greatest-of (kind=0) / smallest-of (kind=1) cell-averaging CFAR:
 // the training ring splits into range-leading (dr > 0) and range-lagging

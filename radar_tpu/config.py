@@ -83,11 +83,10 @@ class RadarConfig:
     # ``cfar_n_pulses = 1`` convention is conservative (realized Pfa
     # below configured — measured 0 hits where 1e-4 expects ~52 on
     # target-free noise); set ``cfar_n_pulses = num_tx * num_rx`` to
-    # Erlang-match the single-frame detector.  Applies to 'ca' and
-    # 'goca'/'soca' (the Gandhi-Kassam forms generalize to a double
-    # sum, MC-validated); 'os' keeps its single-pulse alpha (rank
-    # statistics of Erlang cells need numerical order-statistic
-    # integrals — a round-5 candidate).
+    # Erlang-match the single-frame detector.  Applies to EVERY kind:
+    # 'ca' (closed-form series), 'goca'/'soca' (Gandhi-Kassam double
+    # sum) and 'os' (numerical order-statistic integral over the
+    # integer-shape Erlang CDF) — all MC-validated at the design rate.
     cfar_n_pulses: int = 1
     # Window applied on both FFT axes before the range/Doppler DFTs:
     # trades main-lobe width for sidelobe level (strong-target sidelobes

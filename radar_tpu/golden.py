@@ -849,13 +849,31 @@ def go_so_cfar_2d(
     return power > threshold, threshold
 
 
-def os_cfar_alpha(n_train: int, k: int, pfa: float) -> float:
+def os_cfar_alpha(
+    n_train: int, k: int, pfa: float, n_pulses: int = 1
+) -> float:
     """OS-CFAR scale factor for exponential (square-law) noise.
 
     Pfa(alpha) = k * C(N, k) * B(alpha + N - k + 1, k)  [Rohling 1983],
     solved for alpha by bisection using log-gamma (no scipy dependency).
+
+    ``n_pulses = N_p > 1`` (non-coherently integrated maps): cells are
+    Erlang-N_p, whose integer shape keeps everything closed-form — the
+    order-statistic density uses the Erlang CDF
+    ``F(y) = 1 - e^-y sum_{i<N_p} y^i/i!`` and the exceedance
+    ``Q(N_p, a y)``, and
+
+      Pfa(a) = k C(n,k) INT_0^inf Q(N_p, a y) F^{k-1} (1-F)^{n-k} f(y) dy
+
+    is a smooth 1D integral evaluated by the trapezoid rule on a dense
+    grid (config-time constant; MC-validated).  Reduces to Rohling's
+    Beta form at N_p = 1, where the legacy code path is kept verbatim
+    for bit-compatibility.
     """
     import math
+
+    if n_pulses > 1:
+        return _os_alpha_integrated(n_train, k, pfa, n_pulses)
 
     log_k_choose = (
         math.log(k)
@@ -878,6 +896,47 @@ def os_cfar_alpha(n_train: int, k: int, pfa: float) -> float:
         else:
             hi = mid
     return 0.5 * (lo + hi)
+
+
+def _os_alpha_integrated(
+    n_train: int, k: int, pfa: float, n_pulses: int
+) -> float:
+    """Erlang-matched OS alpha (see :func:`os_cfar_alpha`)."""
+    import math
+
+    n, n_p = n_train, n_pulses
+    # dense grid over the order statistic's support: Y_(k) concentrates
+    # around the F^{-1}(k/n) quantile of Gamma(n_p); the Gamma tail is
+    # e^-y, so [0, n_p + 40 + 8*sqrt(n_p)] covers it past double precision
+    y = np.linspace(1e-9, n_p + 40.0 + 8.0 * math.sqrt(n_p), 20001)
+    pows = np.stack([y**i / math.factorial(i) for i in range(n_p)])
+    ccdf = np.exp(-y) * pows.sum(axis=0)            # 1 - F(y), Erlang
+    cdf = 1.0 - ccdf
+    log_f = (n_p - 1) * np.log(y) - y - math.lgamma(n_p)  # Gamma(n_p) pdf
+    log_c = (math.log(k) + math.lgamma(n + 1) - math.lgamma(k + 1)
+             - math.lgamma(n - k + 1))
+    # order-statistic density of Y_(k), in log space for the extremes
+    with np.errstate(divide="ignore"):
+        log_dens = (log_c + (k - 1) * np.log(np.maximum(cdf, 1e-300))
+                    + (n - k) * np.log(np.maximum(ccdf, 1e-300)) + log_f)
+    dens = np.exp(log_dens)
+
+    def pfa_of(alpha: float) -> float:
+        ay = alpha * y
+        q = np.exp(-ay) * np.stack(
+            [ay**i / math.factorial(i) for i in range(n_p)]
+        ).sum(axis=0)                               # Q(n_p, alpha*y)
+        trapz = getattr(np, "trapezoid", np.trapz)
+        return float(trapz(q * dens, y))
+
+    lo, hi = 1e-6, 1e6
+    for _ in range(100):
+        mid = math.sqrt(lo * hi)
+        if pfa_of(mid) > pfa:
+            lo = mid
+        else:
+            hi = mid
+    return math.sqrt(lo * hi)
 
 
 def os_cfar_2d(

@@ -117,10 +117,11 @@ def load() -> ctypes.CDLL:
         lib.radar_os_cfar.argtypes = [
             dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
-            ctypes.c_int, ctypes.c_int, dp, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, dp,
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.radar_os_cfar_alpha.argtypes = [
-            ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
         ]
         lib.radar_os_cfar_alpha.restype = ctypes.c_double
         lib.radar_go_so_cfar.argtypes = [
@@ -285,7 +286,7 @@ def os_cfar_2d(
     lib.radar_os_cfar(
         _dptr(p), d, r, cfg.cfar_guard[0], cfg.cfar_guard[1],
         cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa,
-        cfg.cfar_os_k_frac, cfg.cfar_os_stride,
+        cfg.cfar_os_k_frac, cfg.cfar_os_stride, cfg.cfar_n_pulses,
         1 if cfg.cfar_range_mode == "reflect" else 0, _dptr(thresh),
         hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
     )

@@ -197,7 +197,8 @@ def os_ring_params(cfg: RadarConfig):
     ][:: cfg.cfar_os_stride]
     n_train = len(offsets)
     k = max(1, min(n_train, int(math.floor(cfg.cfar_os_k_frac * n_train + 0.5))))
-    alpha = float(os_cfar_alpha(n_train, k, cfg.cfar_pfa))
+    alpha = float(os_cfar_alpha(n_train, k, cfg.cfar_pfa,
+                                cfg.cfar_n_pulses))
     return offsets, n_train, k, alpha
 
 

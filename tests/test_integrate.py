@@ -196,3 +196,19 @@ def test_go_so_integrated_alpha_mc():
     # N=1 path bit-compatible with the legacy signature
     assert (golden.go_so_cfar_alpha(20, 1e-3, "go", 1)
             == golden.go_so_cfar_alpha(20, 1e-3, "go"))
+
+
+def test_os_integrated_alpha_mc():
+    """Erlang-matched OS alpha lands on the design rate (numerical
+    order-statistic integral, MC over iid Erlang cells)."""
+    rng = np.random.default_rng(8)
+    n, k, pfa = 40, 30, 1e-3
+    for n_p in (2, 4):
+        a = golden.os_cfar_alpha(n, k, pfa, n_p)
+        x = rng.gamma(n_p, 1.0, 300_000)
+        y = rng.gamma(n_p, 1.0, (300_000, n))
+        yk = np.partition(y, k - 1, axis=1)[:, k - 1]
+        meas = (x > a * yk).mean()
+        assert 0.6 * pfa < meas < 1.6 * pfa, (n_p, meas)
+    assert (golden.os_cfar_alpha(n, k, pfa, 1)
+            == golden.os_cfar_alpha(n, k, pfa))

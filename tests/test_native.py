@@ -132,7 +132,7 @@ def test_native_os_alpha_matches_python():
 
     lib = native.load()
     for n, k, pfa in [(248, 186, 1e-4), (80, 60, 1e-3), (16, 12, 1e-2)]:
-        assert abs(lib.radar_os_cfar_alpha(n, k, pfa)
+        assert abs(lib.radar_os_cfar_alpha(n, k, pfa, 1)
                    - os_cfar_alpha(n, k, pfa)) < 1e-9
 
 
@@ -222,3 +222,15 @@ def test_native_go_so_integrated_alpha_matches_golden():
             a_py = go_so_cfar_alpha(20, 1e-3, kind, n_p)
             a_c = lib.radar_go_so_cfar_alpha(20, 1e-3, ki, n_p)
             assert abs(a_c - a_py) / a_py < 1e-9, (n_p, kind)
+
+
+def test_native_os_integrated_alpha_matches_golden():
+    from radar_tpu.golden import os_cfar_alpha
+
+    lib = native.load()
+    for n_p in (2, 4):
+        a_py = os_cfar_alpha(40, 30, 1e-3, n_p)
+        a_c = lib.radar_os_cfar_alpha(40, 30, 1e-3, n_p)
+        # independent trapezoid grids in the two languages: agree to
+        # the quadrature accuracy, not bit-for-bit
+        assert abs(a_c - a_py) / a_py < 1e-6, (n_p, a_c, a_py)
