@@ -609,6 +609,27 @@ def cmd_serve(args) -> int:
     ego_gate = getattr(args, "ego", None)
     cmap_beta = getattr(args, "cmap", None)
     cmap_state: dict = {}   # per-source recursive background map
+    n_int = getattr(args, "integrate", None) or 1
+    walk = getattr(args, "walk", False)
+    if n_int > 1:
+        for bad, why in (
+            ("disambiguate", "re-tests per-frame snapshots"),
+            ("refine", "re-estimates per-frame angles"),
+            ("cmap", "the clutter map is itself a multi-frame detector"),
+        ):
+            if getattr(args, bad, None):
+                print(f"error: --integrate cannot be combined with "
+                      f"--{bad} ({why})", file=sys.stderr)
+                return 2
+        if cfg.effective_clutter(has_base=True) == "base":
+            # measured finding (rd_pipeline.detect_integrated docstring):
+            # base subtraction repeats ONE noise realization in every
+            # frame of a group, which integrates coherently and can push
+            # Pd BELOW single-frame — integration wants fresh noise
+            print("warning: --integrate under base-frame subtraction "
+                  "integrates the base's noise realization coherently "
+                  "(Pd can drop below single-frame); pass --clutter "
+                  "mean or --clutter mti2", file=sys.stderr)
     pipe = RDPipeline(cfg, max_detections=args.max_detections,
                       rd_impl=args.rd_impl)
     blank_k = getattr(args, "blank_interference", None)
@@ -629,6 +650,11 @@ def cmd_serve(args) -> int:
         return Tracker(cfg)
 
     nb = max(1, args.serve_batch)
+    # --integrate N: groups per dispatch; the dispatch shape stays static
+    # (one compiled program) while the PENDING buffer below fixes group
+    # alignment — groups are always N consecutive frames per source in
+    # arrival order, however the stream chose to micro-batch them
+    ng = max(1, nb // n_int)
 
     def warmup():
         # compile prepare_base + detect (shape-keyed) while the already-
@@ -645,6 +671,10 @@ def cmd_serve(args) -> int:
         # full dispatch+materialize round trip: compiles detect AND the
         # packed-transfer program, and primes the transport
         packed = np.asarray(pack_detections(pipe.detect(warm, b0)))
+        if n_int > 1:
+            warm_g = np.zeros((ng * n_int, cfg.shorts_per_frame), np.int16)
+            np.asarray(pack_detections(
+                pipe.detect_integrated(warm_g, b0, n_int, walk)))
         if disambiguate:
             _disambiguated(pipe, warm, b0, packed[..., 7], packed[..., 8])
         if args.refine:
@@ -662,6 +692,7 @@ def cmd_serve(args) -> int:
     bases: dict[int, object] = {}
     trackers: dict[int, object] = {}
     frame_no: dict[int, int] = {}  # per-source frame sequence numbers
+    pending: dict[int, list] = {}  # --integrate: frames short of a group
     n = 0
     t_first = t_last = None
     # bounded reservoirs: one float per frame forever would grow without
@@ -670,6 +701,76 @@ def cmd_serve(args) -> int:
     lat_ms: deque = deque(maxlen=65536)   # per-frame ingest->record latency
     fetch_ms: deque = deque(maxlen=65536)  # per-dispatch detect+fetch time
     blank_acc = 0  # device scalar once blanking runs; fetched at shutdown
+    n_emitted = 0  # records emitted in the CURRENT batch (latency samples)
+
+    def emit_record(src, row, elev_row=None, n_group=1):
+        """One JSONL record from one packed result row: detections ->
+        (optional) ego labeling -> tracker update -> print.  ``n_group``
+        > 1 marks a --integrate group record (detections from the summed
+        map; the frame counter advances by the whole group)."""
+        nonlocal n, n_emitted
+        n += n_group
+        n_emitted += 1
+        frame_no[src] = frame_no.get(src, 0) + n_group
+        dets = [
+            {
+                "range_m": round(float(row[k, 0]), 4),
+                "velocity_mps": round(float(row[k, 1]), 4),
+                "azimuth_deg": round(float(row[k, 2]), 2),
+                "power": float(row[k, 3]),
+                "range_m_interp": round(float(row[k, 5]), 4),
+                "velocity_mps_interp": round(float(row[k, 6]), 4),
+                **(
+                    {"elevation_deg": round(float(elev_row[k]), 2)}
+                    if elev_row is not None else {}
+                ),
+            }
+            for k in range(row.shape[0]) if row[k, 4] > 0.5
+        ]
+        dets = group_peaks(dets)
+        ego_rec = None
+        if ego_gate is not None:
+            from radar_tpu import golden as _golden
+
+            v_e, static, ok = _golden.estimate_ego_motion(
+                np.array([d["azimuth_deg"] for d in dets]),
+                np.array([d["velocity_mps"] for d in dets]),
+                inlier_mps=ego_gate,
+            )
+            for d, st in zip(dets, static):
+                d["is_static"] = bool(st)
+                d["velocity_ground_mps"] = round(float(
+                    _golden.ego_compensated_velocity(
+                        d["azimuth_deg"], d["velocity_mps"], v_e
+                    )), 4)
+            ego_rec = {"vx_mps": round(float(v_e[0]), 3),
+                       "vy_mps": round(float(v_e[1]), 3),
+                       "ok": bool(ok),
+                       "n_static": int(static.sum())}
+            # the tracker sees movers only (a moving platform would
+            # otherwise confirm one track per roadside scatterer);
+            # records keep every detection, labeled
+            track_in = [d for d, st in zip(dets, static)
+                        if not st] if ok else dets
+        else:
+            track_in = dets
+        confirmed = trackers[src].update(track_in)
+        rec = {
+            "frame": frame_no[src],
+            **({"integrated": n_group} if n_group > 1 else {}),
+            "detections": dets,
+            **({"ego": ego_rec} if ego_rec is not None else {}),
+            "tracks": [
+                {"id": t.track_id, "range_m": round(t.range_m, 4),
+                 "velocity_mps": round(t.velocity_mps, 4),
+                 "azimuth_deg": round(t.azimuth_deg, 2)}
+                for t in confirmed
+            ],
+        }
+        if multi:
+            rec["source"] = src
+        print(json.dumps(rec), flush=True)
+
     for got in batches:
         t_recv = time.perf_counter()
         todo: dict[int, list] = {}
@@ -688,6 +789,41 @@ def cmd_serve(args) -> int:
             else:
                 todo.setdefault(src, []).append(frame)
         if not todo:
+            continue
+        n_emitted = 0
+        if n_int > 1:
+            # live non-coherent integration: frames accumulate in the
+            # per-source PENDING buffer and dispatch in whole groups of
+            # N consecutive frames — group alignment is fixed by arrival
+            # order, independent of how the stream micro-batched them.
+            # One record per group (detections from the summed map,
+            # integration-matched CFAR alpha; see detect_integrated).
+            for src, frames_src in todo.items():
+                pend = pending.setdefault(src, [])
+                pend.extend(frames_src)
+                while len(pend) >= n_int:
+                    g = min(ng, len(pend) // n_int)
+                    group_frames = pend[: g * n_int]
+                    del pend[: g * n_int]
+                    if t_first is None:
+                        t_first = time.perf_counter()
+                    stack = np.zeros((ng * n_int, cfg.shorts_per_frame),
+                                     np.int16)
+                    stack[: g * n_int] = np.stack(group_frames)
+                    t_x = time.perf_counter()
+                    if blank_k is not None:
+                        stack, nbl = blank_interference(
+                            jnp.asarray(stack), k=blank_k)
+                        blank_acc = blank_acc + jnp.sum(nbl)
+                    out = np.array(pack_detections(pipe.detect_integrated(
+                        stack, bases[src], n_int, walk)))
+                    fetch_ms.append(1e3 * (time.perf_counter() - t_x))
+                    for j in range(g):
+                        emit_record(src, out[j], n_group=n_int)
+            if not n_emitted:
+                continue  # no group completed; latency counts records
+            t_last = time.perf_counter()
+            lat_ms.extend([1e3 * (t_last - t_recv)] * n_emitted)
             continue
         if t_first is None:
             t_first = time.perf_counter()
@@ -751,71 +887,18 @@ def cmd_serve(args) -> int:
                     az = np.where(hyp != 0, out[..., 2], az)
                 out[..., 2] = az
             for j in range(len(frames_src)):
-                n += 1
-                frame_no[src] = frame_no.get(src, 0) + 1
-                dets = [
-                    {
-                        "range_m": round(float(out[j, k, 0]), 4),
-                        "velocity_mps": round(float(out[j, k, 1]), 4),
-                        "azimuth_deg": round(float(out[j, k, 2]), 2),
-                        "power": float(out[j, k, 3]),
-                        "range_m_interp": round(float(out[j, k, 5]), 4),
-                        "velocity_mps_interp": round(float(out[j, k, 6]), 4),
-                        **(
-                            {"elevation_deg": round(float(elev[j, k]), 2)}
-                            if elev is not None else {}
-                        ),
-                    }
-                    for k in range(out.shape[1]) if out[j, k, 4] > 0.5
-                ]
-                dets = group_peaks(dets)
-                ego_rec = None
-                if ego_gate is not None:
-                    from radar_tpu import golden as _golden
-
-                    v_e, static, ok = _golden.estimate_ego_motion(
-                        np.array([d["azimuth_deg"] for d in dets]),
-                        np.array([d["velocity_mps"] for d in dets]),
-                        inlier_mps=ego_gate,
-                    )
-                    for d, st in zip(dets, static):
-                        d["is_static"] = bool(st)
-                        d["velocity_ground_mps"] = round(float(
-                            _golden.ego_compensated_velocity(
-                                d["azimuth_deg"], d["velocity_mps"], v_e
-                            )), 4)
-                    ego_rec = {"vx_mps": round(float(v_e[0]), 3),
-                               "vy_mps": round(float(v_e[1]), 3),
-                               "ok": bool(ok),
-                               "n_static": int(static.sum())}
-                    # the tracker sees movers only (a moving platform
-                    # would otherwise confirm one track per roadside
-                    # scatterer); records keep every detection, labeled
-                    track_in = [d for d, st in zip(dets, static)
-                                if not st] if ok else dets
-                else:
-                    track_in = dets
-                confirmed = trackers[src].update(track_in)
-                rec = {
-                    "frame": frame_no[src],
-                    "detections": dets,
-                    **({"ego": ego_rec} if ego_rec is not None else {}),
-                    "tracks": [
-                        {"id": t.track_id, "range_m": round(t.range_m, 4),
-                         "velocity_mps": round(t.velocity_mps, 4),
-                         "azimuth_deg": round(t.azimuth_deg, 2)}
-                        for t in confirmed
-                    ],
-                }
-                if multi:
-                    rec["source"] = src
-                print(json.dumps(rec), flush=True)
+                emit_record(src, out[j],
+                            None if elev is None else elev[j])
         t_last = time.perf_counter()
         # every frame of this dispatch became a record now; its latency is
         # measured from batch delivery (the reassembler completes frames
         # sub-ms before the yield, so this is ingest->result to within the
         # batching granularity the stream itself chose)
-        lat_ms.extend([1e3 * (t_last - t_recv)] * sum(map(len, todo.values())))
+        lat_ms.extend([1e3 * (t_last - t_recv)] * n_emitted)
+    n_drop = sum(len(v) for v in pending.values())
+    if n_drop:
+        print(f"# --integrate {n_int}: dropped {n_drop} trailing frame(s) "
+              f"short of a full group", file=sys.stderr)
     if lat_ms:
         q = _percentiles(lat_ms, (50, 90, 99))
         qx = _percentiles(fetch_ms, (50, 99))
@@ -1896,6 +1979,17 @@ def main(argv=None) -> int:
                    help="TDM phase-hypothesis velocity disambiguation per "
                         "batch (num_tx > 1): served velocities cover the "
                         "full single-TX span")
+    s.add_argument("--integrate", type=int, default=None, metavar="N",
+                   help="live non-coherent integration: detect on the sum "
+                        "of N consecutive frames' RD power maps per source "
+                        "(integration-matched CFAR alpha; one record per "
+                        "group; group alignment is fixed by arrival order "
+                        "across micro-batches; pair with --clutter mean "
+                        "or mti2)")
+    s.add_argument("--walk", action="store_true",
+                   help="with --integrate: Doppler-conditioned range-walk "
+                        "alignment before the sum (fast targets keep "
+                        "integrating past one cell per group)")
     _add_blank_flag(s)
     _add_pipeline_flags(s)
     _add_refine_flag(s)

@@ -297,3 +297,15 @@ def test_cli_track_out_and_plot(cap_path, tmp_path, capsys):
         assert len(r["history"]) == r["hits"]
         assert all(len(h) == 3 for h in r["history"])
     assert png.exists()
+
+
+def test_serve_integrate_flag_guards():
+    """serve --integrate rejects per-frame re-estimation combos and the
+    clutter-map detector (socket-free: the guards run before any bind)."""
+    from radar_tpu import cli as _cli
+
+    for combo in (["--refine", "capon"], ["--cmap"],
+                  ["--disambiguate", "--num-tx", "2"]):
+        rc = _cli.main(["serve", "--port", "1", "--integrate", "4",
+                        *combo])
+        assert rc == 2

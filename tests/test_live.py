@@ -423,3 +423,45 @@ def test_replay_feeds_serve(cfg, tmp_path, capsys):
         for r in frame_recs for d in r["detections"]
     )
     assert frame_recs[-1]["tracks"]
+
+
+def test_serve_integrate(cfg, serve_over_udp):
+    """serve --integrate N: live non-coherent integration — one record
+    per N-frame group, group alignment fixed by arrival order across
+    micro-batches (the pending-buffer design), detections from the
+    summed map with the integration-matched CFAR alpha.
+
+    Reference contrast: the reference detects single spectra per frame
+    (acceleration.cu:522) and has no streaming or integration story.
+    """
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+
+    # a MOVING target: fresh-noise clutter modes notch zero Doppler, so
+    # a 0 m/s scatterer would be removed by the clutter filter itself
+    capture = synthesize_capture(
+        [SceneTarget(range_m=5.0, velocity_mps=2.0, azimuth_deg=15.0,
+                     amplitude=3000.0)],
+        9, cfg, noise_std=2.0, seed=71,
+    )
+    # fresh-noise clutter mode: base subtraction would integrate the
+    # base's own noise realization coherently (detect_integrated doc)
+    recs = serve_over_udp(capture,
+                          extra_args=("--integrate", "4",
+                                      "--clutter", "mean"))
+    frame_recs = [r for r in recs if "frame" in r]
+    # 8 post-base frames -> exactly 2 groups of 4, whatever the
+    # micro-batch sizes were; frame numbers advance by the whole group
+    assert len(frame_recs) == 2
+    assert all(r["integrated"] == 4 for r in frame_recs)
+    assert [r["frame"] for r in frame_recs] == [4, 8]
+    assert any(
+        abs(d["range_m"] - 5.0) < 1.0
+        for r in frame_recs for d in r["detections"]
+    )
+    # the steady target survives integration in every group
+    assert all(r["detections"] for r in frame_recs)
+    # tracker updates once per group record
+    assert frame_recs[-1]["tracks"]
+    stats = [r for r in recs if r.get("event") == "latency_stats"]
+    assert len(stats) == 1
+    assert stats[0]["frames"] == 8  # frames served, not records
