@@ -36,6 +36,10 @@ def _build_cfg(args) -> RadarConfig:
         kw["clutter_mode"] = args.clutter
     if getattr(args, "num_tx", None):
         kw["num_tx"] = args.num_tx
+    if getattr(args, "chirps", None):
+        kw["num_chirps"] = args.chirps
+    if getattr(args, "slope", None):
+        kw["slope_hz_per_s"] = args.slope * 1e12
     if getattr(args, "cfar_pulses", None):
         kw["cfar_n_pulses"] = args.cfar_pulses
     cal_path = getattr(args, "cal", None)
@@ -95,6 +99,12 @@ def _build_cfg(args) -> RadarConfig:
 
 
 def _add_pipeline_flags(sp) -> None:
+    sp.add_argument("--chirps", type=int, default=None,
+                    help="chirps per frame (default 128; the reference "
+                         "rebuilds for this, acceleration.cu:9)")
+    sp.add_argument("--slope", type=float, default=None, metavar="MHZ_US",
+                    help="chirp slope in MHz/us (default 5.987); higher "
+                         "slope = finer range resolution")
     sp.add_argument("--rd-impl", default="auto",
                     choices=["auto", "mega", "mega-interpret", "mega-maps",
                              "mega-maps-interpret", "fused", "fused-pallas",
@@ -237,6 +247,7 @@ def cmd_generate(args) -> int:
         targets, args.frames, cfg, noise_std=args.noise, seed=args.seed,
         interference_bursts=args.interference,
         rx_response=rx_response, platform_velocity=plat,
+        chirp_level_motion=getattr(args, "chirp_motion", False),
     )
     write_capture(args.path, frames, cfg)
     print(f"wrote {args.frames} frames ({frames.nbytes} bytes) to {args.path}")
@@ -373,6 +384,16 @@ def cmd_detect(args) -> int:
         print("error: --refine requires --full (it re-estimates the RD "
               "pipeline's detection angles)", file=sys.stderr)
         return 2
+    if getattr(args, "keystone", False):
+        if not args.full:
+            print("error: --keystone requires --full (it transforms the "
+                  "RD pipeline's radar cube)", file=sys.stderr)
+            return 2
+        if args.rd_impl not in ("auto", "fft", "mxu"):
+            print(f"error: --keystone needs the complex-cube front-end "
+                  f"(--rd-impl auto/fft/mxu), got {args.rd_impl!r}",
+                  file=sys.stderr)
+            return 2
     if getattr(args, "points", None) and args.resume:
         print("error: --points cannot be combined with --resume (point "
               "files are rewritten whole, so a resumed run would drop "
@@ -422,7 +443,8 @@ def cmd_detect(args) -> int:
     cl = None
     if args.full:
         pipe = RDPipeline(cfg, max_detections=args.max_detections,
-                          rd_impl=args.rd_impl)
+                          rd_impl=args.rd_impl,
+                          keystone=getattr(args, "keystone", False))
         base = pipe.prepare_base(capture[0])
         if cluster:
             rd, cl = jax.tree.map(
@@ -1856,6 +1878,16 @@ def main(argv=None) -> int:
                    metavar="X,Y[,AMP]",
                    help="WORLD-fixed scatterer at (x right, y boresight) "
                         "meters; repeatable (pairs with --platform)")
+    g.add_argument("--chirps", type=int, default=None,
+                   help="chirps per frame in the synthesized waveform")
+    g.add_argument("--slope", type=float, default=None, metavar="MHZ_US",
+                   help="chirp slope in MHz/us")
+    g.add_argument("--chirp-motion", action="store_true",
+                   help="evolve each target's range per CHIRP (physically "
+                        "honest intra-CPI motion: the range peak walks "
+                        "v*CPI/r_res cells across the CPI — what "
+                        "detect --keystone compensates); default keeps "
+                        "range fixed within a frame")
     g.add_argument("--rx-imbalance", default=None, metavar="G:DEG,...",
                    help="per-RX hardware channel response as "
                         "gain:phase_deg pairs (one per RX, e.g. "
@@ -1899,6 +1931,13 @@ def main(argv=None) -> int:
                    help="with --full: group CFAR hit blobs into objects "
                         "and attach cluster id/centroid/extent per "
                         "detection")
+    d.add_argument("--keystone", action="store_true",
+                   help="with --full: keystone range-migration "
+                        "compensation — rescale slow time per fast-time "
+                        "sample before the FFTs so intra-CPI range walk "
+                        "vanishes (long-CPI / fine-range-resolution "
+                        "configs; unambiguous velocities); forces the "
+                        "complex-cube front-end (rd_impl fft/mxu)")
     d.add_argument("--disambiguate", action="store_true",
                    help="with --full on a TDM-MIMO config (num_tx > 1): "
                         "recover velocities over the full single-TX span "

@@ -356,6 +356,45 @@ def disambiguate_velocity(
     return best_fd * (cfg.wavelength_m / 2.0), best_h, best_snaps
 
 
+def keystone_transform(
+    cube: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG
+) -> np.ndarray:
+    """f64 keystone transform on a VIRTUALIZED cube (..., V, D, N).
+
+    Bit-twin of ops.keystone.keystone_cube (see that module for the
+    derivation): per fast-time sample n, re-evaluate each stream's
+    slow-time inverse DFT at positions scaled by
+    ``alpha_n = f_c / (f_c + S*t_n)`` (TDM streams get the fractional
+    ``(alpha_n - 1)*tx/num_tx`` offset), removing the range-Doppler
+    coupling term ``(f_c + S*t_n) * v * t_m`` exactly for unambiguous
+    velocities.  The reference has no motion compensation
+    (one uncorrected range FFT per frame, acceleration.cu:522).
+    """
+    x = np.asarray(cube, np.complex128)
+    if x.shape[-3] != cfg.num_virtual_rx:
+        raise ValueError(
+            f"keystone_transform wants a virtualized cube with "
+            f"{cfg.num_virtual_rx} channels, got {x.shape[-3]}"
+        )
+    d, n_s = x.shape[-2], x.shape[-1]
+    t_n = np.arange(n_s, dtype=np.float64) / cfg.sample_rate_hz
+    alpha = cfg.carrier_hz / (cfg.carrier_hz + cfg.slope_hz_per_s * t_n)
+    k = np.arange(d)
+    k_signed = np.where(k < (d + 1) // 2, k, k - d).astype(np.float64)
+    m = np.arange(d, dtype=np.float64)
+    lead = x.shape[:-3]
+    xv = x.reshape((-1, cfg.num_tx, cfg.num_rx, d, n_s))
+    spec = np.fft.fft(xv, axis=-2)
+    out = np.empty_like(xv)
+    for tx in range(cfg.num_tx):
+        pos = (alpha[:, None] * m[None, :]
+               + (alpha - 1.0)[:, None] * (tx / cfg.num_tx))  # (N, D)
+        kmat = np.exp(2j * np.pi / d
+                      * pos[:, :, None] * k_signed[None, None, :]) / d
+        out[:, tx] = np.einsum("nmk,brkn->brmn", kmat, spec[:, tx])
+    return out.reshape(lead + (cfg.num_virtual_rx, d, n_s))
+
+
 def mti_filter(
     x: np.ndarray, order: int = 2, axis: int = -2, stride: int = 1
 ) -> np.ndarray:

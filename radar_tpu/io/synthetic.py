@@ -57,6 +57,7 @@ def synthesize_cube(
     interference_len: int = 6,
     rx_response: np.ndarray | None = None,
     platform_velocity: tuple[float, float] = (0.0, 0.0),
+    chirp_level_motion: bool = False,
 ) -> np.ndarray:
     """Simulate complex radar cubes.
 
@@ -143,13 +144,34 @@ def synthesize_cube(
         slow_t = (
             frames[:, None] * frame_interval + chirps[None, :] * cfg.chirp_interval_s
         )  # (frames, chirps)
-        rng_m = tgt.range_m + tgt.velocity_mps * frames * frame_interval
-        fb = cfg.distance_to_beat_hz(rng_m)  # (frames,) beat freq per frame
-        fast = np.exp(1j * 2 * np.pi * fb[:, None] * t[None, :])  # (frames, samples)
         dopp = np.exp(1j * 2 * np.pi * fd * slow_t)  # (frames, chirps)
         steer = np.exp(
             1j * 2 * np.pi * (x_pos * sin_az * cos_el + z_pos * sin_el)
         )  # (rx, chirps)
+        if chirp_level_motion:
+            # physically honest intra-CPI motion: the beat frequency
+            # follows R(t) per CHIRP, so the range peak walks
+            # v*CPI/r_res cells across the CPI (the coupling the
+            # keystone transform removes, ops/keystone.py).  Off by
+            # default: the frame-level form below keeps every existing
+            # capture byte-identical, and migration is sub-cell at the
+            # reference geometry (0.3 cells at 15 m/s).
+            rng_fc = tgt.range_m + tgt.velocity_mps * slow_t  # (frames, ch)
+            fb_fc = cfg.distance_to_beat_hz(rng_fc)
+            fast_fc = np.exp(
+                1j * 2 * np.pi * fb_fc[:, :, None] * t[None, None, :]
+            )  # (frames, chirps, samples)
+            sig = (
+                tgt.amplitude
+                * steer[None, :, :, None]
+                * dopp[:, None, :, None]
+                * fast_fc[:, None, :, :]
+            )
+            cube[1:] += sig[1:]
+            continue
+        rng_m = tgt.range_m + tgt.velocity_mps * frames * frame_interval
+        fb = cfg.distance_to_beat_hz(rng_m)  # (frames,) beat freq per frame
+        fast = np.exp(1j * 2 * np.pi * fb[:, None] * t[None, :])  # (frames, samples)
         sig = (
             tgt.amplitude
             * steer[None, :, :, None]
@@ -214,6 +236,7 @@ def synthesize_capture(
     interference_len: int = 6,
     rx_response: np.ndarray | None = None,
     platform_velocity: tuple[float, float] = (0.0, 0.0),
+    chirp_level_motion: bool = False,
 ) -> np.ndarray:
     """Simulate and encode to the on-disk int16 stream.
 
@@ -223,7 +246,7 @@ def synthesize_capture(
     cube = synthesize_cube(
         targets, num_frames, cfg, noise_std, clutter_amplitude, seed,
         interference_bursts, interference_amplitude, interference_len,
-        rx_response, platform_velocity,
+        rx_response, platform_velocity, chirp_level_motion,
     )
     return encode_frame(cube, cfg)
 

@@ -434,6 +434,12 @@ class RDPipeline:
     cfar_impl: str = "auto"
     rd_impl: str = "auto"
     topk_impl: str = "auto"
+    # keystone range-migration compensation (ops/keystone.py): rescale
+    # slow time per fast-time sample before the FFTs so intra-CPI range
+    # walk vanishes for unambiguous velocities.  Needs the complex-cube
+    # front-end (the transform's input is the virtualized cube), so it
+    # forces rd_impl 'fft'; an explicit incompatible pin raises.
+    keystone: bool = False
 
     def _topk_impl(self) -> str:
         if self.topk_impl == "auto":
@@ -475,6 +481,10 @@ class RDPipeline:
         base = base_cube if self.use_base_frame else None
         cube = _declutter(cube, base, self.cfg)
         cube = virtualize_cube(cube, self.cfg)
+        if self.keystone:
+            from radar_tpu.ops.keystone import keystone_cube
+
+            cube = keystone_cube(cube, self.cfg)
         impl = self.rd_impl
         if impl == "auto":
             impl = "mxu" if jax.default_backend() == "tpu" else "fft"
@@ -579,6 +589,13 @@ class RDPipeline:
 
     def _resolve_rd_impl(self) -> str:
         impl = self.rd_impl
+        if self.keystone:
+            if impl not in ("auto", "fft", "mxu"):
+                raise ValueError(
+                    f"keystone=True needs the complex-cube front-end "
+                    f"(rd_impl 'auto'/'fft'/'mxu'), got {impl!r}"
+                )
+            return "mxu" if (impl == "mxu") else "fft"
         if impl == "auto":
             if jax.default_backend() == "tpu":
                 from radar_tpu.ops.pallas.megakernel import mega_supported

@@ -27,6 +27,7 @@ from radar_tpu.ops.mdoppler import (
     micro_doppler_spectrogram,
 )
 from radar_tpu.ops.interference import blank_interference
+from radar_tpu.ops.keystone import keystone_cube, keystone_matrices
 from radar_tpu.ops.egomotion import (
     EgoMotion,
     ego_compensated_velocity,
@@ -43,6 +44,8 @@ __all__ = [
     "distance_from_bin",
     "scan_window_argmax",
     "ca_cfar_2d",
+    "keystone_cube",
+    "keystone_matrices",
     "EgoMotion",
     "estimate_ego_motion",
     "ego_compensated_velocity",
