@@ -18,8 +18,14 @@ def test_bench_main_emits_json_line(monkeypatch, capsys):
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     rec = json.loads(out[-1])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    # the final re-emit may carry extra driver-captured variant fields
+    # (speed_mode_fps, os_cfar_fps) on top of the required four
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["value"] > 0
+    # the headline is ALSO printed early (before the extras), so a
+    # hang in the extras can never lose it; both copies agree
+    early = json.loads(out[0])
+    assert early["value"] == rec["value"]
     # both fields are independently rounded from the raw fps
     assert rec["vs_baseline"] == pytest.approx(rec["value"] / 1000.0, abs=1e-3)
 
