@@ -55,6 +55,22 @@ class RadarConfig:
     # (physical: range is not circular, mirror the edge cells) or 'wrap'.
     # Doppler always wraps (circular after fftshift).
     cfar_range_mode: str = "reflect"
+    # TOP-edge range bins excluded from detection (hits masked before
+    # top-K).  The range DFT's leakage is CIRCULAR while real ranges are
+    # not: a strong near-range target's window sidelobes wrap through DC
+    # into the last ~window-width bins, where the 'reflect' training
+    # ring never sees the peak — so those cells cross the (correctly
+    # calibrated) threshold PERSISTENTLY, frame after frame, and confirm
+    # ghost tracks (surfaced in round 5 when the Erlang-matched default
+    # alpha removed the ~2x threshold slack that had been hiding them:
+    # measured -69 dB wrapped sidelobes at 12 circular bins from a
+    # 77 dB-SNR target).  The reference sidesteps the whole region by
+    # scanning only ``floor(0.4 * extendSize)`` bins
+    # (acceleration.cu:522); this guard is the targeted form.  None =
+    # auto = 2 * (cfar_guard[1] + cfar_train[1]) bins (covers wrapped
+    # sidelobes above the noise floor for ~80 dB-SNR targets at the
+    # default Hann window); 0 disables (full-span detection).
+    range_edge_guard: int | None = None
     # Detector family: 'ca' (cell-averaging), 'os' (ordered-statistic —
     # robust to clutter edges / multiple targets in the training ring),
     # 'goca' (greatest-of CA: resists clutter edges crossing the window
@@ -73,21 +89,26 @@ class RadarConfig:
     # rather than a necessity (the XLA gather+sort fallback still pays
     # ~118 fps full-pipeline at stride 1).
     cfar_os_stride: int = 1
-    # Non-coherent integration depth the CFAR alpha is solved for: 1 =
-    # exponential cells (the closed form); N > 1 = Erlang-N summed cells
-    # (``RDPipeline.detect_integrated`` multiplies this by its group size
-    # so the threshold harvests the integration gain instead of sitting a
-    # deterministic single-pulse alpha above the N-scaled noise mean).
-    # Note the per-frame RD power map is ITSELF a non-coherent sum over
-    # the num_tx*num_rx virtual channels, so the historical
-    # ``cfar_n_pulses = 1`` convention is conservative (realized Pfa
-    # below configured — measured 0 hits where 1e-4 expects ~52 on
-    # target-free noise); set ``cfar_n_pulses = num_tx * num_rx`` to
-    # Erlang-match the single-frame detector.  Applies to EVERY kind:
-    # 'ca' (closed-form series), 'goca'/'soca' (Gandhi-Kassam double
-    # sum) and 'os' (numerical order-statistic integral over the
-    # integer-shape Erlang CDF) — all MC-validated at the design rate.
-    cfar_n_pulses: int = 1
+    # Non-coherent integration depth the CFAR alpha is solved for:
+    # 1 = exponential cells (the closed form); N > 1 = Erlang-N summed
+    # cells (``RDPipeline.detect_integrated`` multiplies this by its
+    # group size so the threshold harvests the integration gain instead
+    # of sitting a deterministic single-pulse alpha above the N-scaled
+    # noise mean).  The per-frame RD power map is ITSELF a non-coherent
+    # sum over the num_tx*num_rx virtual channels, so the default is
+    # ``None`` = auto = ``num_tx * num_rx``: the Erlang-matched detector
+    # whose realized Pfa lands ON the configured rate (measured
+    # 0.9-1.5x across seeds).  The historical exponential-cell
+    # convention (``cfar_n_pulses = 1``) is measurably mis-calibrated
+    # for this pipeline — 0 realized false alarms where 1e-4 designs
+    # ~52 on target-free noise, and correspondingly depressed Pd at the
+    # SNR knee — and is kept only as an explicit opt-in (see
+    # MIGRATION.md).  Applies to EVERY kind: 'ca' (closed-form series),
+    # 'goca'/'soca' (Gandhi-Kassam double sum) and 'os' (numerical
+    # order-statistic integral over the integer-shape Erlang CDF) — all
+    # MC-validated at the design rate.  Consumers read the resolved
+    # value via ``cfar_pulses_effective``.
+    cfar_n_pulses: int | None = None
     # Window applied on both FFT axes before the range/Doppler DFTs:
     # trades main-lobe width for sidelobe level (strong-target sidelobes
     # masking weak targets).  'hann' (-31 dB, the default and the only
@@ -178,9 +199,20 @@ class RadarConfig:
             raise ValueError(
                 f"cfar_os_stride must be a positive int, got {self.cfar_os_stride!r}"
             )
-        if not isinstance(self.cfar_n_pulses, int) or self.cfar_n_pulses < 1:
+        if self.range_edge_guard is not None and (
+            not isinstance(self.range_edge_guard, int)
+            or self.range_edge_guard < 0
+        ):
             raise ValueError(
-                f"cfar_n_pulses must be a positive int, got {self.cfar_n_pulses!r}"
+                f"range_edge_guard must be a non-negative int or None "
+                f"(auto), got {self.range_edge_guard!r}"
+            )
+        if self.cfar_n_pulses is not None and (
+            not isinstance(self.cfar_n_pulses, int) or self.cfar_n_pulses < 1
+        ):
+            raise ValueError(
+                f"cfar_n_pulses must be a positive int or None (auto = "
+                f"num_tx * num_rx), got {self.cfar_n_pulses!r}"
             )
         if not 0.0 < self.cfar_os_k_frac <= 1.0:
             raise ValueError(
@@ -256,6 +288,28 @@ class RadarConfig:
     def num_virtual_rx(self) -> int:
         """TDM-MIMO virtual array size = num_tx * num_rx."""
         return self.num_tx * self.num_rx
+
+    @property
+    def range_edge_guard_effective(self) -> int:
+        """Resolved top-edge detection guard in range bins (see the
+        ``range_edge_guard`` field comment), clamped so at least one
+        range bin stays detectable."""
+        g = self.range_edge_guard
+        if g is None:
+            g = 2 * (self.cfar_guard[1] + self.cfar_train[1])
+        return min(g, self.range_fft_size - 1)
+
+    @property
+    def cfar_pulses_effective(self) -> int:
+        """Resolved CFAR integration depth: ``cfar_n_pulses`` if set,
+        else ``num_virtual_rx`` — the Erlang order that matches the
+        per-frame RD power map's non-coherent sum over virtual channels
+        (see the ``cfar_n_pulses`` field comment).  Every alpha consumer
+        (golden/XLA/Pallas/C++ twins' callers) reads this, never the raw
+        field."""
+        if self.cfar_n_pulses is not None:
+            return self.cfar_n_pulses
+        return self.num_virtual_rx
 
     @property
     def chirps_per_tx(self) -> int:

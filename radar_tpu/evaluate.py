@@ -70,10 +70,13 @@ def measure_pfa(
 
     Returns {'pfa_measured', 'pfa_configured', 'cells', 'hits'}.
     ``n_integrate > 1`` measures the non-coherently-integrated detector
-    (one decision per N-frame group; the summed cells are Erlang-N, so
-    the measured Pfa should come out BELOW the configured exponential
-    alpha — the documented conservatism of
-    ``RDPipeline.detect_integrated``).
+    (one decision per N-frame group).  With the round-5 Erlang-matched
+    defaults the measured rate lands ON the configured Pfa under an
+    independent-noise clutter mode ('mean'/mti2 — the documented
+    pairing for integration); under BASE-frame subtraction the quenched
+    base-noise realization correlates the N summed frames and inflates
+    the integrated Pfa ~30x (gated in
+    tests/test_integrate.py::test_integrated_pfa_bounded).
     """
     import jax.numpy as jnp
 

@@ -838,6 +838,7 @@ def go_so_cfar_2d(
     pfa: float,
     kind: str = "go",
     range_mode: str = "reflect",
+    n_pulses: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """2D greatest-of (GOCA) / smallest-of (SOCA) cell-averaging CFAR.
 
@@ -878,7 +879,7 @@ def go_so_cfar_2d(
         return out
 
     n_half = (2 * wd + 1) * wr - (2 * gd + 1) * gr
-    t = go_so_cfar_alpha(n_half, pfa, kind)
+    t = go_so_cfar_alpha(n_half, pfa, kind, n_pulses)
     s_lead = half_sum(+1)
     s_lag = half_sum(-1)
     noise = np.maximum(s_lead, s_lag) if kind == "go" else np.minimum(
@@ -986,6 +987,7 @@ def os_cfar_2d(
     k_frac: float = 0.75,
     range_mode: str = "reflect",
     stride: int = 1,
+    n_pulses: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """2D ordered-statistic CFAR: threshold = alpha_os * k-th smallest
     training cell.  Robust to clutter edges and multiple targets inside
@@ -1022,7 +1024,7 @@ def os_cfar_2d(
     # twin's llround so k is identical across implementations
     k = max(1, min(n_train, int(np.floor(k_frac * n_train + 0.5))))
     kth = np.sort(cells, axis=-1)[..., k - 1]
-    alpha = os_cfar_alpha(n_train, k, pfa)
+    alpha = os_cfar_alpha(n_train, k, pfa, n_pulses)
     threshold = alpha * kth
     return power > threshold, threshold
 
@@ -1332,40 +1334,73 @@ def ego_compensated_velocity(
             + v[..., 0] * np.sin(az) + v[..., 1] * np.cos(az))
 
 
-def clutter_map_alpha(pfa: float, beta: float, block: int = 1) -> float:
+def clutter_map_alpha(
+    pfa: float, beta: float, block: int = 1, n_pulses: int = 1
+) -> float:
     """Clutter-map (Nitzberg) CFAR threshold multiplier (float64 golden).
 
     Per-cell recursive background updated once per BLOCK of frames with
     the block mean, ``m <- (1-beta) m + beta mean(block)``, decision
-    ``p > alpha * m`` against the pre-update map: for iid exponential
-    cell power the background is a weighted sum of past exponentials
-    with each block contributing ``block`` terms of weight
-    ``beta (1-beta)^i / block``, so
+    ``p > alpha * m`` against the pre-update map.
+
+    ``n_pulses = 1`` (exponential cells): the background is a weighted
+    sum of past exponentials with each block contributing ``block``
+    terms of weight ``beta (1-beta)^i / block``, so
 
         Pfa(alpha) = prod_{i>=0} (1 + alpha beta (1-beta)^i / s)^{-s}
 
     with s = block (the exponential MGF per term; block=1 recovers the
-    classic per-frame Nitzberg product).  Monotone in alpha; solved by
-    log-space bisection with the product truncated once the remaining
-    weights are negligible.  RX-summed (Erlang) cells make this alpha
-    conservative, exactly like the spatial CA case.
+    classic per-frame Nitzberg product).
+
+    ``n_pulses = N > 1`` (RX-summed / non-coherently integrated maps,
+    the Erlang match every spatial kind already has): the cell under
+    test is Gamma(N, 1) and each map update's block mean is
+    Gamma(N*block, 1)/block, so with ``w_i = beta (1-beta)^i / block``
+    and ``s = N * block``
+
+        M(t)       = prod_i (1 - t w_i)^{-s}          (background MGF)
+        Pfa(alpha) = sum_{k=0}^{N-1} alpha^k/k! * M^(k)(-alpha)
+
+    (condition the Gamma survival series on the background and push the
+    expectation through term by term: E[m^k e^{-alpha m}] is the k-th
+    MGF derivative at -alpha).  The derivatives come from the
+    log-derivative recursion ``M^(k) = sum_j C(k-1,j) M^(j) L^(k-j)``
+    with ``L^(r)(-a) = s (r-1)! sum_i w_i^r/(1+a w_i)^r``, carried as
+    ratios ``R_k = M^(k)/M`` (all positive) so the whole evaluation
+    stays in log space.  Monotone in alpha; solved by bisection with
+    the product truncated once the remaining weights are negligible.
+    MC-validated at the design rate for N in {1, 2, 4} (tests).
     """
+    import math
     from math import log1p
 
     if not 0.0 < beta < 1.0:
         raise ValueError(f"beta must be in (0, 1), got {beta}")
     if block < 1:
         raise ValueError(f"block must be >= 1, got {block}")
+    if n_pulses < 1:
+        raise ValueError(f"n_pulses must be >= 1, got {n_pulses}")
     n_terms = 1
     while beta * (1.0 - beta) ** n_terms > 1e-14 and n_terms < 100000:
         n_terms += 1
-    w = [beta * (1.0 - beta) ** i for i in range(n_terms)]
-    s = float(block)
+    w = [beta * (1.0 - beta) ** i / block for i in range(n_terms)]
+    s = float(block) * n_pulses
 
     def log_pfa(alpha: float) -> float:
-        return -s * sum(log1p(alpha * wi / s) for wi in w)
-
-    import math
+        logm = -s * sum(log1p(alpha * wi) for wi in w)
+        if n_pulses == 1:
+            return logm
+        lr = [0.0] * n_pulses  # lr[r] = L^(r)(-alpha), r = 1..N-1
+        for r in range(1, n_pulses):
+            lr[r] = (s * math.factorial(r - 1)
+                     * sum(wi**r / (1.0 + alpha * wi) ** r for wi in w))
+        ratio = [1.0]  # R_k = M^(k)(-alpha) / M(-alpha)
+        for k in range(1, n_pulses):
+            ratio.append(sum(math.comb(k - 1, j) * ratio[j] * lr[k - j]
+                             for j in range(k)))
+        series = sum(alpha**k / math.factorial(k) * ratio[k]
+                     for k in range(n_pulses))
+        return logm + math.log(series)
 
     lo, hi = 1e-6, 1e9
     target = math.log(pfa)
@@ -1384,6 +1419,7 @@ def clutter_map_cfar(
     beta: float = 0.25,
     m0: np.ndarray | None = None,
     block: int = 16,
+    n_pulses: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Clutter-map CFAR over a frame sequence (float64 golden).
 
@@ -1410,7 +1446,7 @@ def clutter_map_cfar(
       (hits bool (frames, d, r), m_out (d, r) final background).
     """
     p = np.asarray(power, np.float64)
-    alpha = clutter_map_alpha(pfa, beta, block)
+    alpha = clutter_map_alpha(pfa, beta, block, n_pulses)
     hits = np.zeros(p.shape, bool)
     start = 0
     if m0 is None:

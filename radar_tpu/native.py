@@ -265,7 +265,7 @@ def ca_cfar_2d(
     lib.radar_ca_cfar(
         _dptr(p), d, r, cfg.cfar_guard[0], cfg.cfar_guard[1],
         cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa,
-        cfg.cfar_n_pulses,
+        cfg.cfar_pulses_effective,
         1 if cfg.cfar_range_mode == "reflect" else 0, _dptr(thresh),
         hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
     )
@@ -286,7 +286,7 @@ def os_cfar_2d(
     lib.radar_os_cfar(
         _dptr(p), d, r, cfg.cfar_guard[0], cfg.cfar_guard[1],
         cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa,
-        cfg.cfar_os_k_frac, cfg.cfar_os_stride, cfg.cfar_n_pulses,
+        cfg.cfar_os_k_frac, cfg.cfar_os_stride, cfg.cfar_pulses_effective,
         1 if cfg.cfar_range_mode == "reflect" else 0, _dptr(thresh),
         hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
     )
@@ -317,7 +317,7 @@ def go_so_cfar_2d(
     lib.radar_go_so_cfar(
         _dptr(p), d, r, cfg.cfar_guard[0], cfg.cfar_guard[1],
         cfg.cfar_train[0], cfg.cfar_train[1], cfg.cfar_pfa,
-        0 if kind == "go" else 1, cfg.cfar_n_pulses,
+        0 if kind == "go" else 1, cfg.cfar_pulses_effective,
         1 if cfg.cfar_range_mode == "reflect" else 0, _dptr(thresh),
         hits.ctypes.data_as(ct.POINTER(ct.c_uint8)),
     )

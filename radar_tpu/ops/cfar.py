@@ -198,7 +198,7 @@ def os_ring_params(cfg: RadarConfig):
     n_train = len(offsets)
     k = max(1, min(n_train, int(math.floor(cfg.cfar_os_k_frac * n_train + 0.5))))
     alpha = float(os_cfar_alpha(n_train, k, cfg.cfar_pfa,
-                                cfg.cfar_n_pulses))
+                                cfg.cfar_pulses_effective))
     return offsets, n_train, k, alpha
 
 
@@ -217,7 +217,7 @@ def ca_cfar_2d(
     gd, gr = cfg.cfar_guard
     td, tr = cfg.cfar_train
     alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train,
-                                cfg.cfar_pfa, cfg.cfar_n_pulses)
+                                cfg.cfar_pfa, cfg.cfar_pulses_effective)
     mode = cfg.cfar_range_mode
     total = _box_sum(power, gd + td, gr + tr, mode)
     inner = _box_sum(power, gd, gr, mode)
@@ -296,7 +296,7 @@ def go_so_params(cfg: RadarConfig, kind: str) -> tuple[int, float]:
             f"cfar_train[1] > 0 (got train={cfg.cfar_train})"
         )
     return n_half, float(go_so_cfar_alpha(n_half, cfg.cfar_pfa, kind,
-                                          cfg.cfar_n_pulses))
+                                          cfg.cfar_pulses_effective))
 
 
 def go_so_band_matrices(cfg: RadarConfig, d_size: int, r_size: int):

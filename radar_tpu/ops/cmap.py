@@ -20,7 +20,10 @@ self-masks, while the floor adaptation is unaffected.
 The alpha is exact for iid exponential cells
 (``golden.clutter_map_alpha``:
 ``Pfa = prod_i (1 + alpha beta (1-beta)^i / s)^{-s}``, s = block;
-Monte-Carlo validated at 1.03e-3 measured vs 1e-3 configured).
+Monte-Carlo validated at 1.03e-3 measured vs 1e-3 configured) and for
+Erlang-N cells via ``n_pulses`` (the MGF-derivative series in
+``golden.clutter_map_alpha`` — RX-summed power maps pass
+``cfg.cfar_pulses_effective`` exactly like every spatial kind).
 
 TPU shape: detection is one vectorized compare per block (no per-frame
 recursion), the update one mean + two elementwise passes — a
@@ -44,14 +47,14 @@ from radar_tpu.config import DEFAULT_CONFIG
 
 
 @functools.lru_cache(maxsize=None)
-def _alpha(pfa: float, beta: float, block: int) -> float:
+def _alpha(pfa: float, beta: float, block: int, n_pulses: int) -> float:
     from radar_tpu.golden import clutter_map_alpha
 
-    return clutter_map_alpha(pfa, beta, block)
+    return clutter_map_alpha(pfa, beta, block, n_pulses)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pfa", "beta", "seeded", "block")
+    jax.jit, static_argnames=("pfa", "beta", "seeded", "block", "n_pulses")
 )
 def clutter_map_cfar(
     power: jnp.ndarray,
@@ -60,6 +63,7 @@ def clutter_map_cfar(
     m0: jnp.ndarray | None = None,
     seeded: bool = False,
     block: int = 16,
+    n_pulses: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run the block-updated clutter-map detector over a frame batch.
 
@@ -79,7 +83,7 @@ def clutter_map_cfar(
     Returns:
       (hits bool (frames, d, r), m_out float32 (d, r)).
     """
-    alpha = _alpha(float(pfa), float(beta), int(block))
+    alpha = _alpha(float(pfa), float(beta), int(block), int(n_pulses))
     f_total = power.shape[0]
     if seeded:
         if m0 is None:

@@ -194,7 +194,7 @@ def ca_cfar_2d_pallas(
     split-scheme products overflow past that (see ``split3``); RD power
     maps are orders of magnitude inside the bound."""
     alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train,
-                                cfg.cfar_pfa, cfg.cfar_n_pulses)
+                                cfg.cfar_pfa, cfg.cfar_pulses_effective)
 
     lead = power.shape[:-2]
     d, r = power.shape[-2], power.shape[-1]

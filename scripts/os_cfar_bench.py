@@ -141,7 +141,8 @@ def main():
     # golden truth on a small slice
     _, want = golden.os_cfar_2d(
         power[:4].astype(np.float64), cfg.cfar_guard, cfg.cfar_train,
-        cfg.cfar_pfa, cfg.cfar_os_k_frac, cfg.cfar_range_mode)
+        cfg.cfar_pfa, cfg.cfar_os_k_frac, cfg.cfar_range_mode,
+        n_pulses=cfg.cfar_pulses_effective)
 
     p_dev = jax.device_put(power)
     p_small = jax.device_put(power[:8])  # chunk-compatible small batch

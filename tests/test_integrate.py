@@ -36,7 +36,7 @@ def test_integrated_map_matches_golden_sum(cfg):
     p_sum = maps.reshape(2, 4, *maps.shape[1:]).sum(axis=1)
     hits_g, _ = golden.ca_cfar_2d(p_sum, cfg.cfar_guard, cfg.cfar_train,
                                   cfg.cfar_pfa, cfg.cfar_range_mode,
-                                  n_pulses=4)
+                                  n_pulses=4 * cfg.cfar_pulses_effective)
     d = np.asarray(out.doppler_bin)
     r = np.asarray(out.range_bin)
     valid = np.asarray(out.valid)
@@ -58,7 +58,10 @@ def test_integration_improves_pd():
     from radar_tpu.evaluate import pd_curve
 
     cfg = RadarConfig(clutter_mode="mti2")
-    kw = dict(cfg=cfg, amplitudes=(1.0,), frames=16, noise_std=20.0,
+    # operating point re-found for the round-5 Erlang-matched default
+    # alpha (the legacy exponential alpha needed amp 1.0 to be weak
+    # single-frame; the calibrated threshold sees amp 1.0 at Pd 0.94)
+    kw = dict(cfg=cfg, amplitudes=(0.6,), frames=32, noise_std=20.0,
               range_m=6.0, velocity_mps=2.0, seed=1)
     single = pd_curve(**kw)[0].pd
     integ = pd_curve(**kw, n_integrate=4)[0].pd
@@ -85,13 +88,25 @@ def test_integrated_alpha_matches_golden():
 
 
 def test_integrated_pfa_bounded(cfg):
-    """Realized Pfa under matched-alpha integration stays at or below
-    the configured value (windowing correlates neighboring cells, which
-    only reduces false alarms)."""
+    """Realized Pfa under matched-alpha integration lands at or below the
+    configured rate — under an INDEPENDENT-noise clutter mode ('mean' /
+    mti2, the documented pairing for --integrate; measured 7.6e-5 /
+    3.1e-5 vs 1e-4 configured).  Under BASE-frame subtraction the N
+    summed frames all carry the same quenched base-noise realization,
+    which correlates them (effective Erlang order ~7 where the alpha
+    models 16) and inflates the integrated Pfa ~30x — the Pfa-side twin
+    of the documented Pd finding (detect_integrated docstring), gated
+    here as a phenomenon so a regression in either direction trips."""
+    import dataclasses
+
     from radar_tpu.evaluate import measure_pfa
 
-    m = measure_pfa(cfg, frames=16, noise_std=20.0, seed=0, n_integrate=4)
+    m = measure_pfa(dataclasses.replace(cfg, clutter_mode="mean"),
+                    frames=16, noise_std=20.0, seed=0, n_integrate=4)
     assert m["pfa_measured"] <= 1.5 * m["pfa_configured"]
+    m_base = measure_pfa(cfg, frames=16, noise_std=20.0, seed=0,
+                         n_integrate=4)
+    assert m_base["pfa_measured"] > 5 * m_base["pfa_configured"], m_base
 
 
 def test_bad_group_size_raises(cfg):
@@ -132,7 +147,10 @@ def test_range_walk_correction_rescues_fast_target():
     from radar_tpu.evaluate import pd_curve
 
     cfg = RadarConfig(clutter_mode="mti2")
-    kw = dict(cfg=cfg, amplitudes=(0.45,), frames=48, noise_std=20.0,
+    # amp 0.35 (was 0.45): the round-5 matched default alpha detects
+    # the smeared sum at 0.45 (Pd 1.0); at 0.35 the contrast is
+    # restored at the calibrated operating point (plain 0.0, walked 1.0)
+    kw = dict(cfg=cfg, amplitudes=(0.35,), frames=48, noise_std=20.0,
               range_m=6.0, velocity_mps=10.0, seed=1)
     plain = pd_curve(**kw, n_integrate=16)[0].pd
     walked = pd_curve(**kw, n_integrate=16, range_walk=True)[0].pd
@@ -158,19 +176,21 @@ def test_range_walk_keeps_static_target(cfg):
 
 
 def test_rx_matched_alpha_realizes_design_pfa(cfg):
-    """cfar_n_pulses = num_virtual_rx Erlang-matches the per-frame
-    RX-summed map: the measured false-alarm rate lands ON the configured
-    pfa (measured 9.2e-5 vs 1e-4) where the historical exponential alpha
-    measures ~0 hits."""
+    """The DEFAULT config (cfar_n_pulses=None -> auto num_virtual_rx)
+    Erlang-matches the per-frame RX-summed map: the measured false-alarm
+    rate lands ON the configured pfa (measured 9.2e-5 vs 1e-4), where
+    the historical exponential alpha (now the explicit opt-in
+    cfar_n_pulses=1, see MIGRATION.md) measures ~0 hits."""
     import dataclasses
 
     from radar_tpu.evaluate import measure_pfa
 
-    base = measure_pfa(cfg, frames=16, noise_std=20.0, seed=0)
-    matched = measure_pfa(
-        dataclasses.replace(cfg, cfar_n_pulses=cfg.num_virtual_rx),
+    assert cfg.cfar_pulses_effective == cfg.num_virtual_rx
+    legacy = measure_pfa(
+        dataclasses.replace(cfg, cfar_n_pulses=1),
         frames=16, noise_std=20.0, seed=0)
-    assert base["hits"] == 0  # the documented conservatism
+    matched = measure_pfa(cfg, frames=16, noise_std=20.0, seed=0)
+    assert legacy["hits"] == 0  # the documented legacy conservatism
     # right ORDER, not exact: the Hann window correlates neighboring
     # cells, so the iid-Erlang model is approximate (measured 0.9-1.5x
     # configured across seeds vs ~0 unmatched)

@@ -106,7 +106,8 @@ def test_native_cfar_matches_numpy_golden(cfg):
     power = rng.exponential(1.0, (cfg.doppler_fft_size, cfg.range_fft_size))
     power[30, 40] = 900.0
     want_hits, want_thresh = golden.ca_cfar_2d(
-        power, cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa
+        power, cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa,
+        n_pulses=cfg.cfar_pulses_effective,
     )
     got_hits, got_thresh = native.ca_cfar_2d(power, cfg)
     np.testing.assert_allclose(got_thresh, want_thresh, rtol=1e-12)
@@ -120,7 +121,8 @@ def test_native_os_cfar_matches_golden(cfg):
     )
     power[40, 70] = 700.0
     want_hits, want_t = golden.os_cfar_2d(
-        power, cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa
+        power, cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa,
+        n_pulses=cfg.cfar_pulses_effective,
     )
     got_hits, got_t = native.os_cfar_2d(power, cfg)
     np.testing.assert_allclose(got_t, want_t, rtol=1e-12)
@@ -146,7 +148,8 @@ def test_os_cfar_half_integer_k_parity(cfg):
     c = RC(cfar_train=(4, 7))
     rng = np.random.default_rng(57)
     power = rng.exponential(1.0, (c.doppler_fft_size, c.range_fft_size))
-    _, want = golden.os_cfar_2d(power, c.cfar_guard, c.cfar_train, c.cfar_pfa)
+    _, want = golden.os_cfar_2d(power, c.cfar_guard, c.cfar_train, c.cfar_pfa,
+                                n_pulses=c.cfar_pulses_effective)
     _, got_native = native.os_cfar_2d(power, c)
     np.testing.assert_allclose(got_native, want, rtol=1e-12)
     _, got_xla = os_xla(jnp.asarray(power.astype(np.float32)), c)
@@ -161,7 +164,8 @@ def test_native_go_so_cfar_matches_golden(cfg):
     power[40, 70] = 700.0
     for kind in ("go", "so"):
         want_hits, want_t = golden.go_so_cfar_2d(
-            power, cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa, kind=kind
+            power, cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa, kind=kind,
+            n_pulses=cfg.cfar_pulses_effective,
         )
         got_hits, got_t = native.go_so_cfar_2d(power, cfg, kind=kind)
         np.testing.assert_allclose(got_t, want_t, rtol=1e-9)
@@ -208,8 +212,11 @@ def test_native_ca_cfar_respects_n_pulses():
         cfg.cfar_range_mode, n_pulses=4)
     np.testing.assert_allclose(thr_c, thr_g, rtol=1e-9)
     np.testing.assert_array_equal(hits_c, hits_g)
-    # and the matched threshold sits BELOW the single-pulse one
-    _, thr_1 = native.ca_cfar_2d(p[0], RadarConfig())
+    # and the matched threshold sits BELOW the single-pulse one (pin
+    # cfar_n_pulses=1 explicitly: since round 5 the DEFAULT is the
+    # matched auto = num_virtual_rx, which equals 4 here)
+    _, thr_1 = native.ca_cfar_2d(
+        p[0], dataclasses.replace(RadarConfig(), cfar_n_pulses=1))
     assert thr_c.mean() < thr_1.mean()
 
 

@@ -70,7 +70,8 @@ def test_cfar_matches_golden(cfg):
     power[50, 100] = 800.0
     power[10, 30] = 600.0
     want_hits, want_thresh = golden.ca_cfar_2d(
-        power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa
+        power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa,
+        n_pulses=cfg.cfar_pulses_effective,
     )
     got_hits, got_thresh = ca_cfar_2d(jnp.asarray(power), cfg)
     got_hits, got_thresh = np.asarray(got_hits), np.asarray(got_thresh)
@@ -194,7 +195,8 @@ def test_cfar_range_edges_do_not_wrap(cfg):
 
     # all four twins agree at the edges under the default (reflect) config
     want_hits, want_t = golden.ca_cfar_2d(
-        power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa
+        power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train, cfg.cfar_pfa,
+        n_pulses=cfg.cfar_pulses_effective,
     )
     # f32 twins: the 1e6 outlier costs ~3 digits in the (total - inner)
     # cancellation, hence the looser 2e-3 on cells near the target
@@ -232,20 +234,28 @@ class TestOSCFAR:
         power[0, 50, 100] = 900.0
         want_hits, want_t = golden.os_cfar_2d(
             power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train,
-            cfg.cfar_pfa,
+            cfg.cfar_pfa, n_pulses=cfg.cfar_pulses_effective,
         )
         got_hits, got_t = os_cfar_2d(jnp.asarray(power), cfg)
         np.testing.assert_allclose(np.asarray(got_t), want_t, rtol=2e-4)
         assert np.asarray(got_hits)[0, 50, 100]
 
     def test_false_alarm_rate_bounded(self, cfg):
+        """Exponential-cell alpha on raw exponential noise: pin
+        cfar_n_pulses=1 (the default auto = num_virtual_rx models
+        RX-SUMMED power maps, not this synthetic exp field — the
+        matched-default's own Pfa gate is
+        test_integrate.test_rx_matched_alpha_realizes_design_pfa)."""
+        import dataclasses
+
         from radar_tpu.ops.cfar import os_cfar_2d
 
+        c1 = dataclasses.replace(cfg, cfar_n_pulses=1)
         rng = np.random.default_rng(43)
         power = rng.exponential(
             1.0, (4, cfg.doppler_fft_size, cfg.range_fft_size)
         ).astype(np.float32)
-        hits, _ = os_cfar_2d(jnp.asarray(power), cfg)
+        hits, _ = os_cfar_2d(jnp.asarray(power), c1)
         # pfa=1e-4 over 4*16384 cells -> ~6.5 expected false alarms
         assert np.asarray(hits).sum() <= 60
 
@@ -293,7 +303,8 @@ def test_os_cfar_stride_parity_and_pfa(cfg):
     ).astype(np.float64)
     power[50, 100] = 900.0
     want_hits, want_t = golden.os_cfar_2d(
-        power, c.cfar_guard, c.cfar_train, c.cfar_pfa, stride=4
+        power, c.cfar_guard, c.cfar_train, c.cfar_pfa, stride=4,
+        n_pulses=c.cfar_pulses_effective,
     )
     got_hits, got_t = native.os_cfar_2d(power, c)
     np.testing.assert_allclose(got_t, want_t, rtol=1e-12)
@@ -434,7 +445,7 @@ def test_go_so_cfar_matches_golden(cfg, kind):
     power[50, 100] = 800.0
     want_hits, want_thresh = golden.go_so_cfar_2d(
         power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train,
-        cfg.cfar_pfa, kind=kind[:2],
+        cfg.cfar_pfa, kind=kind[:2], n_pulses=cfg.cfar_pulses_effective,
     )
     got_hits, got_thresh = go_so_cfar_2d(jnp.asarray(power), cfg, kind[:2])
     got_hits, got_thresh = np.asarray(got_hits), np.asarray(got_thresh)
@@ -451,12 +462,15 @@ def test_go_so_noise_ordering(cfg):
     pfa — checked empirically on pure exponential noise."""
     from radar_tpu.ops.cfar import go_so_cfar_2d
 
+    import dataclasses
+
+    c1 = dataclasses.replace(cfg, cfar_n_pulses=1)  # exp noise -> exp alpha
     rng = np.random.default_rng(41)
     power = rng.exponential(1.0, (64, cfg.doppler_fft_size,
                                   cfg.range_fft_size)).astype(np.float32)
     p = jnp.asarray(power)
-    hits_go, _ = go_so_cfar_2d(p, cfg, "go")
-    hits_so, _ = go_so_cfar_2d(p, cfg, "so")
+    hits_go, _ = go_so_cfar_2d(p, c1, "go")
+    hits_so, _ = go_so_cfar_2d(p, c1, "so")
     n_cells = power.size
     # pfa = 1e-6 at defaults; with ~1e6 cells expect O(1) false alarms.
     # Bound loosely: the rates must be within ~30x of pfa, not e.g. 1e-2

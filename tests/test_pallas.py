@@ -176,7 +176,8 @@ class TestPallasCFARConfigs:
             1.0, (cfg.doppler_fft_size, cfg.range_fft_size)
         ).astype(np.float32)
         _, want = golden.ca_cfar_2d(
-            power.astype(np.float64), guard, train, pfa
+            power.astype(np.float64), guard, train, pfa,
+            n_pulses=cfg.cfar_pulses_effective,
         )
         _, got = ca_cfar_2d_pallas(jnp.asarray(power), cfg, interpret=True)
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4)
@@ -239,7 +240,7 @@ class TestPallasOSCFAR:
         want_hits, want_t = golden.os_cfar_2d(
             power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train,
             cfg.cfar_pfa, cfg.cfar_os_k_frac, cfg.cfar_range_mode,
-            cfg.cfar_os_stride,
+            cfg.cfar_os_stride, n_pulses=cfg.cfar_pulses_effective,
         )
         got_hits, got_t = os_cfar_2d_pallas(
             jnp.asarray(power), cfg, interpret=True
@@ -271,6 +272,7 @@ class TestPallasOSCFAR:
         _, want = golden.os_cfar_2d(
             power.astype(np.float64), cfg.cfar_guard, cfg.cfar_train,
             cfg.cfar_pfa, cfg.cfar_os_k_frac, cfg.cfar_range_mode,
+            n_pulses=cfg.cfar_pulses_effective,
         )
         _, got = os_cfar_2d_pallas(jnp.asarray(power), cfg, interpret=True)
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4)
