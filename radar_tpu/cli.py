@@ -42,6 +42,8 @@ def _build_cfg(args) -> RadarConfig:
         kw["slope_hz_per_s"] = args.slope * 1e12
     if getattr(args, "cfar_pulses", None):
         kw["cfar_n_pulses"] = args.cfar_pulses
+    if getattr(args, "range_edge_guard", None) is not None:
+        kw["range_edge_guard"] = args.range_edge_guard
     cal_path = getattr(args, "cal", None)
     if cal_path:
         import json
@@ -126,13 +128,21 @@ def _add_pipeline_flags(sp) -> None:
                     help="MXU matmul precision: 'high' 3-pass (~8e-6 vs "
                          "golden, the default), 'highest' f32 (~8e-8), or "
                          "'default' 1 bf16 pass (~9e-4, fastest)")
+    sp.add_argument("--range-edge-guard", type=int, default=None,
+                    metavar="BINS",
+                    help="top-edge range bins excluded from detection "
+                         "(wrapped window sidelobes of strong near "
+                         "targets are persistent false alarms there). "
+                         "Default: auto = 2*(guard+train) range bins; "
+                         "0 = full-span detection")
     sp.add_argument("--cfar-pulses", type=int, default=None, metavar="N",
-                    help="solve the CA-CFAR alpha for Erlang-N cells "
-                         "instead of exponential: set to num_tx*num_rx "
-                         "to match the RX-summed per-frame map (the "
-                         "historical default 1 is conservative — "
-                         "measured ~0 false alarms where pfa=1e-4 "
-                         "expects ~52)")
+                    help="solve the CFAR alpha for Erlang-N cells. "
+                         "Default: num_tx*num_rx, matching the RX-summed "
+                         "per-frame map so the realized Pfa lands ON the "
+                         "configured rate. Pass 1 for the legacy "
+                         "exponential-cell alpha (conservative: measured "
+                         "~0 false alarms where pfa=1e-4 expects ~52; "
+                         "see MIGRATION.md)")
     sp.add_argument("--clutter", default=None,
                     choices=["auto", "base", "mean", "mti2", "mti3"],
                     help="slow-time clutter removal: 'auto' (base frame "
@@ -631,7 +641,16 @@ def cmd_serve(args) -> int:
     ego_gate = getattr(args, "ego", None)
     cmap_beta = getattr(args, "cmap", None)
     cmap_state: dict = {}   # per-source recursive background map
-    n_int = getattr(args, "integrate", None) or 1
+    n_int_arg = getattr(args, "integrate", None)
+    if n_int_arg is not None and n_int_arg < 2:
+        # reject rather than silently degrade to per-frame serving:
+        # detect_integrated's own n >= 1 check never sees the value
+        # because the serve loop only takes the integrate path at
+        # n_int > 1 (matches the other flag guards' rc 2)
+        print(f"error: --integrate needs a group size >= 2, got "
+              f"{n_int_arg}", file=sys.stderr)
+        return 2
+    n_int = n_int_arg or 1
     walk = getattr(args, "walk", False)
     if n_int > 1:
         for bad, why in (
@@ -690,13 +709,28 @@ def cmd_serve(args) -> int:
             jax.block_until_ready(blank_interference(
                 jnp.asarray(warm[0]), k=blank_k)[0])
         b0 = jax.block_until_ready(pipe.prepare_base(warm[0]))
-        # full dispatch+materialize round trip: compiles detect AND the
-        # packed-transfer program, and primes the transport
-        packed = np.asarray(pack_detections(pipe.detect(warm, b0)))
         if n_int > 1:
+            # the integrate loop never dispatches the per-frame detect
+            # program — warming it would only lengthen time-to-ready
+            # (disambiguate/refine are rejected above at n_int > 1, so
+            # nothing downstream needs the packed per-frame result)
             warm_g = np.zeros((ng * n_int, cfg.shorts_per_frame), np.int16)
             np.asarray(pack_detections(
                 pipe.detect_integrated(warm_g, b0, n_int, walk)))
+            print(json.dumps({"event": "ready"}), flush=True)
+            return
+        # full dispatch+materialize round trip: compiles detect AND the
+        # packed-transfer program, and primes the transport
+        packed = np.asarray(pack_detections(pipe.detect(warm, b0)))
+        if cmap_beta is not None:
+            # both clutter-map variants the loop dispatches: the
+            # self-seeding first batch and the carried-map steady state
+            res, m_w = pipe.detect_cmap(warm, b0, beta=cmap_beta,
+                                        m0=None, block=1)
+            np.asarray(pack_detections(res))
+            res, _ = pipe.detect_cmap(warm, b0, beta=cmap_beta,
+                                      m0=m_w, block=1)
+            np.asarray(pack_detections(res))
         if disambiguate:
             _disambiguated(pipe, warm, b0, packed[..., 7], packed[..., 8])
         if args.refine:
@@ -821,11 +855,17 @@ def cmd_serve(args) -> int:
             # One record per group (detections from the summed map,
             # integration-matched CFAR alpha; see detect_integrated).
             for src, frames_src in todo.items():
+                # pending carries each frame's ARRIVAL time so a group
+                # completed several micro-batches after its first frame
+                # arrived reports the full wait, not just the final
+                # dispatch's share (latency = record time - the group's
+                # OLDEST arrival; frames are in arrival order)
                 pend = pending.setdefault(src, [])
-                pend.extend(frames_src)
+                pend.extend((f, t_recv) for f in frames_src)
                 while len(pend) >= n_int:
                     g = min(ng, len(pend) // n_int)
-                    group_frames = pend[: g * n_int]
+                    group_frames = [f for f, _ in pend[: g * n_int]]
+                    t_oldest = [pend[j * n_int][1] for j in range(g)]
                     del pend[: g * n_int]
                     if t_first is None:
                         t_first = time.perf_counter()
@@ -842,10 +882,9 @@ def cmd_serve(args) -> int:
                     fetch_ms.append(1e3 * (time.perf_counter() - t_x))
                     for j in range(g):
                         emit_record(src, out[j], n_group=n_int)
-            if not n_emitted:
-                continue  # no group completed; latency counts records
-            t_last = time.perf_counter()
-            lat_ms.extend([1e3 * (t_last - t_recv)] * n_emitted)
+                    t_last = time.perf_counter()
+                    lat_ms.extend(1e3 * (t_last - t0_g)
+                                  for t0_g in t_oldest)
             continue
         if t_first is None:
             t_first = time.perf_counter()

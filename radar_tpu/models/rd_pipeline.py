@@ -297,6 +297,15 @@ def assemble_result(power, rd_snaps, hits, k: int, cfg: RadarConfig,
       power: (..., D, R) integrated power (full map).
       rd_snaps: callable top_idx -> (..., K, rx) snapshot gatherer.
     """
+    guard = cfg.range_edge_guard_effective
+    if guard:
+        # top-edge range bins excluded from detection: circularly
+        # wrapped window sidelobes of strong near-range targets make
+        # those cells persistent false alarms under 'reflect' CFAR (see
+        # RadarConfig.range_edge_guard; the mega detect kernel applies
+        # the identical cut in-kernel)
+        r_idx = jnp.arange(power.shape[-1])
+        hits = hits & (r_idx < power.shape[-1] - guard)
     num_hits, top_idx, top_power, valid, d_bin, r_bin = topk_cells(
         power, hits, k, topk_impl
     )
@@ -438,7 +447,11 @@ class RDPipeline:
     # slow time per fast-time sample before the FFTs so intra-CPI range
     # walk vanishes for unambiguous velocities.  Needs the complex-cube
     # front-end (the transform's input is the virtualized cube), so it
-    # forces rd_impl 'fft'; an explicit incompatible pin raises.
+    # forces rd_impl 'fft'/'mxu' (~43k fps on v5e); an explicit
+    # incompatible pin raises.  Folding it into the mega kernel is
+    # CLOSED by arithmetic — the (T, N, D, D) folded constant is 13 MB
+    # complex64 at the default geometry against the 16 MB scoped-VMEM
+    # ceiling already ~10 MB full (ROADMAP round-5 keystone entry).
     keystone: bool = False
 
     def _topk_impl(self) -> str:
@@ -593,7 +606,10 @@ class RDPipeline:
             if impl not in ("auto", "fft", "mxu"):
                 raise ValueError(
                     f"keystone=True needs the complex-cube front-end "
-                    f"(rd_impl 'auto'/'fft'/'mxu'), got {impl!r}"
+                    f"(rd_impl 'auto'/'fft'/'mxu'), got {impl!r} — the "
+                    "mega/fused fold is closed by VMEM arithmetic "
+                    "(ROADMAP round-5 keystone entry: 13 MB folded "
+                    "constant vs the 16 MB scoped ceiling)"
                 )
             return "mxu" if (impl == "mxu") else "fft"
         if impl == "auto":
@@ -764,10 +780,11 @@ class RDPipeline:
         # alpha (ops.cfar.cfar_alpha n_pulses) or the gain is thrown away
         import dataclasses
 
-        # compose with any user-set pulse count (e.g. cfar_n_pulses =
-        # num_virtual_rx to also match the per-frame RX power sum)
+        # compose with the per-frame pulse count (default: the
+        # Erlang-matched num_virtual_rx RX-power sum) so the threshold
+        # models the FULL integration order n * per-frame
         cfg_int = dataclasses.replace(
-            cfg, cfar_n_pulses=n * cfg.cfar_n_pulses
+            cfg, cfar_n_pulses=n * cfg.cfar_pulses_effective
         )
         hits = self._cfar(p_int, hits_only=True, cfg=cfg_int)[0]
         # snapshots from each group's last frame: for the mega impl the
@@ -824,7 +841,7 @@ class RDPipeline:
                                         want_hits=False)
         hits, m_out = clutter_map_cfar(
             power, cfg.cfar_pfa, beta, m0, seeded=m0 is not None,
-            block=block,
+            block=block, n_pulses=cfg.cfar_pulses_effective,
         )
         out = assemble_result(
             power, snaps_fn, hits, self.max_detections, cfg,

@@ -50,7 +50,14 @@ class TrackerConfig:
     alpha: float = 0.6          # range correction gain
     beta: float = 0.3           # velocity correction gain
     azimuth_smoothing: float = 0.5
-    confirm_hits: int = 2
+    # M-hit confirmation.  3 (round 5; was 2): with the Erlang-matched
+    # default CFAR alpha the detector runs at its DESIGN Pfa (the legacy
+    # exponential alpha realized ~0 false alarms), so 2-hit confirmation
+    # lets a false-alarm pair — or a flickering quenched base-noise cell
+    # (see MIGRATION.md round-5 notes) — spawn a confirmed ghost track;
+    # 3-of-N is the classic radar confirmation logic for a calibrated
+    # detector.
+    confirm_hits: int = 3
     max_misses: int = 3
 
 
@@ -177,7 +184,14 @@ class EKFConfig:
     accel_std_mps2: float = 4.0        # white-acceleration process noise
     init_tangential_vel_std: float = 8.0
     gate_mahalanobis: float = 11.34    # chi-square 3 dof, 99%
-    confirm_hits: int = 2
+    # M-hit confirmation.  3 (round 5; was 2): with the Erlang-matched
+    # default CFAR alpha the detector runs at its DESIGN Pfa (the legacy
+    # exponential alpha realized ~0 false alarms), so 2-hit confirmation
+    # lets a false-alarm pair — or a flickering quenched base-noise cell
+    # (see MIGRATION.md round-5 notes) — spawn a confirmed ghost track;
+    # 3-of-N is the classic radar confirmation logic for a calibrated
+    # detector.
+    confirm_hits: int = 3
     max_misses: int = 3
 
 

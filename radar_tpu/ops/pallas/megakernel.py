@@ -194,27 +194,44 @@ def _range_consts(art, ait, precision):
     return a2 if precision == "highest" else a2.astype(jnp.bfloat16)
 
 
-def _range_lhs(raw_i16, precision):
+def _range_lhs(raw_i16, precision, base=None):
     """Per-frame range LHS from the INT16 raw frame, in
     :func:`_range_consts`'s slot order.
+
+    ``base`` (f32 (C*V, 2S), the base frame in the RAW interleave) is
+    subtracted BEFORE the slot packing: the windowed range DFT is
+    linear, so ``(raw - base_raw) @ A == raw @ A - base_z`` — the former
+    z-space subtraction of two (C*V, R) f32 planes per frame becomes one
+    (C*V, 2S) subtract riding the existing cast chain (2.5x fewer
+    elementwise cells at the default geometry, and the 1 MB br/bi VMEM
+    constants shrink to a 0.4 MB raw-layout one).  The difference of two
+    int16-valued f32s is exact (<= 17 bits); for 'high' the hi/lo split
+    of a 17-bit value rounds the lo term by <= 2^-9 of the residual
+    (vs exact at 16 bits) — ~1e-7-class relative on the plane, two
+    orders under the mode's ~8e-6 budget.
 
     'default' feeds bf16(raw) directly — int16->bf16 RN equals
     f32->bf16 RN of the exact f32 cast (int16->f32 is exact), so this
     is bit-identical to the former f32-operand DEFAULT-precision dot at
     half the cast vregs.  'highest' keeps the exact f32 operand."""
+    x = raw_i16.astype(jnp.float32)
+    if base is not None:
+        x = x - base
     if precision == "high":
-        rh, rl = _split(raw_i16.astype(jnp.float32))
+        rh, rl = _split(x)
         return jnp.concatenate([rh, rl, rh], axis=1)
     if precision == "highest":
-        return raw_i16.astype(jnp.float32)
-    return raw_i16.astype(jnp.bfloat16)
+        return x
+    if base is None:
+        return raw_i16.astype(jnp.bfloat16)
+    return x.astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
 # the kernel
 
 
-def _range_stage(raw_f, a2, br_ref, bi_ref, *, split, dprec, cv, s2,
+def _range_stage(raw_f, a2, bs_ref, *, split, dprec, cv, s2,
                  r_size, clutter, n_chirps):
     """One frame's clutter-removed, pre-split range planes, all in VMEM,
     via ONE range dot; a2 is the packed host-built constant
@@ -228,13 +245,19 @@ def _range_stage(raw_f, a2, br_ref, bi_ref, *, split, dprec, cv, s2,
     without re-splitting (and, for 'high', halving the bytes the demux
     relayout moves).
 
+    Base clutter removal happens in RAW space, inside
+    :func:`_range_lhs`'s cast chain (``bs_ref``: the base frame in the
+    raw interleave; the DFT's linearity makes it identical to the former
+    z-space plane subtraction at 2.5x fewer elementwise cells).
+
     Chirp-mean clutter removal runs in zr space — mean over all chirps
     per (v, r) via the (C*V, R) -> (C, V*R) lane-merge reshape — which is
     bit-identical to the former xr-space form (same ascending-chirp
     summation order, same cells) and keeps the demuxed planes clean.
     """
     prec = jax.lax.Precision.HIGHEST if dprec == "highest" else None
-    lhs = _range_lhs(raw_f.reshape(cv, s2), dprec)
+    lhs = _range_lhs(raw_f.reshape(cv, s2), dprec,
+                     bs_ref[:] if clutter == "base" else None)
     z2c = _DOT(lhs, a2, precision=prec)   # (C*V, 2R): [zr | zi] planes
     zr = z2c[:, :r_size]
     zi = z2c[:, r_size:]
@@ -244,9 +267,6 @@ def _range_stage(raw_f, a2, br_ref, bi_ref, *, split, dprec, cv, s2,
         zr = (z2 - jnp.mean(z2, axis=0, keepdims=True)).reshape(cv, r_size)
         z2 = zi.reshape(n_chirps, vr)
         zi = (z2 - jnp.mean(z2, axis=0, keepdims=True)).reshape(cv, r_size)
-    elif clutter == "base":
-        zr = zr - br_ref[:]
-        zi = zi - bi_ref[:]
     # else 'none': MTI modes reach the kernel as a host-side fold of the
     # canceller into the Doppler DFT constants (see :func:`_plan`) — the
     # range planes stay raw and every Doppler-domain consumer (power
@@ -270,13 +290,13 @@ def _doppler_power(zrp, zip_, l2, *, dprec, kc, tvr, d_size, tv, r_size):
     return (dr * dr + di * di).reshape(d_size, tv, r_size).sum(axis=1)
 
 
-def _frame_maps(raw_f, a2, l2, br_ref, bi_ref, *, split,
+def _frame_maps(raw_f, a2, l2, bs_ref, *, split,
                 dprec, cv, s2, kc, tvr, d_size, tv, r_size, clutter,
                 tx, n_chirps):
     """One frame's (zr parts, zi parts, p): :func:`_range_stage` then
     :func:`_doppler_power` — ONE range dot and ONE Doppler dot total."""
     zrp, zip_ = _range_stage(
-        raw_f, a2, br_ref, bi_ref, split=split, dprec=dprec, cv=cv, s2=s2,
+        raw_f, a2, bs_ref, split=split, dprec=dprec, cv=cv, s2=s2,
         r_size=r_size, clutter=clutter, n_chirps=n_chirps,
     )
     p = _doppler_power(zrp, zip_, l2, dprec=dprec, kc=kc, tvr=tvr,
@@ -285,7 +305,7 @@ def _frame_maps(raw_f, a2, l2, br_ref, bi_ref, *, split,
 
 
 def _mega_kernel(
-    raw_ref, a2_ref, l2_ref, br_ref, bi_ref,
+    raw_ref, a2_ref, l2_ref, bs_ref,
     *refs,
     rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
     clutter, tx, n_chirps, with_cfar, coef, n_band=2,
@@ -303,7 +323,7 @@ def _mega_kernel(
 
     for f in range(rows):
         _, _, p = _frame_maps(
-            raw_ref[f], a2, l2, br_ref, bi_ref,
+            raw_ref[f], a2, l2, bs_ref,
             split=split, dprec=precision, cv=cv, s2=s2, kc=kc, tvr=tvr,
             d_size=d_size, tv=tv, r_size=r_size,
             clutter=clutter, tx=tx, n_chirps=n_chirps,
@@ -419,7 +439,7 @@ def _const_vmem_bytes(cfg: RadarConfig, detect: bool) -> int:
     d, r = cfg.doppler_fft_size, _r_pad(cfg)
     kc = cfg.chirps_per_tx
     dft = s2 * r * 12                  # a2: (3*2S, 2R) bf16 slot-packed
-    dft += c * v * r * 8 * 2           # br/bi (x2: headroom for transients)
+    dft += c * v * s2 * 4 * 2          # bs raw-layout base (x2: headroom)
     dft += d * kc * 24                 # l2: (2D, 6Kc) bf16 slot-packed
     if detect:
         dft += d * kc * 8              # frt/fit: (Kc, 2D) bf16 [hi | lo]
@@ -463,8 +483,10 @@ def _mti_matrix(kc: int, order: int):
 
 def _plan(shorts, base_cube, cfg, window, clutter="base"):
     """Shared host-side setup: reshaped raw frames + constant operands.
-    The range matrices and base planes are zero-padded to ``_r_pad(cfg)``
-    columns so non-128-multiple range sizes lower (see :func:`_r_pad`).
+    The range matrices are zero-padded to ``_r_pad(cfg)`` columns so
+    non-128-multiple range sizes lower (see :func:`_r_pad`); the base
+    stays in the unpadded RAW interleave (it is subtracted before the
+    range dot, see :func:`_range_lhs`).
 
     MTI clutter modes fold the canceller INTO the Doppler DFT matrix:
     ``dr = F diag(w) (M x) = (F diag(w) M) x``, and the per-detection
@@ -473,10 +495,7 @@ def _plan(shorts, base_cube, cfg, window, clutter="base"):
     at ZERO kernel cost (an in-kernel roll+subtract form measured
     +5%/+27% for mti2/mti3 on v5e — Mosaic's tiny-op tax on the extra
     per-frame VPU chain)."""
-    from radar_tpu.ops.fuseddft import (
-        _base_range_planes,
-        interleaved_range_matrices,
-    )
+    from radar_tpu.ops.fuseddft import interleaved_range_matrices
 
     from radar_tpu.ops.window import resolve_window
 
@@ -503,16 +522,20 @@ def _plan(shorts, base_cube, cfg, window, clutter="base"):
     fr = jnp.asarray(f_dop.real, jnp.float32)
     fi = jnp.asarray(f_dop.imag, jnp.float32)
     if base_cube is None:
-        br = bi = jnp.zeros((c * v, r_true), jnp.float32)
+        bs = jnp.zeros((c * v, s2), jnp.float32)
     else:
-        b_re, b_im = _base_range_planes(base_cube, cfg, window)
-        br = b_re.reshape(c * v, r_true)
-        bi = b_im.reshape(c * v, r_true)
+        # the base in the RAW interleave: the kernel subtracts it BEFORE
+        # the range dot inside _range_lhs's cast chain (one (C*V, 2S)
+        # subtract instead of two (C*V, R) plane subtracts per frame,
+        # and a 0.4 MB VMEM constant instead of the former 1 MB br/bi
+        # pair) — see fuseddft.base_raw_interleave for the algebra
+        from radar_tpu.ops.fuseddft import base_raw_interleave
+
+        bs = base_raw_interleave(base_cube, cfg).reshape(c * v, s2)
     if rp != r_true:
         pad = ((0, 0), (0, rp - r_true))
         art, ait = jnp.pad(art, pad), jnp.pad(ait, pad)
-        br, bi = jnp.pad(br, pad), jnp.pad(bi, pad)
-    return lead, raw, art, ait, fr, fi, br, bi
+    return lead, raw, art, ait, fr, fi, bs
 
 
 def _padded_band_matrices(cfg, d_size, r_true, rp):
@@ -546,7 +569,7 @@ def _cfar_kind_consts(cfg, d_size, r_true, rp):
 
     if cfg.cfar_kind == "ca":
         alpha, n_train = cfar_alpha(cfg.cfar_guard, cfg.cfar_train,
-                                    cfg.cfar_pfa, cfg.cfar_n_pulses)
+                                    cfg.cfar_pfa, cfg.cfar_pulses_effective)
         return (_padded_band_matrices(cfg, d_size, r_true, rp),
                 float(alpha / n_train))
     if cfg.cfar_kind not in ("goca", "soca"):
@@ -591,8 +614,8 @@ def _mega_call(
     clutter = cfg.effective_clutter(base_cube is not None)
     if clutter != "base":
         base_cube = None   # zero base planes; the kernel never reads them
-    lead, raw, art, ait, fr, fi, br, bi = _plan(shorts, base_cube, cfg, window,
-                                                clutter)
+    lead, raw, art, ait, fr, fi, bs = _plan(shorts, base_cube, cfg, window,
+                                            clutter)
     if clutter in ("mti2", "mti3"):
         clutter = "none"   # folded into the Doppler constants by _plan
     b = raw.shape[0]
@@ -609,7 +632,7 @@ def _mega_call(
 
     a2 = _range_consts(art, ait, cfg.dft_precision)
     l2 = _dop_lhs_consts(fr, fi, cfg.dft_precision)
-    consts = [a2, l2, br, bi]
+    consts = [a2, l2, bs]
     coef, n_band = 0.0, 0
     if with_cfar:
         band, coef = _cfar_kind_consts(cfg, d_size, r_true, r_size)
@@ -758,8 +781,8 @@ def _make_threshold(cfar_kind, band, coef):
 
 def _mega_detect_kernel(
     raw_ref, a2_ref, l2_ref, frt_ref, fit_ref,
-    br_ref, bi_ref, *rest,
-    rows, cv, s2, kc, tvr, d_size, tv, r_size, precision,
+    bs_ref, *rest,
+    rows, cv, s2, kc, tvr, d_size, tv, r_size, r_valid, precision,
     clutter, tx, n_chirps, coef, k_det, s_pack, n_band,
     cfar_kind="ca", phases="full",
 ):
@@ -778,6 +801,12 @@ def _mega_detect_kernel(
     l2 = l2_ref[:]
     thresh = _make_threshold(cfar_kind, band, coef)
     sentinel = jnp.float32(_F32_MIN)
+    # top-edge range guard: same cut assemble_result applies on the
+    # maps paths (RadarConfig.range_edge_guard — wrapped window
+    # sidelobes of strong near-range targets are persistent false
+    # alarms there); one static lane-iota compare, hoisted per step
+    ok_lane = (jax.lax.broadcasted_iota(jnp.int32, (d_size, r_size), 1)
+               < r_valid)
 
     # -- phase A: per-frame front-end; maps live only in VMEM scratch ----
     # (phases='a0'/'a1'/'a2' stop after the range stage / Doppler+power /
@@ -786,7 +815,7 @@ def _mega_detect_kernel(
     # so Mosaic keeps each prefix's real work)
     for f in range(rows):
         zrp, zip_ = _range_stage(
-            raw_ref[f], a2, br_ref, bi_ref,
+            raw_ref[f], a2, bs_ref,
             split=split, dprec=precision, cv=cv, s2=s2, r_size=r_size,
             clutter=clutter, n_chirps=n_chirps,
         )
@@ -815,7 +844,7 @@ def _mega_detect_kernel(
         # The 3D (rows, D, R) two-stage-reduce variant is worse still
         # (2.6x, 1.35 ms).
         mask_s[f * s_pack : (f + 1) * s_pack] = jnp.where(
-            p > th, p, sentinel
+            (p > th) & ok_lane, p, sentinel
         ).reshape(s_pack, (d_size * r_size) // s_pack)
 
     if phases in ("a0", "a1", "a2"):
@@ -1079,8 +1108,8 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
     clutter = cfg.effective_clutter(base_cube is not None)
     if clutter != "base":
         base_cube = None   # zero base planes; the kernel never reads them
-    lead, raw, art, ait, fr, fi, br, bi = _plan(shorts, base_cube, cfg, window,
-                                                clutter)
+    lead, raw, art, ait, fr, fi, bs = _plan(shorts, base_cube, cfg, window,
+                                            clutter)
     if clutter in ("mti2", "mti3"):
         clutter = "none"   # folded into the Doppler constants by _plan
     b = raw.shape[0]
@@ -1114,12 +1143,13 @@ def _mega_detect_call(shorts, base_cube, cfg, window, k_det, interpret, rows,
         # as one dot against a doubled one-hot, no per-frame splits
         frt = jnp.concatenate(_split(fr.T), axis=1)
         fit = jnp.concatenate(_split(fi.T), axis=1)
-    consts = [a2, l2, frt, fit, br, bi] + band
+    consts = [a2, l2, frt, fit, bs] + band
 
     kern = functools.partial(
         _mega_detect_kernel,
         rows=rows, cv=c * v, s2=s2, kc=kc, tvr=tv * r_size,
         d_size=d_size, tv=tv, r_size=r_size,
+        r_valid=r_true - cfg.range_edge_guard_effective,
         precision=cfg.dft_precision,
         clutter=clutter, tx=tx, n_chirps=c,
         coef=coef, k_det=k_det, s_pack=s_pack, n_band=len(band),

@@ -437,11 +437,13 @@ def test_serve_integrate(cfg, serve_over_udp):
     from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
 
     # a MOVING target: fresh-noise clutter modes notch zero Doppler, so
-    # a 0 m/s scatterer would be removed by the clutter filter itself
+    # a 0 m/s scatterer would be removed by the clutter filter itself.
+    # 13 frames -> 3 groups of 4: the third group record confirms the
+    # track under the round-5 confirm_hits=3 default
     capture = synthesize_capture(
         [SceneTarget(range_m=5.0, velocity_mps=2.0, azimuth_deg=15.0,
                      amplitude=3000.0)],
-        9, cfg, noise_std=2.0, seed=71,
+        13, cfg, noise_std=2.0, seed=71,
     )
     # fresh-noise clutter mode: base subtraction would integrate the
     # base's own noise realization coherently (detect_integrated doc)
@@ -449,11 +451,11 @@ def test_serve_integrate(cfg, serve_over_udp):
                           extra_args=("--integrate", "4",
                                       "--clutter", "mean"))
     frame_recs = [r for r in recs if "frame" in r]
-    # 8 post-base frames -> exactly 2 groups of 4, whatever the
+    # 12 post-base frames -> exactly 3 groups of 4, whatever the
     # micro-batch sizes were; frame numbers advance by the whole group
-    assert len(frame_recs) == 2
+    assert len(frame_recs) == 3
     assert all(r["integrated"] == 4 for r in frame_recs)
-    assert [r["frame"] for r in frame_recs] == [4, 8]
+    assert [r["frame"] for r in frame_recs] == [4, 8, 12]
     assert any(
         abs(d["range_m"] - 5.0) < 1.0
         for r in frame_recs for d in r["detections"]
@@ -464,4 +466,4 @@ def test_serve_integrate(cfg, serve_over_udp):
     assert frame_recs[-1]["tracks"]
     stats = [r for r in recs if r.get("event") == "latency_stats"]
     assert len(stats) == 1
-    assert stats[0]["frames"] == 8  # frames served, not records
+    assert stats[0]["frames"] == 12  # frames served, not records

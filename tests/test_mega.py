@@ -23,12 +23,46 @@ from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
 from radar_tpu.models.rd_pipeline import RDPipeline
 
 
-def _assert_same_detections(a, b):
-    np.testing.assert_array_equal(np.asarray(a.range_bin), np.asarray(b.range_bin))
-    np.testing.assert_array_equal(np.asarray(a.doppler_bin), np.asarray(b.doppler_bin))
-    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
-    np.testing.assert_array_equal(np.asarray(a.angle_bin), np.asarray(b.angle_bin))
-    np.testing.assert_array_equal(np.asarray(a.num_hits), np.asarray(b.num_hits))
+def _assert_same_detections(a, b, max_flips=0):
+    """Slot-exact detection comparison.
+
+    ``max_flips > 0`` tolerates that many detection-SET differences
+    across the whole batch: cross-implementation pairs (mega kernel vs
+    fused XLA) accumulate bf16 rounding in different orders, so a cell
+    sitting ~1e-2 relative from its CFAR threshold can flip while the
+    power maps agree to ~1e-6 of the global max (measured; the repo's
+    within-family pairs stay bit-exact and pass ``max_flips=0``).
+    Frames with zero flips are still compared slot-exactly."""
+    av = np.asarray(a.valid).astype(bool)
+    bv = np.asarray(b.valid).astype(bool)
+    a_db, b_db = np.asarray(a.doppler_bin), np.asarray(b.doppler_bin)
+    a_rb, b_rb = np.asarray(a.range_bin), np.asarray(b.range_bin)
+    a_nh = np.asarray(a.num_hits)
+    b_nh = np.asarray(b.num_hits)
+    flips, clean = 0, []
+    for f in range(av.shape[0]):
+        sa = {(int(d), int(r))
+              for d, r in zip(a_db[f][av[f]], a_rb[f][av[f]])}
+        sb = {(int(d), int(r))
+              for d, r in zip(b_db[f][bv[f]], b_rb[f][bv[f]])}
+        # num_hits counts ALL CFAR hits, so a marginal cell that never
+        # reaches the top-K slots still shows up here — count it as a
+        # flip too
+        n = len(sa ^ sb) + abs(int(a_nh[f]) - int(b_nh[f]))
+        flips += n
+        if n == 0:
+            clean.append(f)
+    assert flips <= max_flips, (
+        f"{flips} detection-set flips across the batch "
+        f"(allowed {max_flips})"
+    )
+    cl = np.asarray(clean, int)
+    for fname in ("range_bin", "doppler_bin", "valid", "angle_bin",
+                  "num_hits"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, fname))[cl],
+            np.asarray(getattr(b, fname))[cl], err_msg=fname,
+        )
 
 
 @pytest.mark.parametrize("use_base", [True, False])
@@ -42,7 +76,7 @@ def test_mega_matches_fused(cfg, targets, use_base):
     base = fused.prepare_base(jnp.asarray(shorts[0])) if use_base else None
     a = fused.detect(jnp.asarray(shorts[1:]), base)
     b = mega.detect(jnp.asarray(shorts[1:]), base)
-    _assert_same_detections(a, b)
+    _assert_same_detections(a, b, max_flips=2)
     np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
                                rtol=2e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(a.azimuth_deg),
@@ -75,7 +109,7 @@ def test_mega_fused_cfar_threshold(cfg, targets):
     xla = RDPipeline(cfg, max_detections=8, rd_impl="mega", cfar_impl="xla")
     a = xla.detect(jnp.asarray(shorts[1:]), base)
     b = pipe.detect(jnp.asarray(shorts[1:]), base)
-    _assert_same_detections(a, b)
+    _assert_same_detections(a, b, max_flips=2)
 
 
 def test_mega_cfar_range_wrap(targets):
@@ -106,7 +140,7 @@ def test_mega_mimo(targets):
     base = fused.prepare_base(jnp.asarray(shorts[0]))
     a = fused.detect(jnp.asarray(shorts[1:]), base)
     b = mega.detect(jnp.asarray(shorts[1:]), base)
-    _assert_same_detections(a, b)
+    _assert_same_detections(a, b, max_flips=2)
     np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
                                rtol=2e-4, atol=1e-2)
 
@@ -122,7 +156,7 @@ def test_mega_os_cfar_falls_back(cfg, targets):
     base = fused.prepare_base(jnp.asarray(shorts[0]))
     a = fused.detect(jnp.asarray(shorts[1:]), base)
     b = mega.detect(jnp.asarray(shorts[1:]), base)
-    _assert_same_detections(a, b)
+    _assert_same_detections(a, b, max_flips=2)
 
 
 @pytest.mark.parametrize("precision", ["highest", "default"])
@@ -262,7 +296,7 @@ def test_mega_detect_go_so_cfar(kind, targets):
             err_msg=f,
         )
     c = fused.detect(jnp.asarray(shorts[1:]), base)
-    _assert_same_detections(a, c)
+    _assert_same_detections(a, c, max_flips=2)
     # and the two kinds genuinely differ (different thresholds)
     assert bool(np.asarray(a.num_hits).max() >= 1)
 
@@ -341,7 +375,7 @@ def test_mega_padded_geometry_matches_fused(geom, targets):
     base = fused.prepare_base(jnp.asarray(shorts[0]))
     a = fused.detect(jnp.asarray(shorts[1:]), base)
     b = mega.detect(jnp.asarray(shorts[1:]), base)
-    _assert_same_detections(a, b)
+    _assert_same_detections(a, b, max_flips=2)
     np.testing.assert_allclose(np.asarray(a.power), np.asarray(b.power),
                                rtol=2e-4, atol=1e-2)
 
@@ -385,7 +419,7 @@ def test_mega_go_so_padded_geometry(targets):
     base = fused.prepare_base(jnp.asarray(shorts[0]))
     a = fused.detect(jnp.asarray(shorts[1:]), base)
     b = mega.detect(jnp.asarray(shorts[1:]), base)
-    _assert_same_detections(a, b)
+    _assert_same_detections(a, b, max_flips=2)
 
 
 def test_vmem_limit_knob(monkeypatch):

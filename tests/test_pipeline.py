@@ -434,3 +434,35 @@ def test_onchip_time_harness(cfg, capture):
     shorts = jnp.asarray(capture[1:3])
     dt = onchip_time(pipe.detect, shorts, base, iters=2, reps=1)
     assert dt >= 0.0
+
+
+def test_range_edge_guard_masks_wrapped_sidelobes():
+    """A strong near-range target's Hann sidelobes wrap circularly
+    through DC into the top range bins, where 'reflect' CFAR training
+    never sees the peak — persistent ghosts at the design Pfa (measured
+    -69 dB at 12 circular bins from this 77 dB-SNR scene).  The default
+    range_edge_guard masks them; guard=0 reproduces the raw behavior so
+    the phenomenon itself stays gated."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from radar_tpu.config import RadarConfig
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+    from radar_tpu.models.rd_pipeline import RDPipeline
+
+    cfg = RadarConfig()
+    cap = synthesize_capture([SceneTarget(4.0, 1.5, 10.0)], 4, cfg,
+                             noise_std=10.0, seed=3)
+    cut = cfg.range_fft_size - cfg.range_edge_guard_effective
+
+    def edge_detections(c):
+        pipe = RDPipeline(c, max_detections=16)
+        base = pipe.prepare_base(jnp.asarray(cap[0]))
+        out = pipe.detect(jnp.asarray(cap[1:]), base)
+        rb = np.asarray(out.range_bin)
+        return int((np.asarray(out.valid) & (rb >= cut)).sum())
+
+    raw = edge_detections(dataclasses.replace(cfg, range_edge_guard=0))
+    assert raw > 0, "expected wrapped-sidelobe ghosts with the guard off"
+    assert edge_detections(cfg) == 0

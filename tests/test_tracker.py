@@ -24,6 +24,8 @@ class TestTrackerUnit:
         confirmed = tr.update([_det(5.0, 2.0, 10.0)])
         assert confirmed == []  # tentative after 1 hit
         confirmed = tr.update([_det(5.0 + 2.0 * dt, 2.0, 10.0)])
+        assert confirmed == []  # still tentative (confirm_hits = 3)
+        confirmed = tr.update([_det(5.0 + 4.0 * dt, 2.0, 10.0)])
         assert len(confirmed) == 1
         tid = confirmed[0].track_id
         for i in range(2, 6):
