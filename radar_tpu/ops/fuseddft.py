@@ -87,6 +87,34 @@ def _base_range_planes(base_cube, cfg: RadarConfig, window):
     )
 
 
+def base_raw_interleave(base_cube, cfg: RadarConfig) -> jnp.ndarray:
+    """(C, V, 2S) f32: the base cube back in the raw ``(I0, I1, Q0, Q1)``
+    interleave (the inverse of ``decode.decode_to_cube``'s 4-lane demux,
+    exact — the cube holds f32-exact int16 values).
+
+    Base-frame clutter removal subtracts this from the raw frames BEFORE
+    the range DFT: the windowed DFT is linear, so
+    ``(raw - base_raw) @ A == raw @ A - base_z`` in exact arithmetic —
+    one (C*V, 2S) subtract on the cast chain instead of two (C*V, R)
+    plane subtracts after the dot (2.5x fewer elementwise cells at the
+    default geometry), and every range path (mega kernel, fused XLA,
+    fused-pallas, distributed shards) shares ONE subtraction convention,
+    which keeps their detection outputs aligned at the bf16 rounding
+    level."""
+    import numpy as np
+
+    # shapes from the cube itself: distributed shards pass an RX-sliced
+    # base (rx_local, C, S) and get the matching (C, rx_local, 2S) back
+    v, c, s = base_cube.shape
+    t = np.arange(s)
+    i_col = 4 * (t // 2) + (t % 2)
+    bc = jnp.swapaxes(base_cube, 0, 1)           # (chirps, rx, samples)
+    bs = jnp.zeros((c, v, 2 * s), jnp.float32)
+    bs = bs.at[..., i_col].set(jnp.real(bc).astype(jnp.float32))
+    bs = bs.at[..., i_col + 2].set(jnp.imag(bc).astype(jnp.float32))
+    return bs
+
+
 def fused_range_planes(
     shorts: jnp.ndarray,
     base_cube: jnp.ndarray | None,
@@ -102,6 +130,11 @@ def fused_range_planes(
     window = resolve_window(window, cfg)
     c, v, s2 = cfg.num_chirps, cfg.num_rx, 2 * cfg.num_samples
     raw = shorts.reshape(shorts.shape[:-1] + (c, v, s2)).astype(jnp.float32)
+    mode = cfg.effective_clutter(base_cube is not None)
+    if mode == "base":
+        # raw-space base subtraction (see base_raw_interleave): exact,
+        # and the same convention as the Pallas mega kernel
+        raw = raw - base_raw_interleave(base_cube, cfg)
     a_re, a_im = interleaved_range_matrices(
         cfg.num_samples, cfg.range_fft_size, window
     )
@@ -109,14 +142,13 @@ def fused_range_planes(
     # range DFT straight off the interleaved axis: (..., C, V, 2S) @ (R, 2S)
     rng_re = jnp.einsum("...cvj,rj->...cvr", raw, a_re, precision=prec)
     rng_im = jnp.einsum("...cvj,rj->...cvr", raw, a_im, precision=prec)
+    if mode == "base":
+        return rng_re, rng_im
     from radar_tpu.ops.preproc import declutter_planes
 
     # mti2/mti3 are linear along the chirp axis, so filtering the range
     # planes equals filtering the raw cube (golden.mti_filter)
-    mode = cfg.effective_clutter(base_cube is not None)
-    base_pair = (_base_range_planes(base_cube, cfg, window)
-                 if mode == "base" else None)
-    return declutter_planes(rng_re, rng_im, mode, base_pair,
+    return declutter_planes(rng_re, rng_im, mode, None,
                             axis=-3, stride=cfg.num_tx)
 
 

@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from radar_tpu.config import RadarConfig, DEFAULT_CONFIG
 from radar_tpu.ops.fuseddft import (
-    _base_range_planes,
+    base_raw_interleave,
     doppler_from_range_planes,
     interleaved_range_matrices,
 )
@@ -71,14 +71,13 @@ def fused_rd_planes_pallas(
     a_re_t, a_im_t = a_re.T, a_im.T  # (2S, R) for the row-major dot
     clutter = cfg.effective_clutter(base_cube is not None)
     if clutter != "base":
-        base_cube = None   # the kernel subtracts zero planes
+        base_cube = None   # the kernel subtracts a zero base
     if base_cube is not None:
-        b_re, b_im = _base_range_planes(base_cube, cfg, window)  # (C, V, R)
-        b_re = b_re.reshape(rows, r)
-        b_im = b_im.reshape(rows, r)
+        # raw-space base subtraction before the dot (exact; the shared
+        # convention — see fuseddft.base_raw_interleave)
+        bs = base_raw_interleave(base_cube, cfg).reshape(rows, s2)
     else:
-        b_re = jnp.zeros((rows, r), jnp.float32)
-        b_im = jnp.zeros((rows, r), jnp.float32)
+        bs = jnp.zeros((rows, s2), jnp.float32)
 
     def full(shape):
         return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -98,19 +97,15 @@ def fused_rd_planes_pallas(
         # strictly-more-accurate exact-f32 passes instead
         prec = jax.lax.Precision.HIGHEST
 
-    def kernel(raw_ref, a_re_ref, a_im_ref, b_re_ref, b_im_ref,
+    def kernel(raw_ref, a_re_ref, a_im_ref, bs_ref,
                out_re_ref, out_im_ref):
-        x = raw_ref[0].astype(jnp.float32)  # (C*V, 2S)
-        out_re_ref[0] = (
-            jnp.dot(x, a_re_ref[:], preferred_element_type=jnp.float32,
-                    precision=prec)
-            - b_re_ref[:]
-        )
-        out_im_ref[0] = (
-            jnp.dot(x, a_im_ref[:], preferred_element_type=jnp.float32,
-                    precision=prec)
-            - b_im_ref[:]
-        )
+        x = raw_ref[0].astype(jnp.float32) - bs_ref[:]  # (C*V, 2S)
+        out_re_ref[0] = jnp.dot(x, a_re_ref[:],
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        out_im_ref[0] = jnp.dot(x, a_im_ref[:],
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
 
     rng_re, rng_im = pl.pallas_call(
         kernel,
@@ -123,12 +118,11 @@ def fused_rd_planes_pallas(
             per_frame,
             full((s2, r)),
             full((s2, r)),
-            full((rows, r)),
-            full((rows, r)),
+            full((rows, s2)),
         ],
         out_specs=(out_spec, out_spec),
         interpret=interpret,
-    )(raw, a_re_t, a_im_t, b_re, b_im)
+    )(raw, a_re_t, a_im_t, bs)
 
     rng_re = rng_re.reshape(lead + (c, v, r))
     rng_im = rng_im.reshape(lead + (c, v, r))

@@ -260,7 +260,7 @@ class DistributedRDPipeline:
                 # (see ops/fuseddft.py)
                 from radar_tpu.ops.dftmat import resolve_precision
                 from radar_tpu.ops.fuseddft import (
-                    _base_range_planes,
+                    base_raw_interleave,
                     doppler_from_range_planes,
                     interleaved_range_matrices,
                 )
@@ -276,22 +276,25 @@ class DistributedRDPipeline:
                 raw_l = jax.lax.dynamic_slice_in_dim(
                     raw, chan_idx * rx_per, rx_per, axis=2
                 )
+                mode = cfg.effective_clutter(True)
+                if mode == "base":
+                    # raw-space base subtraction on THIS shard's RX
+                    # slice (the shared convention across every range
+                    # path; see fuseddft.base_raw_interleave)
+                    raw_l = raw_l - base_raw_interleave(base_local, cfg)
                 rng_re = jnp.einsum(
                     "...cvj,rj->...cvr", raw_l, a_re, precision=prec
                 )
                 rng_im = jnp.einsum(
                     "...cvj,rj->...cvr", raw_l, a_im, precision=prec
                 )
-                from radar_tpu.ops.preproc import declutter_planes
+                if mode != "base":
+                    from radar_tpu.ops.preproc import declutter_planes
 
-                mode = cfg.effective_clutter(True)
-                base_pair = (_base_range_planes(base_local, cfg,
-                                                cfg.window_kind)
-                             if mode == "base" else None)
-                rng_re, rng_im = declutter_planes(
-                    rng_re, rng_im, mode, base_pair,
-                    axis=-3, stride=cfg.num_tx,
-                )
+                    rng_re, rng_im = declutter_planes(
+                        rng_re, rng_im, mode, None,
+                        axis=-3, stride=cfg.num_tx,
+                    )
                 dr, di = doppler_from_range_planes(rng_re, rng_im, cfg)
                 rd_l = None
                 planes = (dr, di)
