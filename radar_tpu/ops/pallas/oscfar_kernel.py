@@ -295,6 +295,7 @@ def _os_hits_box_kernel(
     r_size: int,
     k: int,
     alpha: float,
+    unroll_r: int = 1,
 ):
     """Stride-1 hits via ONE regular box count with the guard masked.
 
@@ -340,27 +341,41 @@ def _os_hits_box_kernel(
     ab = jnp.float32(alpha) * blk
     p = blk[:, wd : wd + d_size, wr : wr + r_size]
     n_d, n_r = 2 * wd + 1, 2 * wr + 1
+    # widened unroll: each fori step handles ``unroll_r`` consecutive
+    # range shifts as STATIC lane-offset slices of the carried rolled
+    # map (abr at step js == roll(ab, wr - js*u), so sub-offset uu
+    # reads lanes [wr+uu, wr+uu+R) — always inside the real halo, never
+    # the +inf alignment pad, since the ab-space indices span
+    # [js*u, R-1+2wr]).  This divides the (cnt, abr) carry's VMEM
+    # round-trips by u while the per-step stack grows only u-fold.
+    u = min(unroll_r, n_r)
+    while n_r % u:
+        u -= 1   # whole steps only: partial-step masking costs a
+        #          where per (cell, offset) pair, more than it saves
 
-    def outer(jr, carry):
+    def outer(js, carry):
         cnt, abr = carry
-        col = abr[:, :, wr : wr + r_size]
-        # dr = jr - wr; guard columns are the 2*gr+1 middle ones.  The
-        # guard exclusion folds into the SAME pass as masked adds on the
-        # 2*gd+1 static guard rows (a second counting pass would pay the
-        # cnt/abr carry round-trip 2*gr+1 more times — more VMEM traffic
-        # than these selects cost in VPU time).
-        in_guard_col = jnp.abs(jr - wr) <= gr
-        for jd in range(n_d):  # static sublane slices, unrolled
-            w = col[:, jd : jd + d_size, :]
-            ind = (w < p).astype(jnp.int32)
-            if abs(jd - wd) <= gd:
-                ind = jnp.where(in_guard_col, jnp.int32(0), ind)
-            cnt = cnt + ind
-        # -1 mod n: pltpu.roll requires non-negative shifts
-        return cnt, pltpu.roll(abr, abr.shape[2] - 1, axis=2)
+        for uu in range(u):
+            jr = js * u + uu
+            col = abr[:, :, wr + uu : wr + uu + r_size]
+            # dr = jr - wr; guard columns are the 2*gr+1 middle ones.
+            # The guard exclusion folds into the SAME pass as masked
+            # adds on the 2*gd+1 static guard rows (a second counting
+            # pass would pay the cnt/abr carry round-trip 2*gr+1 more
+            # times — more VMEM traffic than these selects cost in VPU
+            # time).
+            in_guard_col = jnp.abs(jr - wr) <= gr
+            for jd in range(n_d):  # static sublane slices, unrolled
+                w = col[:, jd : jd + d_size, :]
+                ind = (w < p).astype(jnp.int32)
+                if abs(jd - wd) <= gd:
+                    ind = jnp.where(in_guard_col, jnp.int32(0), ind)
+                cnt = cnt + ind
+        # -u mod n: pltpu.roll requires non-negative shifts
+        return cnt, pltpu.roll(abr, abr.shape[2] - u, axis=2)
 
     cnt, _ = jax.lax.fori_loop(
-        0, n_r, outer,
+        0, n_r // u, outer,
         (jnp.zeros(p.shape, jnp.int32), pltpu.roll(ab, wr, axis=2)),
     )
     hits_ref[...] = (cnt >= k).astype(jnp.int32)
@@ -449,12 +464,14 @@ def os_hits_supported(d_size: int, r_size: int, cfg) -> bool:
     return n_tiles == 1 or (d_tile % 8 == 0 and n_tiles * d_tile == d_size)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "impl",
+                                              "box_unroll"))
 def os_cfar_hits_pallas(
     power: jnp.ndarray,
     cfg,
     interpret: bool = False,
     impl: str = "auto",
+    box_unroll: int = 1,
 ) -> jnp.ndarray:
     """OS-CFAR hit map via a counting kernel (no threshold).
 
@@ -515,6 +532,7 @@ def os_cfar_hits_pallas(
             _os_hits_box_kernel,
             wd=wd, wr=wr, gd=gd, gr=gr,
             d_size=d_size, r_size=r_size, k=k, alpha=alpha,
+            unroll_r=box_unroll,
         )
         hits = pl.pallas_call(
             kernel,

@@ -72,9 +72,13 @@ def main() -> None:
         report("stage-search",
                stage_time(lambda p: os_cfar_2d_pallas(p, cfg)))
     if args.stride == 1:
-        report("stage-hits-box",
-               stage_time(lambda p: os_cfar_hits_pallas(p, cfg,
-                                                        impl="box")))
+        # widened range-unroll sweep: u static lane slices per carried
+        # roll step divide the (cnt, abr) fori carry round-trips by u
+        # (n_r = 21 at defaults -> whole-step u in {1, 3, 7, 21})
+        for u in (1, 3, 7, 21):
+            report(f"stage-hits-box-u{u}",
+                   stage_time(lambda p, _u=u: os_cfar_hits_pallas(
+                       p, cfg, impl="box", box_unroll=_u)))
     report("stage-hits-off",
            stage_time(lambda p: os_cfar_hits_pallas(p, cfg,
                                                     impl="offsets")))
