@@ -391,6 +391,45 @@ def check_vmem_geometry_sweep():
         np.testing.assert_array_equal(a.valid, b.valid, err_msg=str(geom))
 
 
+def check_speed_mode_detections():
+    """Speed-mode acceptance gate (round-5): ``dft_precision='default'``
+    (one bf16 MXU pass, ~9e-4 relative vs f64 golden) must reproduce the
+    'high' mode's DETECTION SETS on moderate-SNR target scenes — at most
+    one marginal-cell flip per 8-frame batch across three seeds.  This
+    is the formalized criterion behind promoting the 26%-faster 1-pass
+    mode (159.3k vs 126.6k fps driver-captured, BENCH_r04); the full
+    seed/geometry/noise study is ``scripts/speed_gate.py``.  Runs
+    compiled on TPU; on the CPU backend both modes lower to the same
+    exact f32 dot, so the interpret-mode run only exercises the plumbing.
+    """
+    import jax.numpy as jnp
+
+    from radar_tpu.config import RadarConfig
+    from radar_tpu.models.rd_pipeline import RDPipeline
+
+    cfg_hi = RadarConfig()
+    cfg_lo = RadarConfig(dft_precision="default")
+    for seed in (3, 7, 11):
+        cap = _capture(cfg_hi, 9, seed=seed)
+        sets = {}
+        for name, c in (("high", cfg_hi), ("default", cfg_lo)):
+            pipe = RDPipeline(c, max_detections=8)
+            base = pipe.prepare_base(jnp.asarray(cap[0]))
+            r = _materialize(pipe.detect(jnp.asarray(cap[1:]), base))
+            valid = r.valid.astype(bool)
+            sets[name] = [
+                {(int(d), int(rr))
+                 for d, rr in zip(r.doppler_bin[f][valid[f]],
+                                  r.range_bin[f][valid[f]])}
+                for f in range(valid.shape[0])
+            ]
+        flips = sum(len(sa ^ sb)
+                    for sa, sb in zip(sets["high"], sets["default"]))
+        assert flips <= 1, (
+            f"seed {seed}: {flips} detection flips high vs default"
+        )
+
+
 CHECKS = [
     ("mega-maps ca-cfar (base clutter)", lambda: check_mega_maps_ca(True)),
     ("mega-maps ca-cfar (mean clutter)", lambda: check_mega_maps_ca(False)),
@@ -406,6 +445,7 @@ CHECKS = [
     ("magargmax kernel", check_magargmax),
     ("fused dft kernel", check_fused_dft_kernel),
     ("vmem geometry sweep", check_vmem_geometry_sweep),
+    ("speed-mode detections (default vs high)", check_speed_mode_detections),
 ]
 
 
