@@ -18,6 +18,18 @@ Measurement notes
   Doppler DFT + power + band-matrix CA-CFAR, no intermediate in HBM;
   ops/pallas/megakernel.py) -> top-K -> AoA, with per-batch detection
   outputs.
+* The headline runs dft_precision='default' (the TPU's single bf16 MXU
+  pass), PROMOTED in round 5 under a formalized acceptance gate: the
+  20-seed + geometry + noise study (scripts/speed_gate.py,
+  artifacts/speed_gate_r5.json) measured 0.026 detection-set flips per
+  frame on target scenes (marginal threshold cells only; every common
+  detection bit-identical in its bins, azimuth within ~0.01 deg) and
+  0.7% on noise-only marginal detections — inside the detector's own
+  +-Pfa statistical band — and the compiled selftest check 'speed-mode
+  detections' gates <= 1 flip per 8-frame batch across seeds on every
+  run.  The library default stays 'high' (3-pass, ~8e-6 — the
+  verification-grade mode; DESIGN §5); 'high' is reported as the first
+  variant and in the final JSON (high_mode_fps).
 * The dev relay adds ~4 ms of dispatch RTT to EVERY step it relays, even
   pipelined (measured: the same program is 4.3 ms/batch inside one
   on-device loop vs 8.2 ms/batch host-dispatched through the relay; a
@@ -108,7 +120,8 @@ def main() -> None:
     from radar_tpu.models.rd_pipeline import RDPipeline
     from radar_tpu.utils.timing import fence
 
-    cfg = RadarConfig()
+    cfg = RadarConfig(dft_precision="default")   # promoted speed mode
+    cfg_high = RadarConfig()                     # library-default 'high'
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
 
@@ -187,7 +200,7 @@ def main() -> None:
     # re-emit in the finally below guarantees the tail ends with the
     # JSON no matter how much the extras print)
     result = {
-        "metric": "range-doppler-cfar-aoa detection rate (on-chip, frames resident in HBM)",
+        "metric": "range-doppler-cfar-aoa detection rate (on-chip, frames resident in HBM, dft_precision=default under the speed-gate acceptance criterion)",
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 1000.0, 3),
@@ -200,18 +213,18 @@ def main() -> None:
     # ---- optional extras (stderr only; never allowed to kill the
     # headline JSON line) ----------------------------------------------------
     try:
-        # 1-bf16-pass speed mode (cfg default is 3-pass 'high', ~8e-6)
-        cfg_fast = RadarConfig(dft_precision="default")
-        p = RDPipeline(cfg_fast, 16)  # auto: mega kernel at 1-pass bf16
-        base_fast = p.prepare_base(capture[0])
-        fence(p.detect(batch_dev, base_fast))
+        # library-default 'high' quality mode (3-pass bf16, ~8e-6 vs
+        # golden; the headline above is the promoted 1-pass speed mode)
+        p = RDPipeline(cfg_high, 16)
+        base_high = p.prepare_base(capture[0])
+        fence(p.detect(batch_dev, base_high))
         t0 = time.perf_counter()
-        outs = [p.detect(batch_dev, base_fast) for _ in range(n_batches)]
+        outs = [p.detect(batch_dev, base_high) for _ in range(n_batches)]
         fence([o.power for o in outs])
         dt = (time.perf_counter() - t0) / n_batches
-        log(f"speed mode dft_precision=default (bf16 MXU pass, ~9e-4 vs "
+        log(f"quality mode dft_precision=high (3-pass bf16, ~8e-6 vs "
             f"golden): {1000*dt:.2f} ms/{args.batch} = {args.batch/dt:.0f} fps")
-        extras["speed_mode_fps"] = round(args.batch / dt, 1)
+        extras["high_mode_fps"] = round(args.batch / dt, 1)
 
         # loop depth aligned with the headline (n_batches per fence) so
         # variant numbers are directly comparable

@@ -381,16 +381,30 @@ def _os_hits_box_kernel(
     hits_ref[...] = (cnt >= k).astype(jnp.int32)
 
 
-def _pick_box_frames(b: int, dp: int, rp: int, d_size: int,
-                     r_size: int) -> int:
-    """Frames per grid step for the box kernel: largest power of two
-    whose working set fits ~10 MB of the 16 MB scoped-VMEM ceiling.
-    Charged per frame: the double-buffered in block (2x dp*rp f32) plus
+def _box_frames_per_step(dp: int, rp: int, d_size: int, r_size: int,
+                         unroll_r: int, n_d: int) -> int:
+    """Per-frame VMEM bytes for the box kernel at a given range unroll.
+    Base charge (u=1): the double-buffered in block (2x dp*rp f32) plus
     blk/ab copies (2x), the lane-rolled column (dp*r), and ~7 map-sized
     f32/i32 values (p, w, cnt carry in/out, compare temporaries, the
     double-buffered out block) — calibrated against Mosaic's measured
-    17.55 MB at f=16, dp=144, rp=256, D=R=128 (~1.10 MB/frame)."""
-    per_frame = 4 * (4 * dp * rp + dp * r_size + 7 * d_size * r_size)
+    17.55 MB at f=16, dp=144, rp=256, D=R=128 (~1.10 MB/frame).
+    Each EXTRA unrolled range shift keeps its n_d sublane slices' copy/
+    compare/count temporaries live on the stack — measured 36.39 MB at
+    u=3, f=16 (same geometry), i.e. ~+0.59 MB/frame per extra u; charged
+    at 4 B per (cell, extra-u, sublane slice) for headroom."""
+    return (4 * (4 * dp * rp + dp * r_size + 7 * d_size * r_size)
+            + 4 * (unroll_r - 1) * n_d * d_size * r_size)
+
+
+def _pick_box_frames(b: int, dp: int, rp: int, d_size: int,
+                     r_size: int, unroll_r: int = 1,
+                     n_d: int = 1) -> int:
+    """Frames per grid step for the box kernel: largest power of two
+    whose working set fits ~10 MB of the 16 MB scoped-VMEM ceiling
+    (see :func:`_box_frames_per_step` for the charge model)."""
+    per_frame = _box_frames_per_step(dp, rp, d_size, r_size, unroll_r,
+                                     n_d)
     f = 1
     while f < min(b, 64) and per_frame * f * 2 <= (10 << 20):
         f *= 2
@@ -523,7 +537,15 @@ def os_cfar_hits_pallas(
             x = jnp.pad(x, ((0, 0), (0, dp8 - x.shape[-2]),
                             (0, rp128 - x.shape[-1])),
                         constant_values=jnp.inf)
-        f = _pick_box_frames(b, dp8, rp128, d_size, r_size)
+        n_d = 2 * wd + 1
+        u = max(1, box_unroll)
+        # clamp the unroll to what fits at f=1 (the widened stack is
+        # the binding constraint; see _box_frames_per_step)
+        while u > 1 and (_box_frames_per_step(dp8, rp128, d_size,
+                                              r_size, u, n_d) * 2
+                         > (10 << 20)):
+            u -= 1
+        f = _pick_box_frames(b, dp8, rp128, d_size, r_size, u, n_d)
         n_steps = -(-b // f)
         if n_steps * f != b:
             x = jnp.pad(x, ((0, n_steps * f - b), (0, 0), (0, 0)),
@@ -532,7 +554,7 @@ def os_cfar_hits_pallas(
             _os_hits_box_kernel,
             wd=wd, wr=wr, gd=gd, gr=gr,
             d_size=d_size, r_size=r_size, k=k, alpha=alpha,
-            unroll_r=box_unroll,
+            unroll_r=u,
         )
         hits = pl.pallas_call(
             kernel,
