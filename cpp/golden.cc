@@ -586,6 +586,117 @@ double radar_os_cfar_alpha(int n_train, int k, double pfa,
   return 0.5 * (lo + hi);
 }
 
+double radar_clutter_map_alpha(double pfa, double beta, int block,
+                               int n_pulses) {
+  // Twin of radar_tpu.golden.clutter_map_alpha: the background m is a
+  // weighted sum of per-block Gamma(N*block)/block means with weights
+  // w_i = beta*(1-beta)^i/block, so
+  //   log M(-a)   = -s * sum_i log1p(a*w_i),   s = N*block
+  //   Pfa(a)      = sum_{k<N} a^k/k! * M^(k)(-a)
+  // with M^(k) from the log-derivative recursion carried as positive
+  // ratios R_k = M^(k)/M (log-space stable); same truncation, same
+  // geometric-midpoint bisection as the Python twin.
+  if (beta <= 0.0 || beta >= 1.0 || block < 1 || n_pulses < 1) return -1.0;
+  int n_terms = 1;
+  while (beta * std::pow(1.0 - beta, (double)n_terms) > 1e-14 &&
+         n_terms < 100000) {
+    ++n_terms;
+  }
+  std::vector<double> w((size_t)n_terms);
+  for (int i = 0; i < n_terms; ++i) {
+    w[i] = beta * std::pow(1.0 - beta, (double)i) / block;
+  }
+  const double s = (double)block * n_pulses;
+  auto log_pfa = [&](double a) {
+    double logm = 0.0;
+    for (int i = 0; i < n_terms; ++i) logm -= s * std::log1p(a * w[i]);
+    if (n_pulses == 1) return logm;
+    std::vector<double> lr((size_t)n_pulses, 0.0);  // lr[r] = L^(r)(-a)
+    for (int rr = 1; rr < n_pulses; ++rr) {
+      double acc = 0.0;
+      for (int i = 0; i < n_terms; ++i) {
+        acc += std::pow(w[i] / (1.0 + a * w[i]), (double)rr);
+      }
+      lr[rr] = s * std::tgamma((double)rr) * acc;
+    }
+    std::vector<double> ratio((size_t)n_pulses, 0.0);
+    ratio[0] = 1.0;
+    for (int k = 1; k < n_pulses; ++k) {
+      double acc = 0.0;
+      for (int j = 0; j < k; ++j) {
+        // C(k-1, j) via lgamma (exact for these small integers)
+        const double comb = std::exp(std::lgamma((double)k) -
+                                     std::lgamma((double)j + 1.0) -
+                                     std::lgamma((double)(k - j)));
+        acc += comb * ratio[j] * lr[k - j];
+      }
+      ratio[k] = acc;
+    }
+    double series = 0.0, ak = 1.0, kf = 1.0;
+    for (int k = 0; k < n_pulses; ++k) {
+      if (k > 0) {
+        ak *= a;
+        kf *= k;
+      }
+      series += ak / kf * ratio[k];
+    }
+    return logm + std::log(series);
+  };
+  double lo = 1e-6, hi = 1e9;
+  const double target = std::log(pfa);
+  for (int it = 0; it < 200; ++it) {
+    const double mid = std::sqrt(lo * hi);
+    if (log_pfa(mid) > target) {
+      lo = mid;
+    } else {
+      hi = mid;
+    }
+  }
+  return std::sqrt(lo * hi);
+}
+
+void radar_clutter_map_cfar(const double* power, int frames, int d,
+                            int r, double pfa, double beta, int block,
+                            int n_pulses, const double* m0,
+                            uint8_t* hits, double* m_out) {
+  const double alpha = radar_clutter_map_alpha(pfa, beta, block, n_pulses);
+  const size_t cells = (size_t)d * r;
+  std::vector<double> m(cells, 0.0);
+  int start = 0;
+  if (m0 == nullptr) {
+    // first block seeds the map with its mean; those frames emit no hits
+    start = frames < block ? frames : block;
+    for (int f = 0; f < start; ++f) {
+      for (size_t c = 0; c < cells; ++c) m[c] += power[(size_t)f * cells + c];
+    }
+    for (size_t c = 0; c < cells; ++c) m[c] /= start > 0 ? start : 1;
+    for (int f = 0; f < start; ++f) {
+      std::memset(hits + (size_t)f * cells, 0, cells);
+    }
+  } else {
+    std::memcpy(m.data(), m0, cells * sizeof(double));
+  }
+  for (int f0 = start; f0 < frames; f0 += block) {
+    const int f1 = std::min(f0 + block, frames);
+    for (int f = f0; f < f1; ++f) {
+      for (size_t c = 0; c < cells; ++c) {
+        hits[(size_t)f * cells + c] =
+            power[(size_t)f * cells + c] > alpha * m[c] ? 1 : 0;
+      }
+    }
+    // update with the (possibly partial) block mean, same beta
+    std::vector<double> blk(cells, 0.0);
+    for (int f = f0; f < f1; ++f) {
+      for (size_t c = 0; c < cells; ++c) blk[c] += power[(size_t)f * cells + c];
+    }
+    const double inv = 1.0 / (f1 - f0);
+    for (size_t c = 0; c < cells; ++c) {
+      m[c] = (1.0 - beta) * m[c] + beta * blk[c] * inv;
+    }
+  }
+  std::memcpy(m_out, m.data(), cells * sizeof(double));
+}
+
 void radar_os_cfar(const double* power, int d, int r, int guard_d,
                    int guard_r, int train_d, int train_r, double pfa,
                    double k_frac, int stride, int n_pulses,

@@ -133,6 +133,23 @@ void radar_go_so_cfar(const double* power, int d, int r, int guard_d,
                       int kind, int n_pulses, int range_mode,
                       double* threshold, uint8_t* hits);
 
+// Clutter-map (Nitzberg) CFAR threshold multiplier: per-cell recursive
+// background updated once per `block` frames with the block mean,
+// decision p > alpha * m against the pre-update map.  n_pulses = 1:
+// the classic product form Pfa = prod_i (1 + a*b*(1-b)^i/s)^-s with
+// s = block; N > 1: the Erlang-matched MGF-derivative series (matches
+// radar_tpu.golden.clutter_map_alpha bit-for-bit in double).
+double radar_clutter_map_alpha(double pfa, double beta, int block,
+                               int n_pulses);
+
+// Clutter-map CFAR over a (frames, d, r) power sequence (twin of
+// radar_tpu.golden.clutter_map_cfar).  m0 may be NULL (the first block
+// seeds the map and emits no hits); m_out receives the final map.
+void radar_clutter_map_cfar(const double* power, int frames, int d,
+                            int r, double pfa, double beta, int block,
+                            int n_pulses, const double* m0,
+                            uint8_t* hits, double* m_out);
+
 #ifdef __cplusplus
 }  // extern "C"
 #endif

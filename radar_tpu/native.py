@@ -138,6 +138,16 @@ def load() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_double, ctypes.c_int,
         ]
         lib.radar_ca_cfar_alpha_integrated.restype = ctypes.c_double
+        lib.radar_clutter_map_alpha.argtypes = [
+            ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.radar_clutter_map_alpha.restype = ctypes.c_double
+        lib.radar_clutter_map_cfar.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
     return _lib
 
@@ -301,6 +311,48 @@ def ca_cfar_alpha_integrated(
     return float(load().radar_ca_cfar_alpha_integrated(
         int(n_train), float(pfa), int(n_pulses)
     ))
+
+
+def clutter_map_alpha(pfa: float, beta: float, block: int = 1,
+                      n_pulses: int = 1) -> float:
+    """Native clutter-map threshold multiplier (twin of
+    golden.clutter_map_alpha — same bisection + MGF-derivative series
+    in double)."""
+    a = float(load().radar_clutter_map_alpha(
+        float(pfa), float(beta), int(block), int(n_pulses)))
+    if a < 0:
+        raise ValueError("invalid clutter-map parameters")
+    return a
+
+
+def clutter_map_cfar(
+    power: np.ndarray,
+    pfa: float,
+    beta: float = 0.25,
+    m0: np.ndarray | None = None,
+    block: int = 16,
+    n_pulses: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native clutter-map (Nitzberg) CFAR (twin of
+    golden.clutter_map_cfar: block-updated per-cell recursive
+    background, decisions against the pre-update map)."""
+    import ctypes as ct
+
+    lib = load()
+    p = np.ascontiguousarray(power, np.float64)
+    f, d, r = p.shape
+    hits = np.empty((f, d, r), np.uint8)
+    m_out = np.empty((d, r), np.float64)
+    m0_arr = (np.ascontiguousarray(m0, np.float64)
+              if m0 is not None else None)
+    lib.radar_clutter_map_cfar(
+        _dptr(p), f, d, r, float(pfa), float(beta), int(block),
+        int(n_pulses),
+        _dptr(m0_arr) if m0_arr is not None
+        else ct.cast(None, ct.POINTER(ct.c_double)),
+        hits.ctypes.data_as(ct.POINTER(ct.c_uint8)), _dptr(m_out),
+    )
+    return hits.astype(bool), m_out
 
 
 def go_so_cfar_2d(

@@ -241,3 +241,25 @@ def test_native_os_integrated_alpha_matches_golden():
         # independent trapezoid grids in the two languages: agree to
         # the quadrature accuracy, not bit-for-bit
         assert abs(a_c - a_py) / a_py < 1e-6, (n_p, a_c, a_py)
+
+
+def test_native_clutter_map_matches_golden():
+    """Native clutter-map CFAR (alpha + full frame-sequence detector)
+    == float64 golden, bit-level: the same bisection + MGF-derivative
+    series (Erlang n_pulses included), the same block-update recursion
+    and pre-update decisions, both seeded and self-seeding forms."""
+    from radar_tpu import golden, native
+
+    for pfa, beta, block, n_p in [(1e-4, 0.25, 1, 1), (1e-3, 0.25, 16, 4),
+                                  (1e-4, 0.1, 4, 2)]:
+        a_g = golden.clutter_map_alpha(pfa, beta, block, n_p)
+        a_c = native.clutter_map_alpha(pfa, beta, block, n_p)
+        assert abs(a_c - a_g) / a_g < 1e-12
+
+    rng = np.random.default_rng(5)
+    p = rng.gamma(4.0, 1.0, (40, 16, 32))
+    for m0 in (None, rng.gamma(4.0, 1.0, (16, 32))):
+        h_g, m_g = golden.clutter_map_cfar(p, 1e-3, 0.25, m0, 8, 4)
+        h_c, m_c = native.clutter_map_cfar(p, 1e-3, 0.25, m0, 8, 4)
+        np.testing.assert_array_equal(h_c, h_g)
+        np.testing.assert_allclose(m_c, m_g, rtol=1e-14)
