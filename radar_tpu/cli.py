@@ -135,6 +135,15 @@ def _add_pipeline_flags(sp) -> None:
                          "targets are persistent false alarms there). "
                          "Default: auto = 2*(guard+train) range bins; "
                          "0 = full-span detection")
+    sp.add_argument("--base-frames", type=int, default=None, metavar="K",
+                    help="use the first K frames (all empty-scene) as the "
+                         "base, AVERAGED: base subtraction re-uses the "
+                         "base's noise in every frame, so a single noisy "
+                         "base makes false alarms persist at fixed cells "
+                         "(ghost tracks); K frames cut that quenched "
+                         "floor by 1/K. Default 1 (frame 0 only, the "
+                         "reference convention). Record K empty frames, "
+                         "or generate with --base-frames K")
     sp.add_argument("--cfar-pulses", type=int, default=None, metavar="N",
                     help="solve the CFAR alpha for Erlang-N cells. "
                          "Default: num_tx*num_rx, matching the RX-summed "
@@ -258,6 +267,7 @@ def cmd_generate(args) -> int:
         interference_bursts=args.interference,
         rx_response=rx_response, platform_velocity=plat,
         chirp_level_motion=getattr(args, "chirp_motion", False),
+        n_base=getattr(args, "base_frames", None) or 1,
     )
     write_capture(args.path, frames, cfg)
     print(f"wrote {args.frames} frames ({frames.nbytes} bytes) to {args.path}")
@@ -422,10 +432,15 @@ def cmd_detect(args) -> int:
         print(f"interference blanking: {int(n_bl.sum())} samples zeroed "
               f"across {int((n_bl > 0).sum())} frames (K={blank_k})",
               file=sys.stderr)
-    start_frame = 1
+    n_base = getattr(args, "base_frames", None) or 1
+    if n_base >= len(capture):
+        print(f"error: --base-frames {n_base} leaves no frames to detect "
+              f"(capture has {len(capture)})", file=sys.stderr)
+        return 2
+    start_frame = n_base
     if args.resume and args.out:
-        # resume = seek: the pipeline is stateless past the base frame
-        start_frame = max(1, last_frame_index(args.out) + 1)
+        # resume = seek: the pipeline is stateless past the base frames
+        start_frame = max(n_base, last_frame_index(args.out) + 1)
         if start_frame >= len(capture):
             print(f"{args.out} already covers all {len(capture)-1} frames")
             return 0
@@ -447,6 +462,8 @@ def cmd_detect(args) -> int:
     base_rx0 = det.prepare_base(capture[0])
     out = jax.tree.map(np.asarray, det.detect(todo, base_rx0))
 
+    base_stack = capture[0] if n_base == 1 else capture[:n_base]
+
     cluster = getattr(args, "cluster", False)
     records = []
     points_rows = []
@@ -455,7 +472,7 @@ def cmd_detect(args) -> int:
         pipe = RDPipeline(cfg, max_detections=args.max_detections,
                           rd_impl=args.rd_impl,
                           keystone=getattr(args, "keystone", False))
-        base = pipe.prepare_base(capture[0])
+        base = pipe.prepare_base(base_stack)
         if cluster:
             rd, cl = jax.tree.map(
                 np.asarray, pipe.detect_objects(todo, base)
@@ -651,6 +668,7 @@ def cmd_serve(args) -> int:
               f"{n_int_arg}", file=sys.stderr)
         return 2
     n_int = n_int_arg or 1
+    n_base = getattr(args, "base_frames", None) or 1
     walk = getattr(args, "walk", False)
     if n_int > 1:
         for bad, why in (
@@ -709,6 +727,10 @@ def cmd_serve(args) -> int:
             jax.block_until_ready(blank_interference(
                 jnp.asarray(warm[0]), k=blank_k)[0])
         b0 = jax.block_until_ready(pipe.prepare_base(warm[0]))
+        if n_base > 1:
+            # the --base-frames stacked shape compiles its own program
+            jax.block_until_ready(pipe.prepare_base(
+                np.zeros((n_base, cfg.shorts_per_frame), np.int16)))
         if n_int > 1:
             # the integrate loop never dispatches the per-frame detect
             # program — warming it would only lengthen time-to-ready
@@ -746,6 +768,7 @@ def cmd_serve(args) -> int:
         timeout_s=args.timeout, max_batch=nb, on_bound=warmup,
     )
     bases: dict[int, object] = {}
+    base_acc: dict[int, list] = {}  # --base-frames accumulation per source
     trackers: dict[int, object] = {}
     frame_no: dict[int, int] = {}  # per-source frame sequence numbers
     pending: dict[int, list] = {}  # --integrate: frames short of a group
@@ -836,9 +859,21 @@ def cmd_serve(args) -> int:
                     frame, nbl0 = blank_interference(
                         jnp.asarray(frame), k=blank_k)
                     blank_acc = blank_acc + jnp.sum(nbl0)
-                bases[src] = jax.block_until_ready(pipe.prepare_base(frame))
+                # the first --base-frames frames per source are the
+                # empty-scene base, AVERAGED (quenched-noise floor
+                # drops by 1/K; see RDPipeline.prepare_base)
+                acc = base_acc.setdefault(src, [])
+                acc.append(np.asarray(frame))
+                if len(acc) < n_base:
+                    continue
+                stack = acc[0] if n_base == 1 else np.stack(acc)
+                bases[src] = jax.block_until_ready(
+                    pipe.prepare_base(stack))
+                del base_acc[src]
                 trackers[src] = make_tracker()
                 ev = {"event": "base_frame"}
+                if n_base > 1:
+                    ev["frames"] = n_base
                 if multi:
                     ev["source"] = src
                 print(json.dumps(ev), flush=True)
@@ -1058,7 +1093,14 @@ def cmd_track(args) -> int:
         )
     pipe = RDPipeline(cfg, max_detections=args.max_detections,
                       rd_impl=args.rd_impl)
-    base = pipe.prepare_base(capture[0])
+    n_base = getattr(args, "base_frames", None) or 1
+    if n_base >= len(capture):
+        print(f"error: --base-frames {n_base} leaves no frames to track "
+              f"(capture has {len(capture)})", file=sys.stderr)
+        return 2
+    base = pipe.prepare_base(capture[0] if n_base == 1
+                             else capture[:n_base])
+    capture = capture[n_base - 1:]   # keep [0] slot semantics below
     if getattr(args, "cluster", False):
         # one measurement per OBJECT: keep only each hit-blob's strongest
         # detection so multi-cell blobs don't spawn duplicate tracks
@@ -1627,6 +1669,18 @@ def cmd_bev(args) -> int:
         print("error: bev needs a base frame + at least two frames",
               file=sys.stderr)
         return 2
+    second = getattr(args, "second", None)
+    if second and not getattr(args, "mount2", None):
+        print("error: --second needs --mount2 (the second radar's body "
+              "pose)", file=sys.stderr)
+        return 2
+
+    def parse_mount(txt):
+        parts = [float(v) for v in txt.split(",")]
+        if len(parts) != 3:
+            raise ValueError(f"mount needs x,y,yaw_deg, got {txt!r}")
+        return tuple(parts)
+
     pipe = RDPipeline(cfg, max_detections=args.max_detections,
                       rd_impl=args.rd_impl)
     base = pipe.prepare_base(capture[0])
@@ -1643,9 +1697,69 @@ def cmd_bev(args) -> int:
     x, y, _ = detections_to_xyz(rd.range_m_interp[fi, ki],
                                 rd.azimuth_deg[fi, ki])
     dt = cfg.num_chirps * cfg.chirp_interval_s
-    xw, yw, pose = world_points(fi, x, y, em.velocity, em.ok, dt)
     st = em.is_static[fi, ki]
-    n_ok = int(em.ok.sum())
+    yaw_rec = {}
+    if second:
+        # two-radar yaw-rate fit: per-frame per-sensor ego fits combine
+        # into the rigid-body (vx, vy, omega); heading integrates into
+        # the dead reckoning (utils.points.world_points_yaw)
+        from radar_tpu import golden as _golden
+        from radar_tpu.utils.points import world_points_yaw
+
+        mount1 = parse_mount(args.mount)
+        mount2 = parse_mount(args.mount2)
+        cap2 = read_capture(second, cfg)
+        n = min(len(capture), len(cap2))
+        rd2 = jax.tree.map(np.asarray,
+                           pipe.detect(cap2[1:n],
+                                       pipe.prepare_base(cap2[0])))
+        em2 = jax.tree.map(np.asarray, estimate_ego_motion(
+            jnp.asarray(rd2.azimuth_deg), jnp.asarray(rd2.velocity_mps),
+            jnp.asarray(rd2.valid), inlier_mps=args.ego,
+        ))
+        n_f = min(em.velocity.shape[0], em2.velocity.shape[0])
+        v_body = np.zeros((n_f, 2))
+        omega = np.zeros(n_f)
+        ok_j = np.zeros(n_f, bool)
+        for f in range(n_f):
+            if em.ok[f] and em2.ok[f]:
+                vb, om, okf = _golden.estimate_ego_motion_yaw(
+                    [em.velocity[f], em2.velocity[f]], [mount1, mount2]
+                )
+                v_body[f], omega[f], ok_j[f] = vb, om, okf
+        keep = fi < n_f
+        fi, ki, x, y, st = fi[keep], ki[keep], x[keep], y[keep], st[keep]
+        xw, yw, pose, head = world_points_yaw(
+            fi, x, y, v_body, omega, ok_j, dt, mount1)
+        # the second radar's detections join the world picture too
+        fi2, ki2 = np.nonzero(rd2.valid)
+        keep2 = fi2 < n_f
+        fi2, ki2 = fi2[keep2], ki2[keep2]
+        x2, y2, _ = detections_to_xyz(rd2.range_m_interp[fi2, ki2],
+                                      rd2.azimuth_deg[fi2, ki2])
+        xw2, yw2, _, _ = world_points_yaw(
+            fi2, x2, y2, v_body, omega, ok_j, dt, mount2)
+        vg2 = np.asarray(ego_compensated_velocity(
+            jnp.asarray(rd2.azimuth_deg), jnp.asarray(rd2.velocity_mps),
+            jnp.asarray(em2.velocity)))
+        st2 = em2.is_static[fi2, ki2]
+        xw = np.concatenate([xw, xw2])
+        yw = np.concatenate([yw, yw2])
+        st = np.concatenate([st, st2])
+        vg_pts = np.concatenate([vg[fi, ki], vg2[fi2, ki2]])
+        fi_all = np.concatenate([fi, fi2])
+        n_ok = int(ok_j.sum())
+        yaw_rec = {
+            "yaw_fit_ok_frames": n_ok,
+            "mean_yaw_rate_dps": round(float(
+                np.rad2deg(omega[ok_j].mean())) if n_ok else 0.0, 3),
+            "heading_total_deg": round(float(head[-1]), 3),
+        }
+    else:
+        xw, yw, pose = world_points(fi, x, y, em.velocity, em.ok, dt)
+        vg_pts = vg[fi, ki]
+        fi_all = fi
+        n_ok = int(em.ok.sum())
     print(json.dumps({
         "event": "bev",
         "frames": int(valid.shape[0]),
@@ -1655,20 +1769,21 @@ def cmd_bev(args) -> int:
         "mover_points": int(len(xw) - st.sum()),
         "platform_distance_m": round(float(
             np.linalg.norm(pose[-1] - pose[0])), 3),
+        **yaw_rec,
     }))
     if args.out:
         with open(args.out, "w") as f:
             f.write("frame,x_world_m,y_world_m,is_static,"
                     "velocity_ground_mps\n")
             for i in range(len(xw)):
-                f.write(f"{int(fi[i])},{xw[i]:.4f},{yw[i]:.4f},"
-                        f"{int(st[i])},{vg[fi[i], ki[i]]:.4f}\n")
+                f.write(f"{int(fi_all[i])},{xw[i]:.4f},{yw[i]:.4f},"
+                        f"{int(st[i])},{vg_pts[i]:.4f}\n")
         print(f"wrote {len(xw)} world points to {args.out}",
               file=sys.stderr)
     if args.plot:
         from radar_tpu.viz import plot_bev
 
-        plot_bev(xw, yw, st, vg[fi, ki], pose, cfg, path=args.plot)
+        plot_bev(xw, yw, st, vg_pts, pose, cfg, path=args.plot)
         print(f"wrote plot to {args.plot}", file=sys.stderr)
     return 0
 
@@ -1899,6 +2014,10 @@ def main(argv=None) -> int:
     )
     g.add_argument("--noise", type=float, default=10.0)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--base-frames", type=int, default=None, metavar="K",
+                   help="emit K empty-scene base frames before the "
+                        "target frames (default 1; pair with detect/"
+                        "track/serve --base-frames K)")
     g.add_argument("--interference", type=int, default=0,
                    help="mutual-FMCW interference bursts per frame "
                         "(strong broadband mini-chirps; see "
@@ -2295,6 +2414,19 @@ def main(argv=None) -> int:
     bv.add_argument("--out", default=None,
                     help="write world points as CSV")
     bv.add_argument("--plot", default=None, help="write a PNG BEV")
+    bv.add_argument("--second", default=None, metavar="CAP2",
+                    help="second radar's capture (synchronized frames): "
+                         "enables the two-radar yaw-rate fit — heading "
+                         "becomes observable and the dead reckoning "
+                         "integrates it (golden.estimate_ego_motion_yaw)")
+    bv.add_argument("--mount", default="0,0,0", metavar="X,Y,YAW",
+                    help="first radar's body pose: x right (m), y "
+                         "forward (m), boresight yaw (deg, positive "
+                         "toward +x); default 0,0,0")
+    bv.add_argument("--mount2", default=None, metavar="X,Y,YAW",
+                    help="second radar's body pose (required with "
+                         "--second; must differ in position from "
+                         "--mount for yaw observability)")
     _add_pipeline_flags(bv)
     bv.set_defaults(fn=cmd_bev)
 

@@ -58,11 +58,15 @@ def synthesize_cube(
     rx_response: np.ndarray | None = None,
     platform_velocity: tuple[float, float] = (0.0, 0.0),
     chirp_level_motion: bool = False,
+    n_base: int = 1,
 ) -> np.ndarray:
     """Simulate complex radar cubes.
 
     Returns complex128 array (num_frames, num_rx, num_chirps, num_samples).
-    Frame 0 contains only clutter + noise (empty scene / base frame).
+    The first ``n_base`` frames (default 1) contain only clutter +
+    noise (empty scene / base frames: averaging several cuts the
+    quenched base-noise floor by 1/n_base — see
+    RDPipeline.prepare_base).
     ``interference_bursts`` > 0 adds that many mutual-FMCW-interference
     bursts per frame (short broadband mini-chirps at random positions,
     ``interference_amplitude`` ADC counts — see the in-function note).
@@ -78,6 +82,8 @@ def synthesize_cube(
     ``vr = -(v . rel)/|rel|``); the tone clutter stays sensor-locked
     (a DC leak, not a world object).
     """
+    if not 0 <= n_base <= num_frames:
+        raise ValueError(f"n_base must be in [0, num_frames], got {n_base}")
     rng = np.random.default_rng(seed)
     t = np.arange(cfg.num_samples) / cfg.sample_rate_hz  # fast time
     chirps = np.arange(cfg.num_chirps)
@@ -133,7 +139,7 @@ def synthesize_cube(
             ))                                            # (frames, rx, ch)
             sig = (tgt.amplitude * steer[:, :, :, None]
                    * dopp[:, None, :, None] * fast[:, None, None, :])
-            cube[1:] += sig[1:]
+            cube[n_base:] += sig[n_base:]
             continue
         fd = cfg.velocity_to_doppler_hz(tgt.velocity_mps)
         sin_az = np.sin(np.deg2rad(tgt.azimuth_deg))
@@ -167,7 +173,7 @@ def synthesize_cube(
                 * dopp[:, None, :, None]
                 * fast_fc[:, None, :, :]
             )
-            cube[1:] += sig[1:]
+            cube[n_base:] += sig[n_base:]
             continue
         rng_m = tgt.range_m + tgt.velocity_mps * frames * frame_interval
         fb = cfg.distance_to_beat_hz(rng_m)  # (frames,) beat freq per frame
@@ -178,7 +184,7 @@ def synthesize_cube(
             * dopp[:, None, :, None]
             * fast[:, None, None, :]
         )
-        cube[1:] += sig[1:]  # frame 0 stays target-free (base frame)
+        cube[n_base:] += sig[n_base:]  # base frames stay target-free
 
     if noise_std > 0:
         cube += noise_std * (
@@ -193,8 +199,9 @@ def synthesize_cube(
         # interferer: per-RX random phase).  Frame 0 (the calibration
         # base frame) stays clean.
         interference_len = min(int(interference_len), cfg.num_samples)
-        n_b = int(interference_bursts) * max(num_frames - 1, 0)
-        bf = rng.integers(1, num_frames, n_b)
+        n_b = int(interference_bursts) * max(num_frames - n_base, 0)
+        bf = rng.integers(n_base, num_frames, n_b) if num_frames > n_base \
+            else np.empty(0, np.int64)
         bc = rng.integers(0, cfg.num_chirps, n_b)
         bs = rng.integers(0, max(cfg.num_samples - interference_len, 1), n_b)
         for f, c, s in zip(bf, bc, bs):
@@ -237,6 +244,7 @@ def synthesize_capture(
     rx_response: np.ndarray | None = None,
     platform_velocity: tuple[float, float] = (0.0, 0.0),
     chirp_level_motion: bool = False,
+    n_base: int = 1,
 ) -> np.ndarray:
     """Simulate and encode to the on-disk int16 stream.
 
@@ -246,7 +254,7 @@ def synthesize_capture(
     cube = synthesize_cube(
         targets, num_frames, cfg, noise_std, clutter_amplitude, seed,
         interference_bursts, interference_amplitude, interference_len,
-        rx_response, platform_velocity, chirp_level_motion,
+        rx_response, platform_velocity, chirp_level_motion, n_base,
     )
     return encode_frame(cube, cfg)
 

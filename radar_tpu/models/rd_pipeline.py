@@ -484,8 +484,22 @@ class RDPipeline:
     # -- base frame --------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
     def prepare_base(self, frame0_shorts: jnp.ndarray) -> jnp.ndarray:
-        """Full-cube base frame (rx, chirps, samples) kept in HBM."""
-        return decode_to_cube(frame0_shorts, self.cfg)
+        """Full-cube base frame (rx, chirps, samples) kept in HBM.
+
+        Accepts ONE frame ``(shorts_per_frame,)`` or a STACK
+        ``(K, shorts_per_frame)`` of empty-scene frames, averaged into
+        one base cube.  Averaging matters because base subtraction
+        re-uses the base's noise realization in EVERY processed frame:
+        with a single noisy base, false alarms cluster at fixed cells
+        and persist frame-to-frame (the quenched-noise finding,
+        MIGRATION round-5 notes); K base frames cut that quenched floor
+        by 1/K while the deterministic clutter estimate is unchanged.
+        ``cli detect/track/serve --base-frames K`` feed the stack.
+        """
+        cube = decode_to_cube(frame0_shorts, self.cfg)
+        if cube.ndim == 4:
+            cube = jnp.mean(cube, axis=0)
+        return cube
 
     # -- stages (exposed for stage-level golden verification) --------------
     def rd_cube(self, shorts: jnp.ndarray, base_cube: jnp.ndarray | None):

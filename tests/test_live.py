@@ -467,3 +467,25 @@ def test_serve_integrate(cfg, serve_over_udp):
     stats = [r for r in recs if r.get("event") == "latency_stats"]
     assert len(stats) == 1
     assert stats[0]["frames"] == 12  # frames served, not records
+
+
+def test_serve_base_frames(cfg, serve_over_udp):
+    """serve --base-frames K: the first K frames per source accumulate
+    into ONE averaged base (quenched-noise floor /K); records start at
+    the first post-base frame and the base_frame event reports K."""
+    from radar_tpu.io.synthetic import SceneTarget, synthesize_capture
+
+    capture = synthesize_capture(
+        [SceneTarget(range_m=5.0, velocity_mps=2.0, azimuth_deg=15.0,
+                     amplitude=3000.0)],
+        10, cfg, noise_std=2.0, seed=73, n_base=4,
+    )
+    recs = serve_over_udp(capture, extra_args=("--base-frames", "4"))
+    base_ev = [r for r in recs if r.get("event") == "base_frame"]
+    assert base_ev == [{"event": "base_frame", "frames": 4}]
+    frame_recs = [r for r in recs if "frame" in r]
+    assert len(frame_recs) == 6  # 10 frames - 4 base
+    assert any(
+        abs(d["range_m"] - 5.0) < 1.0
+        for r in frame_recs for d in r["detections"]
+    )
