@@ -1320,6 +1320,68 @@ def estimate_ego_motion(
     return v, is_static, True
 
 
+def mount_rotation(yaw_deg: float) -> np.ndarray:
+    """(2, 2) sensor->body rotation for a sensor whose boresight points
+    at body azimuth ``yaw_deg`` (the shared azimuth convention:
+    positive toward +x, x lateral-right / y forward).  Sensor-frame
+    (0, 1) (its boresight) maps to body (sin yaw, cos yaw)."""
+    t = np.deg2rad(float(yaw_deg))
+    return np.array([[np.cos(t), np.sin(t)], [-np.sin(t), np.cos(t)]])
+
+
+def estimate_ego_motion_yaw(
+    sensor_velocities: np.ndarray,
+    mounts: np.ndarray,
+) -> tuple[np.ndarray, float, bool]:
+    """Platform (vx, vy, yaw rate) from MULTIPLE radars' ego fits.
+
+    A single radar's Doppler cannot observe yaw: rotation about the
+    sensor moves every static scatterer tangentially, with zero radial
+    component.  With two (or more) radars mounted at DIFFERENT body
+    positions, each sensor's translational velocity picks up the
+    lever-arm term ``omega x r_k``, so the per-sensor fits
+    (:func:`estimate_ego_motion`, each in its own sensor frame) jointly
+    constrain the rigid-body state:
+
+        R(yaw_k) @ v_k_sensor = v_body + omega * perp(r_k),
+        perp(r) = (-r_y, r_x)      (z-up right-handed; omega > 0 =
+                                    counterclockwise viewed from above)
+
+    — 2 equations per sensor on the 3 unknowns ``(vx, vy, omega)``,
+    solved by least squares.  Observability needs sensors at distinct
+    mounting positions (equal ``r_k`` makes the omega column identical
+    and the system rank-deficient — flagged via ``ok``).
+
+    The reference has no platform-motion story at all
+    (acceleration.cu:523); this closes the ROADMAP's "yaw-rate
+    observability" candidate with the two-radar fit.
+
+    Args:
+      sensor_velocities: (S, 2) per-sensor ``(vx, vy)`` SENSOR-frame
+        fits from :func:`estimate_ego_motion`.
+      mounts: (S, 3) per-sensor body pose ``(x_m, y_m, yaw_deg)``.
+
+    Returns:
+      (v_body (2,), omega_rad_s, ok); zeros and False when fewer than
+      two sensors or the lever-arm geometry is degenerate.
+    """
+    vs = np.asarray(sensor_velocities, np.float64).reshape(-1, 2)
+    ms = np.asarray(mounts, np.float64).reshape(-1, 3)
+    if vs.shape[0] != ms.shape[0] or vs.shape[0] < 2:
+        return np.zeros(2), 0.0, False
+    rows, rhs = [], []
+    for (vx, vy), (mx, my, yaw) in zip(vs, ms):
+        rows.append([1.0, 0.0, -my])
+        rows.append([0.0, 1.0, mx])
+        rhs.extend(mount_rotation(yaw) @ (vx, vy))
+    a = np.asarray(rows)
+    b = np.asarray(rhs)
+    if np.linalg.matrix_rank(a) < 3:
+        return np.zeros(2), 0.0, False
+    p, *_ = np.linalg.lstsq(a, b, rcond=None)
+    return p[:2], float(p[2]), True
+
+
 def ego_compensated_velocity(
     azimuth_deg: np.ndarray,
     radial_velocity: np.ndarray,

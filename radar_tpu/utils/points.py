@@ -108,3 +108,69 @@ def world_points(
     return (np.asarray(x_m, np.float64) + pose[fi, 0],
             np.asarray(y_m, np.float64) + pose[fi, 1],
             pose)
+
+
+def world_points_yaw(
+    frame_idx: np.ndarray,
+    x_m: np.ndarray,
+    y_m: np.ndarray,
+    ego_velocity: np.ndarray,
+    omega_rad_s: np.ndarray,
+    ego_ok: np.ndarray,
+    frame_interval_s: float,
+    mount: tuple[float, float, float] = (0.0, 0.0, 0.0),
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Yaw-aware dead reckoning: the two-radar upgrade of
+    :func:`world_points`.
+
+    With the joint yaw-rate fit (``golden.estimate_ego_motion_yaw``,
+    two radars at distinct mounts) the pose integrates HEADING too:
+    per frame, heading azimuth ``h`` (degrees, the shared azimuth
+    convention: positive toward body +x) advances by
+    ``-deg(omega * dt)`` (omega > 0 = counterclockwise), and position
+    by the body velocity rotated into the world frame.  Each detection
+    transforms sensor -> body (its radar's ``mount`` pose) -> world
+    (the frame's pose), so a TURNING platform's static world still
+    collapses onto fixed cells — the single-sensor limitation
+    ``world_points`` documents, closed.
+
+    Args:
+      ego_velocity: (F, 2) per-frame BODY-frame (vx, vy) fits.
+      omega_rad_s: (F,) per-frame yaw rates.
+      ego_ok: (F,) joint-fit validity (coast through bad frames).
+      mount: this radar's body pose ``(x_m, y_m, yaw_deg)``.
+
+    Returns:
+      (x_world, y_world, pose (F, 2), heading_deg (F,)).
+    """
+    from radar_tpu.golden import mount_rotation
+
+    v = np.asarray(ego_velocity, np.float64).copy()
+    om = np.asarray(omega_rad_s, np.float64).copy()
+    ok = np.asarray(ego_ok, bool)
+    last_v, last_o = np.zeros(2), 0.0
+    for f in range(len(v)):   # coast through degenerate frames
+        if ok[f]:
+            last_v, last_o = v[f], om[f]
+        else:
+            v[f], om[f] = last_v, last_o
+    dt = float(frame_interval_s)
+    pose = np.zeros((len(v), 2))
+    head = np.zeros(len(v))
+    p, h = np.zeros(2), 0.0
+    for f in range(len(v)):
+        pose[f], head[f] = p, h
+        p = p + mount_rotation(h) @ (v[f] * dt)
+        h = h - np.rad2deg(om[f] * dt)
+    # sensor -> body (static mount), then body -> world (per-frame pose)
+    mx, my, myaw = mount
+    pts = (np.stack([np.asarray(x_m, np.float64),
+                     np.asarray(y_m, np.float64)], axis=-1)
+           @ mount_rotation(myaw).T + np.array([mx, my]))
+    fi = np.asarray(frame_idx, np.int64)
+    t = np.deg2rad(head[fi])
+    c, s = np.cos(t), np.sin(t)
+    # mount_rotation(h) @ u, vectorized per point
+    xw = c * pts[:, 0] + s * pts[:, 1] + pose[fi, 0]
+    yw = -s * pts[:, 0] + c * pts[:, 1] + pose[fi, 1]
+    return xw, yw, pose, head

@@ -36,6 +36,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--precision", default=None,
+                    help="dft_precision override (high/highest/default)")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +63,8 @@ def main() -> None:
     )
     from radar_tpu.utils.timing import fence
 
-    cfg = RadarConfig()
+    cfg = RadarConfig(**({"dft_precision": args.precision}
+                         if args.precision else {}))
     pipe = RDPipeline(cfg, max_detections=16)
     cap = synthesize_capture(
         [SceneTarget(range_m=3.0, velocity_mps=2.0, azimuth_deg=20.0,
