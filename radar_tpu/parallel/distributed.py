@@ -106,8 +106,14 @@ class DistributedRDPipeline:
         return host_to_global(shorts, self.frame_sharding)
 
     def prepare_base(self, frame0_shorts) -> jax.Array:
-        """Decode frame 0 to a full cube, shard RX over 'chan'."""
+        """Decode the base to a full cube, shard RX over 'chan'.
+
+        Accepts one frame or a ``(K, shorts)`` stack, averaged like
+        ``RDPipeline.prepare_base`` (the multi-frame quenched-noise
+        mitigation, MIGRATION round-5 notes)."""
         cube = decode_to_cube(jnp.asarray(frame0_shorts), self.cfg)
+        if cube.ndim == 4:
+            cube = jnp.mean(cube, axis=0)
         if jax.process_count() == 1:
             # device->device reshard; never round-trips the complex cube
             # through the host (c64 transfers are unsupported on some

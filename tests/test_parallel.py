@@ -524,3 +524,21 @@ def test_distributed_detect_objects_matches_single(cfg, capture):
         np.asarray(got_cl.total_power),
         np.asarray(want_cl.total_power), rtol=1e-5,
     )
+
+
+def test_distributed_base_stack_matches_single(cfg, capture):
+    """Distributed prepare_base accepts the (K, shorts) averaged-base
+    stack like the single-chip pipeline (MIGRATION round-5 notes) and
+    detections stay bin-identical."""
+    mesh = build_mesh(n_devices=8, num_rx=cfg.num_rx)
+    dist = DistributedRDPipeline(mesh=mesh, cfg=cfg, max_detections=8)
+    single = RDPipeline(cfg, max_detections=8)
+    frames = capture[3:9]
+    want = single.detect(jnp.asarray(frames),
+                         single.prepare_base(jnp.asarray(capture[:3])))
+    got = dist.detect(dist.shard_frames(frames),
+                      dist.prepare_base(capture[:3]))
+    np.testing.assert_array_equal(np.asarray(got.range_bin),
+                                  np.asarray(want.range_bin))
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
