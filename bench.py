@@ -260,6 +260,7 @@ def main() -> None:
         log(f"variant clutter_mode=mti2 (canceller folded into the Doppler "
             f"constants, no base frame): {1000*dt:.2f} ms/{args.batch} = "
             f"{args.batch/dt:.0f} fps")
+        extras["mti2_fps"] = round(args.batch / dt, 1)
 
         # non-coherent integration (x4, Erlang-matched alpha): the
         # power-only mega kernel + reshape-sum + band CFAR + tail; one
@@ -274,6 +275,7 @@ def main() -> None:
         log(f"variant detect_integrated n=4 (NCI, Erlang-matched alpha): "
             f"{1000*dt:.2f} ms/{args.batch} frames = {args.batch/dt:.0f} "
             f"fps ({args.batch//4} detection sets)")
+        extras["nci4_fps"] = round(args.batch / dt, 1)
 
         # exact (stride-1) OS-CFAR via the Pallas box-count hits kernel:
         # the full 248-cell ring, no decimation (golden truth

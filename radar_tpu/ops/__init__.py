@@ -32,6 +32,8 @@ from radar_tpu.ops.egomotion import (
     EgoMotion,
     ego_compensated_velocity,
     estimate_ego_motion,
+    estimate_ego_motion_yaw,
+    mount_rotation,
 )
 
 __all__ = [
@@ -48,6 +50,8 @@ __all__ = [
     "keystone_matrices",
     "EgoMotion",
     "estimate_ego_motion",
+    "estimate_ego_motion_yaw",
+    "mount_rotation",
     "ego_compensated_velocity",
     "ClusterResult",
     "cluster_detections",

@@ -121,3 +121,12 @@ def ego_compensated_velocity(
     az = jnp.deg2rad(azimuth_deg.astype(jnp.float32))
     return (radial_velocity
             + v_ego[..., 0:1] * jnp.sin(az) + v_ego[..., 1:2] * jnp.cos(az))
+
+
+# Host-side rigid-body combine over MULTIPLE sensors' fits (two-radar
+# yaw-rate observability; a 2S x 3 least squares on scalars — no jnp
+# twin needed).  Re-exported here so the ego-motion API has one home.
+from radar_tpu.golden import (  # noqa: E402,F401
+    estimate_ego_motion_yaw,
+    mount_rotation,
+)
