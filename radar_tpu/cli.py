@@ -214,6 +214,28 @@ def _disambiguated(pipe, shorts, base, d_bin, r_bin):
     return np.asarray(vel), np.asarray(az), np.asarray(hyp)
 
 
+def _base_cube_and_start(args, capture, cfg):
+    # (base_cube device c64, first_data_frame) honoring --base-frames:
+    # the first K frames decode and AVERAGE into the base
+    # (quenched-noise floor / K, see RDPipeline.prepare_base); data
+    # frames start at K.  Decodes ON DEVICE from int16 (the dev relay
+    # cannot move complex64 across the host boundary; SKILL.md).
+    import jax.numpy as jnp
+
+    from radar_tpu.ops.decode import decode_to_cube
+
+    k = getattr(args, "base_frames", None) or 1
+    if k >= len(capture):
+        raise ValueError(
+            f"--base-frames {k} leaves no frames (capture has "
+            f"{len(capture)})")
+    cube = decode_to_cube(
+        jnp.asarray(capture[:k] if k > 1 else capture[0]), cfg)
+    if cube.ndim == 4:
+        cube = jnp.mean(cube, axis=0)
+    return cube, k
+
+
 def _parse_target(spec: str):
     from radar_tpu.io.synthetic import SceneTarget
 
@@ -1544,10 +1566,8 @@ def cmd_mdoppler(args) -> int:
 
     from radar_tpu.ops.decode import decode_to_cube
 
-    frames = jnp.asarray(capture[1:])
-    # decode the base ON DEVICE from int16 (the dev relay cannot move
-    # complex64 across the host boundary — SKILL.md)
-    base_cube = decode_to_cube(jnp.asarray(capture[0]), cfg)
+    base_cube, k0 = _base_cube_and_start(args, capture, cfg)
+    frames = jnp.asarray(capture[k0:])
     r_bin = (auto_range_bin(frames, base_cube, cfg)
              if args.range_bin is None else args.range_bin)
     spec = np.asarray(micro_doppler_spectrogram(
@@ -1600,14 +1620,14 @@ def cmd_azmap(args) -> int:
         print("error: capture needs a base frame + at least one frame",
               file=sys.stderr)
         return 2
-    frames = capture[1:]
+    base_cube, k0 = _base_cube_and_start(args, capture, cfg)
+    frames = capture[k0:]
     if args.frame is not None:
-        if not 1 <= args.frame < len(capture):
-            print(f"error: --frame must be in [1, {len(capture) - 1}]",
+        if not k0 <= args.frame < len(capture):
+            print(f"error: --frame must be in [{k0}, {len(capture) - 1}]",
                   file=sys.stderr)
             return 2
         frames = capture[args.frame : args.frame + 1]
-    base_cube = decode_to_cube(jnp.asarray(capture[0]), cfg)
     if args.method == "capon":
         pmaps = np.asarray(range_azimuth_capon_from_shorts(
             jnp.asarray(frames), base_cube, cfg))
@@ -1683,8 +1703,13 @@ def cmd_bev(args) -> int:
 
     pipe = RDPipeline(cfg, max_detections=args.max_detections,
                       rd_impl=args.rd_impl)
-    base = pipe.prepare_base(capture[0])
-    rd = jax.tree.map(np.asarray, pipe.detect(capture[1:], base))
+    k0 = getattr(args, "base_frames", None) or 1
+    if k0 >= len(capture) - 1:
+        print(f"error: --base-frames {k0} leaves fewer than two frames",
+              file=sys.stderr)
+        return 2
+    base = pipe.prepare_base(capture[0] if k0 == 1 else capture[:k0])
+    rd = jax.tree.map(np.asarray, pipe.detect(capture[k0:], base))
     em = jax.tree.map(np.asarray, estimate_ego_motion(
         jnp.asarray(rd.azimuth_deg), jnp.asarray(rd.velocity_mps),
         jnp.asarray(rd.valid), inlier_mps=args.ego,
@@ -1866,14 +1891,14 @@ def cmd_rti(args) -> int:
         print("error: capture needs a base frame + at least one frame",
               file=sys.stderr)
         return 2
-    base = decode_to_cube(jnp.asarray(capture[0]), cfg)
+    base, k0 = _base_cube_and_start(args, capture, cfg)
 
     @jax.jit
     def rti(shorts, base_cube):
         dr, di = fused_rd_planes(shorts, base_cube, cfg)
         return (dr * dr + di * di).sum(axis=(-3, -2))  # (B, R)
 
-    m = np.asarray(rti(jnp.asarray(capture[1:]), base))
+    m = np.asarray(rti(jnp.asarray(capture[k0:]), base))
     r_bin = int(np.unravel_index(np.argmax(m), m.shape)[1])
     print(json.dumps({
         "event": "rti",
@@ -1914,14 +1939,14 @@ def cmd_admap(args) -> int:
         print("error: capture needs a base frame + at least one frame",
               file=sys.stderr)
         return 2
-    frames = capture[1:]
+    base_cube, k0 = _base_cube_and_start(args, capture, cfg)
+    frames = capture[k0:]
     if args.frame is not None:
-        if not 1 <= args.frame < len(capture):
-            print(f"error: --frame must be in [1, {len(capture) - 1}]",
+        if not k0 <= args.frame < len(capture):
+            print(f"error: --frame must be in [{k0}, {len(capture) - 1}]",
                   file=sys.stderr)
             return 2
         frames = capture[args.frame : args.frame + 1]
-    base_cube = decode_to_cube(jnp.asarray(capture[0]), cfg)
     gate = args.range_bin
     if gate is None:
         gate = auto_range_bin(jnp.asarray(frames), base_cube, cfg)
@@ -2307,6 +2332,9 @@ def main(argv=None) -> int:
              "across frames; .npy out + PNG plot)",
     )
     md.add_argument("path")
+    md.add_argument("--base-frames", type=int, default=None, metavar="K",
+                    help="average the first K empty-scene frames into "
+                         "the base (quenched-noise floor / K)")
     md.add_argument("--range-bin", type=int, default=None,
                     help="range gate (default: strongest bin over the "
                          "capture)")
@@ -2335,6 +2363,9 @@ def main(argv=None) -> int:
              "virtual array, Doppler-integrated (.npy out + PNG plot)",
     )
     az.add_argument("path")
+    az.add_argument("--base-frames", type=int, default=None, metavar="K",
+                    help="average the first K empty-scene frames into "
+                         "the base (quenched-noise floor / K)")
     az.add_argument("--frame", type=int, default=None,
                     help="single capture frame (default: average over "
                          "all frames)")
@@ -2368,6 +2399,9 @@ def main(argv=None) -> int:
              "velocity AND bearing; .npy out + PNG plot)",
     )
     ad.add_argument("path")
+    ad.add_argument("--base-frames", type=int, default=None, metavar="K",
+                    help="average the first K empty-scene frames into "
+                         "the base (quenched-noise floor / K)")
     ad.add_argument("--frame", type=int, default=None,
                     help="single capture frame (default: average over "
                          "all frames)")
@@ -2436,6 +2470,9 @@ def main(argv=None) -> int:
              "Doppler-integrated; .npy out + PNG plot)",
     )
     rt.add_argument("path")
+    rt.add_argument("--base-frames", type=int, default=None, metavar="K",
+                    help="average the first K empty-scene frames into "
+                         "the base (quenched-noise floor / K)")
     rt.add_argument("--out", default=None,
                     help="write the (frames, range_fft) matrix as .npy")
     rt.add_argument("--plot", default=None, help="write a PNG waterfall")
