@@ -1489,7 +1489,8 @@ def cmd_eval(args) -> int:
         return 2
     pfa = measure_pfa(cfg, frames=args.frames, noise_std=args.noise,
                       seed=args.seed, rd_impl=args.rd_impl,
-                      n_integrate=n_int, range_walk=args.walk)
+                      n_integrate=n_int, range_walk=args.walk,
+                      base_frames=getattr(args, "base_frames", None) or 1)
     print(json.dumps({"event": "pfa", "cfar_kind": cfg.cfar_kind,
                       **({"n_integrate": n_int} if n_int > 1 else {}),
                       **pfa}),

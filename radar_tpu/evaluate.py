@@ -65,10 +65,18 @@ def measure_pfa(
     rd_impl: str = "auto",
     n_integrate: int = 1,
     range_walk: bool = False,
+    base_frames: int = 1,
 ) -> dict:
     """Realized false-alarm rate on target-free frames.
 
-    Returns {'pfa_measured', 'pfa_configured', 'cells', 'hits'}.
+    Returns {'pfa_measured', 'pfa_configured', 'cells', 'hits',
+    'repeat_cells'} — ``repeat_cells`` counts (doppler, range) cells
+    that fired in two or more frames: with iid per-frame noise the
+    expectation is ~C(F,2) * Pfa^2 * cells (essentially zero), so any
+    excess measures the QUENCHED base-noise persistence (MIGRATION
+    round-5 notes).  ``base_frames = K > 1`` averages K empty base
+    frames (``prepare_base`` stack), cutting that quenched floor by
+    1/K.
     ``n_integrate > 1`` measures the non-coherently-integrated detector
     (one decision per N-frame group).  With the round-5 Erlang-matched
     defaults the measured rate lands ON the configured Pfa under an
@@ -83,23 +91,34 @@ def measure_pfa(
     from radar_tpu.io.synthetic import synthesize_capture
     from radar_tpu.models.rd_pipeline import RDPipeline
 
-    cap = synthesize_capture([], frames + 1, cfg, noise_std=noise_std,
-                             seed=seed)
+    k0 = max(1, int(base_frames))
+    cap = synthesize_capture([], frames + k0, cfg, noise_std=noise_std,
+                             seed=seed, n_base=k0)
     pipe = RDPipeline(cfg, max_detections=max_detections, rd_impl=rd_impl)
-    base = pipe.prepare_base(jnp.asarray(cap[0]))
+    base = pipe.prepare_base(
+        jnp.asarray(cap[0] if k0 == 1 else cap[:k0]))
     if n_integrate > 1:
-        out = pipe.detect_integrated(jnp.asarray(cap[1:]), base,
+        out = pipe.detect_integrated(jnp.asarray(cap[k0:]), base,
                                      n_integrate, range_walk)
     else:
-        out = pipe.detect(jnp.asarray(cap[1:]), base)
+        out = pipe.detect(jnp.asarray(cap[k0:]), base)
     hits = int(np.asarray(out.num_hits).sum())
     cells = ((frames // n_integrate) * cfg.doppler_fft_size
              * cfg.range_fft_size)
+    valid = np.asarray(out.valid).astype(bool)
+    db, rb = np.asarray(out.doppler_bin), np.asarray(out.range_bin)
+    seen: dict = {}
+    for f in range(valid.shape[0]):
+        for k in range(valid.shape[1]):
+            if valid[f, k]:
+                key = (int(db[f, k]), int(rb[f, k]))
+                seen[key] = seen.get(key, 0) + 1
     return {
         "pfa_measured": hits / cells,
         "pfa_configured": cfg.cfar_pfa,
         "cells": cells,
         "hits": hits,
+        "repeat_cells": sum(1 for n in seen.values() if n >= 2),
     }
 
 
