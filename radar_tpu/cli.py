@@ -226,9 +226,11 @@ def _base_cube_and_start(args, capture, cfg):
 
     k = getattr(args, "base_frames", None) or 1
     if k >= len(capture):
-        raise ValueError(
-            f"--base-frames {k} leaves no frames (capture has "
-            f"{len(capture)})")
+        # usage error, matching the CLI's rc-2 convention (callers
+        # return 2 on the None sentinel)
+        print(f"error: --base-frames {k} leaves no frames (capture has "
+              f"{len(capture)})", file=sys.stderr)
+        return None, k
     cube = decode_to_cube(
         jnp.asarray(capture[:k] if k > 1 else capture[0]), cfg)
     if cube.ndim == 4:
@@ -1568,6 +1570,8 @@ def cmd_mdoppler(args) -> int:
     from radar_tpu.ops.decode import decode_to_cube
 
     base_cube, k0 = _base_cube_and_start(args, capture, cfg)
+    if base_cube is None:
+        return 2
     frames = jnp.asarray(capture[k0:])
     r_bin = (auto_range_bin(frames, base_cube, cfg)
              if args.range_bin is None else args.range_bin)
@@ -1622,6 +1626,8 @@ def cmd_azmap(args) -> int:
               file=sys.stderr)
         return 2
     base_cube, k0 = _base_cube_and_start(args, capture, cfg)
+    if base_cube is None:
+        return 2
     frames = capture[k0:]
     if args.frame is not None:
         if not k0 <= args.frame < len(capture):
@@ -1893,6 +1899,8 @@ def cmd_rti(args) -> int:
               file=sys.stderr)
         return 2
     base, k0 = _base_cube_and_start(args, capture, cfg)
+    if base is None:
+        return 2
 
     @jax.jit
     def rti(shorts, base_cube):
@@ -1941,6 +1949,8 @@ def cmd_admap(args) -> int:
               file=sys.stderr)
         return 2
     base_cube, k0 = _base_cube_and_start(args, capture, cfg)
+    if base_cube is None:
+        return 2
     frames = capture[k0:]
     if args.frame is not None:
         if not k0 <= args.frame < len(capture):
