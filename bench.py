@@ -212,6 +212,12 @@ def main() -> None:
 
     # ---- optional extras (stderr only; never allowed to kill the
     # headline JSON line) ----------------------------------------------------
+    # a SIGTERM (driver timeout) would normally terminate WITHOUT
+    # running the finally below; convert it to SystemExit so the final
+    # re-emit still lands in the tail window
+    import signal
+
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(1))
     try:
         # library-default 'high' quality mode (3-pass bf16, ~8e-6 vs
         # golden; the headline above is the promoted 1-pass speed mode)
