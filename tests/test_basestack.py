@@ -201,3 +201,25 @@ def test_ego_motion_yaw_recovers_rate(cfg):
     # bin-quantized Doppler (~0.12 m/s) bounds the fit accuracy
     np.testing.assert_allclose(v_hat, v, atol=0.25)
     assert abs(w_hat - omega) < 0.1, w_hat
+
+
+def test_cli_detect_resume_with_base_frames(tmp_path, cfg):
+    """--resume seeks past both the base frames and the already-written
+    records (resume == seek; the pipeline is stateless past the base)."""
+    from radar_tpu import cli
+
+    path = tmp_path / "k.bin"
+    assert cli.main(["generate", str(path), "--frames", "12",
+                     "--base-frames", "4",
+                     "--target", "5.0,2.0,10,2500", "--seed", "9"]) == 0
+    out = tmp_path / "d.jsonl"
+    assert cli.main(["detect", str(path), "--full", "--base-frames", "4",
+                     "--out", str(out)]) == 0
+    first = out.read_text().splitlines()
+    assert len(first) == 8
+    # resume over a truncated file: only the missing records are appended
+    out.write_text("\n".join(first[:5]) + "\n")
+    assert cli.main(["detect", str(path), "--full", "--base-frames", "4",
+                     "--out", str(out), "--resume"]) == 0
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["frame"] for r in recs] == list(range(4, 12))
