@@ -1741,6 +1741,10 @@ def cmd_bev(args) -> int:
         mount1 = parse_mount(args.mount)
         mount2 = parse_mount(args.mount2)
         cap2 = read_capture(second, cfg)
+        if len(cap2) < 3:
+            print("error: --second needs a base frame + at least two "
+                  "frames", file=sys.stderr)
+            return 2
         n = min(len(capture), len(cap2))
         rd2 = jax.tree.map(np.asarray,
                            pipe.detect(cap2[1:n],
