@@ -238,6 +238,32 @@ def _base_cube_and_start(args, capture, cfg):
     return cube, k
 
 
+def _tracker_params(args, params):
+    # apply --confirm-hits / --max-misses overrides onto the (possibly
+    # None = kind-default) tracker params; returns 2 on a usage error
+    ch = getattr(args, "confirm_hits", None)
+    mm = getattr(args, "max_misses", None)
+    if ch is None and mm is None:
+        return params
+    if (ch is not None and ch < 1) or (mm is not None and mm < 0):
+        print("error: --confirm-hits needs >= 1 and --max-misses >= 0",
+              file=sys.stderr)
+        return 2
+    import dataclasses as _dc
+
+    from radar_tpu.models.tracker import EKFConfig, TrackerConfig
+
+    if params is None:
+        params = (EKFConfig() if getattr(args, "tracker", None) == "ekf"
+                  else TrackerConfig())
+    kw = {}
+    if ch is not None:
+        kw["confirm_hits"] = ch
+    if mm is not None:
+        kw["max_misses"] = mm
+    return _dc.replace(params, **kw)
+
+
 def _parse_target(spec: str):
     from radar_tpu.io.synthetic import SceneTarget
 
@@ -692,6 +718,13 @@ def cmd_serve(args) -> int:
               f"{n_int_arg}", file=sys.stderr)
         return 2
     n_int = n_int_arg or 1
+    if ((getattr(args, "confirm_hits", None) is not None
+         and args.confirm_hits < 1)
+            or (getattr(args, "max_misses", None) is not None
+                and args.max_misses < 0)):
+        print("error: --confirm-hits needs >= 1 and --max-misses >= 0",
+              file=sys.stderr)
+        return 2
     n_base = getattr(args, "base_frames", None) or 1
     walk = getattr(args, "walk", False)
     if n_int > 1:
@@ -729,8 +762,14 @@ def cmd_serve(args) -> int:
 
             params = (EKFConfig(sigma_azimuth_deg=1.0) if args.refine
                       else EKFConfig())
+        else:
+            params = None
+        params = _tracker_params(args, params)
+        if params == 2:
+            raise ValueError("invalid tracker confirmation flags")
+        if args.tracker == "ekf":
             return EKFTracker(cfg, params)
-        return Tracker(cfg)
+        return Tracker(cfg) if params is None else Tracker(cfg, params)
 
     nb = max(1, args.serve_batch)
     # --integrate N: groups per dispatch; the dispatch shape stays static
@@ -1191,6 +1230,9 @@ def cmd_track(args) -> int:
         print(f"ego-motion: fit ok on {n_ok}/{len(ego.ok)} frames, "
               f"{n_drop} static detections dropped before tracking",
               file=sys.stderr)
+    params = _tracker_params(args, params)
+    if params == 2:
+        return 2
     tracker = track_capture(out, cfg, kind=args.tracker, params=params)
     tracks = [t for t in tracker.tracks if t.confirmed]
     for t in tracks:
@@ -2194,6 +2236,12 @@ def main(argv=None) -> int:
                    help="stop after N frames (default: run until timeout)")
     s.add_argument("--timeout", type=float, default=5.0,
                    help="socket timeout in seconds")
+    s.add_argument("--confirm-hits", type=int, default=None, metavar="M",
+                    help="tracker M-hit confirmation (default 3; round-5 "
+                         "bump from 2 -- see MIGRATION)")
+    s.add_argument("--max-misses", type=int, default=None, metavar="N",
+                    help="coasted misses before a track is dropped "
+                         "(default 3)")
     s.add_argument("--tracker", choices=["alpha-beta", "ekf"],
                    default="alpha-beta")
     s.add_argument("--serve-batch", type=int, default=8,
@@ -2246,6 +2294,12 @@ def main(argv=None) -> int:
     t = sub.add_parser("track", help="detect + multi-frame object tracking")
     t.add_argument("path")
     t.add_argument("--max-detections", type=int, default=16)
+    t.add_argument("--confirm-hits", type=int, default=None, metavar="M",
+                    help="tracker M-hit confirmation (default 3; round-5 "
+                         "bump from 2 -- see MIGRATION)")
+    t.add_argument("--max-misses", type=int, default=None, metavar="N",
+                    help="coasted misses before a track is dropped "
+                         "(default 3)")
     t.add_argument("--tracker", choices=["alpha-beta", "ekf"],
                    default="alpha-beta",
                    help="'ekf' = Cartesian constant-velocity EKF "
