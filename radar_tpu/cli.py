@@ -1919,6 +1919,18 @@ def cmd_info(args) -> int:
             "bytes_per_frame": cfg.bytes_per_frame,
             "mb_per_s_at_1000fps": round(cfg.bytes_per_frame * 1e3 / 1e6, 1),
         },
+        "detector": {
+            "cfar_kind": cfg.cfar_kind,
+            "cfar_pfa": cfg.cfar_pfa,
+            # the round-5 calibrated operating point: the alpha models
+            # the RX-summed map's Erlang order, so the realized Pfa
+            # lands on cfar_pfa (MIGRATION round-5 notes)
+            "cfar_pulses_effective": cfg.cfar_pulses_effective,
+            "range_edge_guard_bins": cfg.range_edge_guard_effective,
+            "detectable_range_max_m": round(
+                (cfg.range_fft_size - cfg.range_edge_guard_effective - 1)
+                * r_res, 2),
+        },
     }
     print(json.dumps(doc, indent=1))
     return 0
